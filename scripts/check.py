@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet written by graft.Verify, runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+same sf tables, and compares: row count, column names, and a hash of the
+value matrix with columns sorted by name and rows sorted canonically.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        # guard against -0.0 vs 0.0 and tiny repr noise post-rounding
+        if v == 0:
+            return "0"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noora = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql)
+            erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"FAIL {name}: cols spark={sorted(gcols)} duck={sorted(ecols)}")
+            n_fail += 1
+            continue
+        if len(grows) != len(erows):
+            print(f"FAIL {name}: rows spark={len(grows)} duck={len(erows)}")
+            n_fail += 1
+            continue
+        g, e = canon(grows, gcols), canon(erows, ecols)
+        if g != e:
+            bad = next(i for i in range(len(g)) if g[i] != e[i])
+            print(f"FAIL {name}: first diff row {bad}:\n  spark={g[bad]}\n  duck ={e[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+    # queries without oracle: rows-only
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            print(f"ROWS {name}: {n} rows (no oracle)")
+            n_noora += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noora} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

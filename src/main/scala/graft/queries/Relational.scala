@@ -1,0 +1,473 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator suite covering SURVEY.md §2's inventory (scans,
+  * projections/filters, joins, aggregations, windows, set ops, scalar
+  * functions, generators), each expressed Spark-first so Catalyst gets a
+  * declarative plan: filters/projections push down to the parquet scan,
+  * small dimensions are broadcast, aggregations are partial (map-side
+  * combine) by construction.
+  *
+  * Determinism contract with the DuckDB oracle (driver gate t2):
+  *  - every double produced by an order-sensitive aggregate is wrapped in
+  *    round(_, k) on BOTH sides (float addition is not associative, so the
+  *    raw sums differ in ulps between engines);
+  *  - integer sums are avoided in the oracle SQL (DuckDB widens them to
+  *    HUGEINT, which would mismatch Spark's BIGINT) — counts are used
+  *    instead;
+  *  - every query ends in an ORDER BY over a unique key prefix.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2/P: projection + predicate, both pushed into the parquet scan.
+    "q_scan_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A1/A11/A12-shape: grouped aggregation with partial aggregation
+    // (TPC-H Q1 flavor). One shuffle on the group keys.
+    "q_agg_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A15: distinct counting.
+    "q_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // J2: inner equi-join, shuffle join on the key.
+    "q_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J4: broadcast (map-side) joins of a fact against small dims — the
+    // dims stay under the broadcast threshold at any scale factor.
+    "q_join_broadcast_dims" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    // J1: full outer join (+ null-flag projection), the pairwise-metrics
+    // join shape from SURVEY §2.3.
+    "q_join_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val oagg = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(oagg, c("c_custkey") === oagg("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("c_name").isNotNull.as("in_customer"))
+        .orderBy("custkey")
+    }),
+
+    // Semi/anti joins (Catalyst-free in the reference; declared absent
+    // there — exposed here as first-class operators).
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+    }),
+
+    // J3: cross join (reference uses cartesian for the similarity index;
+    // kept here only on dimension tables — never on facts).
+    "q_cross_join" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Multi-way join + agg (TPC-H Q5 flavor): two shuffle joins on fact
+    // keys, one broadcast join, one grouped agg.
+    "q_join_multiway_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // A3/W1: top-1 per key as a single hash aggregation (max over a
+    // lexicographically ordered struct) — no global sort, no window
+    // shuffle-and-sort; scales as a plain agg.
+    "q_top1_per_key" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(struct(col("l_extendedprice"), (-col("l_linenumber")).as("neg_ln")))
+          .as("m"))
+        .select(col("l_orderkey"),
+          (-col("m.neg_ln")).cast("int").as("l_linenumber"),
+          col("m.l_extendedprice").as("l_extendedprice"))
+        .orderBy("l_orderkey")
+    }),
+
+    // W1: ranking window function.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("rn"))
+        .orderBy("l_orderkey", "rn")
+    }),
+
+    // SO1+SO2: union all + distinct.
+    "q_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.unionAll(sup).distinct().orderBy("nationkey")
+    }),
+
+    // Relational INTERSECT / EXCEPT (declared absent in the reference —
+    // part of our generic surface).
+    "q_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).orderBy("nationkey")
+    }),
+    "q_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(sup).orderBy("nationkey")
+    }),
+
+    // G1: cluster → C(n,2) pairs, expressed as a self-equi-join with a
+    // strict ordering predicate (shuffles once on the cluster key; never
+    // materializes per-group combinations in driver memory).
+    "q_pairs_within_group" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val a = l.toDF("orderkey", "ln1", "part1")
+      val b = l.toDF("orderkey", "ln2", "part2")
+      a.join(b, Seq("orderkey"))
+        .filter(col("ln1") < col("ln2"))
+        .select(col("orderkey"), col("ln1"), col("ln2"))
+        .orderBy("orderkey", "ln1", "ln2")
+    }),
+
+    // G2/A7 round-trip: membership → clusters (collect_list) → explode
+    // back to membership; oracle is the trivial projection.
+    "q_cluster_roundtrip" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("cluster"))
+        .select(col("o_custkey"), explode(col("cluster")).as("o_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A7: membership → clusters, array-valued output (sorted for
+    // deterministic equality).
+    "q_clusters_as_arrays" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_set(col("o_orderkey"))).as("cluster"))
+        .orderBy("o_custkey")
+    }),
+
+    // A6-shape: histogram of group sizes (two-level aggregation).
+    "q_group_size_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+        .groupBy(col("n_items")).agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_items")
+    }),
+
+    // A10: confusion-matrix-style conditional counts in one pass
+    // (replaces the reference's foreach + accumulators — deterministic
+    // under task retry).
+    "q_conditional_counts" -> ((s, dir) => {
+      val big = col("o_totalprice") > 150000.0
+      val fin = col("o_orderstatus") === "F"
+      t(s, dir, "orders").agg(
+        count(when(big && fin, 1)).as("tp"),
+        count(when(big && !fin, 1)).as("fp"),
+        count(when(!big && fin, 1)).as("fn"),
+        count(when(!big && !fin, 1)).as("tn"))
+    }),
+
+    // A11: dataset-statistics pass — row count, per-column null counts,
+    // distinct counts, all in one aggregation.
+    "q_table_stats" -> ((s, dir) => {
+      t(s, dir, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(when(col("c_name").isNull, 1)).as("n_null_name"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+    }),
+
+    // S11-shape: pivot (wide CSV layout) via groupBy().pivot() with an
+    // explicit value list (no extra pass to discover values).
+    "q_pivot_status" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0L)).as("A"),
+          coalesce(col("N"), lit(0L)).as("N"),
+          coalesce(col("R"), lit(0L)).as("R"))
+        .orderBy("l_linestatus")
+    }),
+
+    // F3/F4/F8/F20: scalar function surface — string concat keys, case
+    // transforms, Levenshtein distance (the reference's F1 core), math
+    // (exp/ln round-trip, comb2).
+    "q_scalar_functions" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat_key"),
+        levenshtein(col("p_brand"), lit("Brand#13")).as("lev_brand"),
+        ((col("p_size") * (col("p_size") - 1)) / 2).cast("long").as("comb2_size"),
+        round(exp(log(col("p_retailprice"))), 2).as("explog_price"))
+        .orderBy("p_partkey")
+    }),
+
+    // F9+SO2: pair canonicalization (least/greatest) + distinct.
+    "q_canonical_pairs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_partkey") =!= col("l_suppkey"))
+        .select(least(col("l_partkey"), col("l_suppkey")).as("a"),
+          greatest(col("l_partkey"), col("l_suppkey")).as("b"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
+    // G4/A13: exact-duplicate baseline — group by concatenated key.
+    "q_exact_dup_groups" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(concat_ws("|", col("p_brand"), col("p_type"),
+          col("p_size").cast("string")).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy("key")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 250000.0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast_dims" ->
+      """SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+        |  c_name IS NOT NULL AS in_customer
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+        |                 FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_multiway_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_top1_per_key" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 2
+        |ORDER BY l_orderkey, rn""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_pairs_within_group" ->
+      """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln1,
+        |  b.l_linenumber AS ln2
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |ORDER BY orderkey, ln1, ln2""".stripMargin,
+
+    "q_cluster_roundtrip" ->
+      """SELECT o_custkey, o_orderkey FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_clusters_as_arrays" ->
+      """SELECT o_custkey, list_sort(list(DISTINCT o_orderkey)) AS cluster
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_group_size_histogram" ->
+      """SELECT n_items, count(*) AS n_orders FROM (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |  GROUP BY l_orderkey)
+        |GROUP BY n_items ORDER BY n_items""".stripMargin,
+
+    "q_conditional_counts" ->
+      """SELECT
+        |  count(CASE WHEN o_totalprice > 150000.0 AND o_orderstatus = 'F'
+        |    THEN 1 END) AS tp,
+        |  count(CASE WHEN o_totalprice > 150000.0 AND o_orderstatus <> 'F'
+        |    THEN 1 END) AS fp,
+        |  count(CASE WHEN o_totalprice <= 150000.0 AND o_orderstatus = 'F'
+        |    THEN 1 END) AS fn,
+        |  count(CASE WHEN o_totalprice <= 150000.0 AND o_orderstatus <> 'F'
+        |    THEN 1 END) AS tn
+        |FROM orders""".stripMargin,
+
+    "q_table_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT c_mktsegment) AS n_segments,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  count(CASE WHEN c_name IS NULL THEN 1 END) AS n_null_name,
+        |  round(avg(c_acctbal), 4) AS avg_bal,
+        |  round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A",
+        |  count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N",
+        |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_scalar_functions" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  concat_ws('|', p_brand, p_type) AS cat_key,
+        |  CAST(levenshtein(p_brand, 'Brand#13') AS INTEGER) AS lev_brand,
+        |  CAST(p_size * (p_size - 1) / 2 AS BIGINT) AS comb2_size,
+        |  round(exp(ln(p_retailprice)), 2) AS explog_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_canonical_pairs" ->
+      """SELECT DISTINCT least(l_partkey, l_suppkey) AS a,
+        |  greatest(l_partkey, l_suppkey) AS b
+        |FROM lineitem WHERE l_partkey <> l_suppkey
+        |ORDER BY a, b""".stripMargin,
+
+    "q_exact_dup_groups" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT concat_ws('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS key
+        |  FROM part)
+        |GROUP BY key HAVING count(*) >= 2 ORDER BY key""".stripMargin
+  )
+}
