@@ -1,0 +1,276 @@
+package graft.er
+
+import java.util.SplittableRandom
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{AliasTable, LevenshteinSimilarity, SimilarityFn}
+import graft.er.model._
+
+/** Per-attribute dictionary + empirical distribution + truncated-similarity
+  * neighborhood index (reference capability: AttributeIndex.scala:39-104,
+  * RecordsCache.scala:34-54 — re-expressed with DataFrame aggregations and a
+  * lossless length-blocked similarity self-join instead of the reference's
+  * O(|V|²) `cartesian`, its single worst scale bottleneck).
+  *
+  * The index is driver-built and broadcast: the value domain of a matching
+  * attribute is categorical (names, dates, codes), orders of magnitude
+  * smaller than the record count, so it fits comfortably even at 100 TB of
+  * records. All sampler math runs on dense ValueIds; -1 = missing.
+  */
+final class AttributeIndex(
+    val attrId: Int,
+    val name: String,
+    val similarity: SimilarityFn,
+    val distortionPrior: BetaParams,
+    val values: Array[String],
+    val counts: Array[Long],
+    val neighbors: Array[Array[Int]],
+    val neighborExpSims: Array[Array[Double]]) extends Serializable {
+
+  val domainSize: Int = values.length
+  val totalObserved: Long = counts.sum
+
+  /** Empirical distribution φ over observed values. */
+  val probs: Array[Double] = {
+    val t = totalObserved.toDouble
+    counts.map(_ / t)
+  }
+
+  /** simNorm z(v) = Σ_w φ(w)·exp(sim(v,w)) — the normalizer of the
+    * similarity-biased distortion distribution. Off-neighborhood terms
+    * contribute exp(0)=1, so z = 1 + φ(v)·(e_max - 1) + Σ_{w∈N(v)}
+    * φ(w)·(e_w - 1); the self term uses exp(maxSimilarity) (identical
+    * strings are maximally similar; the neighbor lists exclude self). */
+  val simNorms: Array[Double] = {
+    val eMax = math.exp(similarity.maxSimilarity)
+    val out = new Array[Double](domainSize)
+    var v = 0
+    while (v < domainSize) {
+      var z = 1.0 + probs(v) * (eMax - 1.0)
+      val ns = neighbors(v)
+      val es = neighborExpSims(v)
+      var i = 0
+      while (i < ns.length) { z += probs(ns(i)) * (es(i) - 1.0); i += 1 }
+      out(v) = z
+      v += 1
+    }
+    out
+  }
+
+  private val idIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](domainSize * 2)
+    var i = 0
+    while (i < domainSize) { m.put(values(i), i); i += 1 }
+    m
+  }
+
+  /** ValueId of a raw string; MissingValue for null/unknown. */
+  def idOf(s: String): Int = {
+    if (s == null) MissingValue
+    else {
+      val i = idIndex.get(s)
+      if (i == null) MissingValue else i.intValue()
+    }
+  }
+
+  /** exp(sim(x, y)) via the truncated neighborhood (1.0 off-neighborhood). */
+  def expSim(x: Int, y: Int): Double = {
+    if (x == y) math.exp(similarity.maxSimilarity)
+    else {
+      val ns = neighbors(x)
+      val j = java.util.Arrays.binarySearch(ns, y)
+      if (j >= 0) neighborExpSims(x)(j) else 1.0
+    }
+  }
+
+  /** Distortion density ψ(x | y) = φ(x)·exp(sim(x,y)) / z(y). */
+  def distortionProb(x: Int, y: Int): Double =
+    probs(x) * expSim(x, y) / simNorms(y)
+
+  // --- sampling machinery ------------------------------------------------
+
+  /** Cached alias tables for f_k(y) ∝ φ(y)·z(y)^(-k): the "base"
+    * distribution of the entity-value conditional when k linked distorted
+    * records are attached (reference precaches powered distributions,
+    * AttributeIndex.scala:188-206). k=0 is the prior φ itself. */
+  private val maxCachedPower = 8
+
+  private lazy val poweredTables: Array[AliasTable] =
+    Array.tabulate(maxCachedPower + 1)(k => AliasTable(poweredWeights(k)))
+
+  /** Total unnormalized mass T_k = Σ_y φ(y)·z(y)^(-k). */
+  lazy val poweredTotals: Array[Double] =
+    Array.tabulate(maxCachedPower + 1)(k => poweredWeights(k).sum)
+
+  private def poweredWeights(k: Int): Array[Double] = {
+    val w = new Array[Double](domainSize)
+    var v = 0
+    while (v < domainSize) {
+      w(v) = probs(v) * math.pow(simNorms(v), -k)
+      v += 1
+    }
+    w
+  }
+
+  def poweredTotal(k: Int): Double =
+    if (k <= maxCachedPower) poweredTotals(k) else poweredWeights(k).sum
+
+  /** Draw y ~ f_k; O(1) for cached k, O(|V|) fallback for very large
+    * clusters (rare — cluster sizes are small in ER workloads). */
+  def samplePowered(k: Int, rng: SplittableRandom): Int = {
+    if (k <= maxCachedPower) poweredTables(k).sample(rng)
+    else AliasTable(poweredWeights(k)).sample(rng)
+  }
+
+  def baseWeight(k: Int, v: Int): Double =
+    probs(v) * math.pow(simNorms(v), -k)
+}
+
+object AttributeIndex {
+
+  /** Build one index from the raw (string-typed) attribute column.
+    *
+    * Value counts come from a grouped aggregation (one shuffle, map-side
+    * combined); the neighbor pairs from a self-join blocked on string
+    * length (lossless: for truncated Levenshtein, sim > 0 bounds
+    * |len(a)-len(b)| — see LevenshteinSimilarity.maxLengthGap). Constant
+    * similarity skips neighbor construction entirely.
+    */
+  def build(
+      spark: SparkSession,
+      column: DataFrame, // single-column DataFrame of raw strings
+      attrId: Int,
+      spec: AttributeSpec): AttributeIndex = {
+    import spark.implicits._
+
+    val colName = column.columns.head
+    val counted = column
+      .filter(col(colName).isNotNull)
+      .groupBy(col(colName).cast("string").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .collect()
+      .sortBy(_._1)
+
+    val values = counted.map(_._1)
+    val counts = counted.map(_._2)
+    val n = values.length
+
+    val (nbrs, sims) = spec.similarity match {
+      case lev: LevenshteinSimilarity =>
+        buildNeighbors(spark, values, lev)
+      case _ =>
+        (Array.fill(n)(Array.empty[Int]), Array.fill(n)(Array.empty[Double]))
+    }
+
+    new AttributeIndex(attrId, spec.name, spec.similarity, spec.distortionPrior,
+      values, counts, nbrs, sims)
+  }
+
+  private def buildNeighbors(
+      spark: SparkSession,
+      values: Array[String],
+      lev: LevenshteinSimilarity): (Array[Array[Int]], Array[Array[Double]]) = {
+    import spark.implicits._
+
+    val n = values.length
+    val vals = spark.createDataset(
+      values.zipWithIndex.map { case (v, i) => (i, v, v.length) }.toSeq)
+      .toDF("vid", "value", "len")
+
+    // Each value emits candidate lengths [len, len + gap]; joining on the
+    // partner's exact length covers every pair whose length difference can
+    // possibly clear the similarity threshold, in both directions.
+    val simUdf = udf((a: String, b: String) => lev.sim(a, b))
+    val gapUdf = udf((l: Int) => {
+      val g = lev.maxLengthGap(l)
+      if (g > 64) 64 else g // defensive cap; θ=0 would otherwise explode
+    })
+
+    val a = vals.select(col("vid").as("vida"), col("value").as("va"),
+      explode(sequence(col("len"), col("len") + gapUdf(col("len"))))
+        .as("candLen"))
+    val b = vals.select(col("vid").as("vidb"), col("value").as("vb"),
+      col("len").as("lenb"))
+
+    val pairs = a.join(b, col("candLen") === col("lenb"))
+      .filter(col("vida") < col("vidb"))
+      .withColumn("sim", simUdf(col("va"), col("vb")))
+      .filter(col("sim") > 0.0)
+      .select(col("vida"), col("vidb"), col("sim"))
+      .as[(Int, Int, Double)]
+      .collect()
+
+    val nbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+    pairs.foreach { case (i, j, s) =>
+      val e = math.exp(s)
+      nbrs(i) += ((j, e))
+      nbrs(j) += ((i, e))
+    }
+    val outN = new Array[Array[Int]](n)
+    val outS = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val sorted = nbrs(i).sortBy(_._1).toArray
+      outN(i) = sorted.map(_._1)
+      outS(i) = sorted.map(_._2)
+      i += 1
+    }
+    (outN, outS)
+  }
+}
+
+/** All attribute indexes + file-level statistics — the broadcastable model
+  * context (reference RecordsCache, RecordsCache.scala:34-54). */
+final class ModelIndex(
+    val attributes: IndexedSeq[AttributeIndex],
+    val fileSizes: Map[String, Long],
+    val observedCounts: Map[(Int, String), Long],
+    val numRecords: Long) extends Serializable {
+
+  def numAttributes: Int = attributes.length
+
+  def priorTheta: DistortionProbs = DistortionProbs(
+    (for {
+      a <- attributes
+      f <- fileSizes.keys
+    } yield (a.attrId, f) -> a.distortionPrior.mean).toMap)
+}
+
+object ModelIndex {
+
+  /** One statistics pass over the raw records DataFrame: file sizes and
+    * per-(attribute, file) observed counts in a single grouped aggregation
+    * (replaces the reference's foreach + map-accumulators,
+    * RecordsCache.scala:74-107 — deterministic under task retry), plus one
+    * dictionary/neighbor build per attribute.
+    */
+  def build(
+      spark: SparkSession,
+      records: DataFrame, // columns: id, fileId, attr columns
+      fileIdCol: String,
+      specs: Seq[AttributeSpec]): ModelIndex = {
+    import spark.implicits._
+
+    val statsAggs = count(lit(1)).as("n_rows") +:
+      specs.map(s => count(col(s.name)).as(s"obs_${s.name}"))
+    val stats = records.groupBy(col(fileIdCol).as("f"))
+      .agg(statsAggs.head, statsAggs.tail: _*)
+      .collect()
+
+    val fileSizes = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val observed = stats.flatMap { r =>
+      specs.zipWithIndex.map { case (s, i) =>
+        (i, r.getString(0)) -> r.getLong(2 + i)
+      }
+    }.toMap
+
+    val attrs = specs.zipWithIndex.map { case (s, i) =>
+      AttributeIndex.build(spark, records.select(col(s.name)), i, s)
+    }.toIndexedSeq
+
+    new ModelIndex(attrs, fileSizes, observed, fileSizes.values.sum)
+  }
+}

@@ -1,0 +1,235 @@
+package graft.er
+
+import java.util.SplittableRandom
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.Rng
+import graft.er.model._
+
+/** The distributed sampler state and its Markov transition.
+  *
+  * State = Dataset[EntityCluster] keyed by partitionId (+ small driver
+  * state: θ, iteration, seed, last summary). One `step()` is exactly one
+  * shuffle (the groupByKey feeding the sweep — the reference shuffles
+  * twice per sweep, GibbsUpdates.scala:144+150) and one action (the
+  * summary aggregation, which replaces the reference's per-iteration
+  * accumulator pass and is deterministic under task retry).
+  */
+final class ERState private (
+    val spark: SparkSession,
+    val index: Broadcast[ModelIndex],
+    val partitioner: EntityPartitioner,
+    val clusters: Dataset[EntityCluster],
+    val theta: DistortionProbs,
+    val iteration: Long,
+    val baseSeed: Long,
+    val collapsedAssignment: Boolean,
+    val summary: SummaryVars) {
+
+  import spark.implicits._
+
+  def numPartitions: Int = partitioner.numPartitions
+
+  /** Conjugate θ update from the distortion counts already aggregated in
+    * `summary`: θ_{a,f} ~ Beta(α + d, β + n_obs − d). Driver-side, seeded. */
+  private def resampleTheta(rng: SplittableRandom): DistortionProbs = {
+    val idx = index.value
+    DistortionProbs(
+      (for {
+        a <- idx.attributes
+        f <- idx.fileSizes.keys
+      } yield {
+        val prior = a.distortionPrior
+        val d = summary.aggDistortions.getOrElse((a.attrId, f), 0L).toDouble
+        val n = idx.observedCounts.getOrElse((a.attrId, f), 0L).toDouble
+        (a.attrId, f) ->
+          Rng.nextBeta(rng, prior.alpha + d, prior.beta + math.max(n - d, 0.0))
+      }).toMap)
+  }
+
+  /** One Markov transition: θ draw → per-partition Gibbs sweep inside
+    * flatMapGroups (shuffles once on the new partition keys) → summary
+    * aggregation (the single action). */
+  def step(): ERState = {
+    val it = iteration + 1
+    val driverRng = new SplittableRandom(Rng.seedFor(baseSeed, it, -1L))
+    val newTheta = resampleTheta(driverRng)
+
+    val idxB = index
+    val part = partitioner
+    val collapsed = collapsedAssignment
+    val seed = baseSeed
+
+    val next = clusters
+      .groupByKey(_.partitionId)
+      .flatMapGroups { (pid: Int, rows: Iterator[EntityCluster]) =>
+        val rng = new SplittableRandom(Rng.seedFor(seed, it, pid.toLong))
+        GibbsKernel.sweep(rows.toArray, idxB.value, part, newTheta, rng, collapsed)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val newSummary = ERState.summarize(next, index, newTheta)
+    clusters.unpersist(blocking = false)
+
+    new ERState(spark, index, partitioner, next, newTheta, it, baseSeed,
+      collapsedAssignment, newSummary)
+  }
+
+  /** Truncate the iterative plan's lineage (reference: periodic RDD
+    * checkpoint every 20 sweeps, Sampler.scala:56). */
+  def checkpointed(): ERState = {
+    val cp = clusters.localCheckpoint(eager = true)
+    new ERState(spark, index, partitioner, cp, theta, iteration, baseSeed,
+      collapsedAssignment, summary)
+  }
+
+  /** Current linkage structure, one row per partition (reference A1,
+    * State.scala:102-112); isolates dropped (P5). */
+  def linkageSample(): Dataset[LinkageSample] = {
+    val it = iteration
+    clusters
+      .filter(_.records.nonEmpty)
+      .groupByKey(_.partitionId)
+      .mapGroups { (pid, rows) =>
+        LinkageSample(it, pid, rows.map(_.records.map(_.id).toSeq).toSeq)
+      }
+  }
+
+  /** Predicted clusters (record-id sets) at the current state. */
+  def currentClusters(): Dataset[Seq[String]] =
+    clusters.filter(_.records.nonEmpty).map(_.records.map(_.id).toSeq)
+}
+
+object ERState {
+
+  /** Deterministic initialization (reference K13, State.scala:195-334
+    * semantics, simplified to the exact-population case): every record
+    * starts as its own singleton entity — entity values copied from the
+    * record, missing attributes drawn from the empirical prior (seeded by
+    * record id, so init is retry-deterministic), no distortion anywhere,
+    * θ at its prior mean. */
+  def initialize(
+      spark: SparkSession,
+      records: DataFrame, // columns: id, fileId, attr columns (all strings)
+      idCol: String,
+      fileIdCol: Option[String],
+      specs: Seq[AttributeSpec],
+      partitioner: ModelIndex => EntityPartitioner,
+      seed: Long,
+      collapsedAssignment: Boolean = false): ERState = {
+    import spark.implicits._
+
+    val withFile = fileIdCol match {
+      case Some(f) => records.withColumn("__file", col(f).cast("string"))
+      case None => records.withColumn("__file", org.apache.spark.sql.functions.lit("0"))
+    }
+    val idx = ModelIndex.build(spark, withFile, "__file", specs)
+    val idxB = spark.sparkContext.broadcast(idx)
+    val part = partitioner(idx)
+
+    val attrNames = specs.map(_.name)
+    val projected = withFile.select(
+      (col(idCol).cast("string").as("id") ::
+        col("__file").as("fileId") ::
+        attrNames.map(n => col(n).cast("string").as(n)).toList): _*)
+
+    val nAttrs = specs.length
+    val init = projected.map { row =>
+      val id = row.getString(0)
+      val fileId = row.getString(1)
+      val vals = new Array[Int](nAttrs)
+      val dist = new Array[Boolean](nAttrs)
+      val rng = new SplittableRandom(Rng.seedFor(seed, 0L, id.hashCode.toLong))
+      var a = 0
+      while (a < nAttrs) {
+        val raw = if (row.isNullAt(2 + a)) null else row.getString(2 + a)
+        vals(a) = idxB.value.attributes(a).idOf(raw)
+        a += 1
+      }
+      // entity values: copy record, impute missing from the empirical prior
+      val entityVals = new Array[Int](nAttrs)
+      a = 0
+      while (a < nAttrs) {
+        entityVals(a) =
+          if (vals(a) != MissingValue) vals(a)
+          else idxB.value.attributes(a).samplePowered(0, rng)
+        a += 1
+      }
+      val rec = StateRecord(id, fileId, vals, dist)
+      EntityCluster(part.partitionOf(entityVals), entityVals, Array(rec))
+    }.repartition(math.max(part.numPartitions, spark.sparkContext.defaultParallelism),
+        col("partitionId"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val theta = idx.priorTheta
+    val summary = summarize(init, idxB, theta)
+    new ERState(spark, idxB, part, init, theta, 0L, seed, collapsedAssignment,
+      summary)
+  }
+
+  /** Single-pass summary over the state: observed-entity/isolate counts,
+    * joint log-likelihood, per-(attribute, file) distortion counts, and the
+    * per-record distortion histogram (reference A12 — accumulators replaced
+    * by a deterministic mapPartitions + reduce). */
+  def summarize(
+      ds: Dataset[EntityCluster],
+      index: Broadcast[ModelIndex],
+      theta: DistortionProbs): SummaryVars = {
+    import ds.sparkSession.implicits._
+
+    ds.mapPartitions { rows =>
+      val idx = index.value
+      val nA = idx.numAttributes
+      var nObserved = 0L
+      var nIsolates = 0L
+      var logLik = 0.0
+      val aggDist = scala.collection.mutable.Map.empty[(Int, String), Long]
+      val recDist = scala.collection.mutable.Map.empty[Int, Long]
+
+      rows.foreach { c =>
+        if (c.records.isEmpty) nIsolates += 1 else nObserved += 1
+        var a = 0
+        while (a < nA) {
+          logLik += math.log(idx.attributes(a).probs(c.entityValues(a)))
+          a += 1
+        }
+        c.records.foreach { r =>
+          var nDist = 0
+          a = 0
+          while (a < nA) {
+            val x = r.values(a)
+            if (x != MissingValue) {
+              val th = theta(a, r.fileId)
+              if (r.distorted(a)) {
+                nDist += 1
+                aggDist.updateWith((a, r.fileId))(c => Some(c.getOrElse(0L) + 1))
+                logLik += math.log(th) +
+                  math.log(idx.attributes(a).distortionProb(x, c.entityValues(a)))
+              } else {
+                logLik += math.log(1.0 - th)
+              }
+            }
+            a += 1
+          }
+          recDist.updateWith(nDist)(c => Some(c.getOrElse(0L) + 1))
+        }
+      }
+      Iterator.single(SummaryVars(nObserved, nIsolates, logLik,
+        aggDist.toMap, recDist.toMap))
+    }.reduce { (x, y) =>
+      SummaryVars(
+        x.numObservedEntities + y.numObservedEntities,
+        x.numIsolates + y.numIsolates,
+        x.logLikelihood + y.logLikelihood,
+        mergeCounts(x.aggDistortions, y.aggDistortions),
+        mergeCounts(x.recDistortions, y.recDistortions))
+    }
+  }
+
+  private def mergeCounts[K](a: Map[K, Long], b: Map[K, Long]): Map[K, Long] =
+    b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+}

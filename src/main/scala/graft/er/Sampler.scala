@@ -1,0 +1,112 @@
+package graft.er
+
+import org.apache.spark.sql.{Dataset, SaveMode}
+
+import graft.er.model._
+
+/** Driver-orchestrated MCMC loop (reference K14, Sampler.scala:51-124):
+  * burn-in, thinning, periodic lineage checkpointing, buffered sample
+  * writes, and per-recorded-iteration diagnostics.
+  */
+object Sampler {
+
+  final case class Diagnostics(
+      iteration: Long,
+      elapsedMs: Long,
+      numObservedEntities: Long,
+      numIsolates: Long,
+      logLikelihood: Double,
+      aggDistortions: Map[(Int, String), Long],
+      recDistortions: Map[Int, Long])
+
+  final case class Result(
+      state: ERState,
+      chain: Option[Dataset[LinkageSample]],
+      diagnostics: Seq[Diagnostics])
+
+  /** Run `numSweeps` transitions from `init`. Post burn-in, every
+    * `thin`-th linkage sample is buffered and (optionally) appended to
+    * `chainPath` as Parquet partitioned by partitionId — the reference's
+    * chain layout (BufferedRDDWriter.scala:44-50). When no path is given
+    * the thinned samples are unioned into an in-memory Dataset.
+    */
+  def run(
+      init: ERState,
+      numSweeps: Int,
+      burnIn: Int = 0,
+      thin: Int = 1,
+      chainPath: Option[String] = None,
+      checkpointEvery: Int = 10,
+      writeBufferSize: Int = 10): Result = {
+
+    val t0 = System.currentTimeMillis()
+    var state = init
+    var diags = Vector.empty[Diagnostics]
+    var buffered = Vector.empty[Dataset[LinkageSample]]
+    var collected = Vector.empty[Dataset[LinkageSample]]
+
+    def flush(): Unit = {
+      if (buffered.nonEmpty) {
+        val batch = buffered.reduce(_ unionAll _)
+        chainPath match {
+          case Some(p) =>
+            batch.write.mode(SaveMode.Append).partitionBy("partitionId").parquet(p)
+          case None =>
+            collected :+= batch
+        }
+        buffered = Vector.empty
+      }
+    }
+
+    var sweep = 1
+    while (sweep <= numSweeps) {
+      state = state.step()
+      if (sweep % checkpointEvery == 0) state = state.checkpointed()
+      if (sweep > burnIn && (sweep - burnIn) % thin == 0) {
+        // Materialize the sample now (eager localCheckpoint): the state it
+        // reads is about to be unpersisted by the next step, and keeping
+        // samples lazy would both recompute sweeps at flush time and grow
+        // the union plan without bound.
+        buffered :+= state.linkageSample().localCheckpoint(true)
+        if (buffered.size >= writeBufferSize) flush()
+        val s = state.summary
+        diags :+= Diagnostics(state.iteration, System.currentTimeMillis() - t0,
+          s.numObservedEntities, s.numIsolates, s.logLikelihood,
+          s.aggDistortions, s.recDistortions)
+      }
+      sweep += 1
+    }
+    flush()
+
+    val chain = chainPath match {
+      case Some(p) =>
+        implicit val enc: org.apache.spark.sql.Encoder[LinkageSample] =
+          org.apache.spark.sql.Encoders.product[LinkageSample]
+        Some(state.spark.read.parquet(p).as[LinkageSample])
+      case None =>
+        if (collected.isEmpty) None else Some(collected.reduce(_ unionAll _))
+    }
+    Result(state, chain, diags)
+  }
+
+  /** Diagnostics as CSV lines (reference DiagnosticsWriter.scala:39-72
+    * layout: iteration, time, counts, logLik, per-attribute aggregate
+    * distortions, record-distortion histogram). */
+  def diagnosticsCsv(
+      diags: Seq[Diagnostics], numAttributes: Int, files: Seq[String]): String = {
+    val attrCols = for (a <- 0 until numAttributes; f <- files)
+      yield s"aggDist-$a-$f"
+    val recCols = (0 to numAttributes).map(k => s"recDist-$k")
+    val header = (Seq("iteration", "elapsed-ms", "numObservedEntities",
+      "numIsolates", "logLikelihood") ++ attrCols ++ recCols).mkString(",")
+    val rows = diags.map { d =>
+      val agg = for (a <- 0 until numAttributes; f <- files)
+        yield d.aggDistortions.getOrElse((a, f), 0L).toString
+      val rec = (0 to numAttributes).map(k => d.recDistortions.getOrElse(k, 0L).toString)
+      (Seq(d.iteration.toString, d.elapsedMs.toString,
+        d.numObservedEntities.toString, d.numIsolates.toString,
+        f"${d.logLikelihood}%.9e") ++ agg ++ rec).mkString(",")
+    }
+    (header +: rows).mkString("\n")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.er
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.{ConstantSimilarity, LevenshteinSimilarity}
+import graft.er.model._
+
+class AttributeIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val states = Seq(
+    "New South Wales", "Victoria", "Queensland", "South Australia",
+    "Western Australia", "Tasmania", "Northern Territory",
+    "Australian Capital Territory")
+
+  private def statesDf = {
+    import spark.implicits._
+    // weight by repetition: value i appears (i+1) times
+    states.zipWithIndex.flatMap { case (s, i) => Seq.fill(i + 1)(s) }
+      .toDF("state")
+  }
+
+  test("dictionary is sorted and ids round-trip") {
+    val idx = AttributeIndex.build(spark, statesDf, 0,
+      AttributeSpec("state", ConstantSimilarity, BetaParams(1.0, 1.0)))
+    assert(idx.values.toSeq == states.sorted)
+    states.foreach { s => assert(idx.values(idx.idOf(s)) == s) }
+    assert(idx.idOf("Nowhere") == MissingValue)
+    assert(idx.idOf(null) == MissingValue)
+  }
+
+  test("empirical distribution matches counts") {
+    val idx = AttributeIndex.build(spark, statesDf, 0,
+      AttributeSpec("state", ConstantSimilarity, BetaParams(1.0, 1.0)))
+    val total = (1 to states.length).sum.toDouble
+    states.zipWithIndex.foreach { case (s, i) =>
+      assert(math.abs(idx.probs(idx.idOf(s)) - (i + 1) / total) < 1e-12)
+    }
+    assert(math.abs(idx.probs.sum - 1.0) < 1e-9)
+  }
+
+  test("constant similarity: no neighbors, unit norms") {
+    val idx = AttributeIndex.build(spark, statesDf, 0,
+      AttributeSpec("state", ConstantSimilarity, BetaParams(1.0, 1.0)))
+    assert(idx.neighbors.forall(_.isEmpty))
+    assert(idx.simNorms.forall(z => math.abs(z - 1.0) < 1e-12))
+    assert(idx.expSim(0, 1) == 1.0)
+    assert(idx.expSim(2, 2) == 1.0) // exp(0)
+  }
+
+  test("levenshtein neighbors match brute force") {
+    val fn = LevenshteinSimilarity(5.0, 10.0)
+    val idx = AttributeIndex.build(spark, statesDf, 0,
+      AttributeSpec("state", fn, BetaParams(1.0, 1.0)))
+    // brute-force all pairs
+    for (i <- states.indices; j <- states.indices if i != j) {
+      val a = idx.values(i)
+      val b = idx.values(j)
+      val s = fn.sim(a, b)
+      val inNbr = idx.neighbors(i).contains(j)
+      assert(inNbr == (s > 0.0), s"pair ($a, $b) sim=$s")
+      if (inNbr) {
+        assert(math.abs(idx.expSim(i, j) - math.exp(s)) < 1e-9)
+      } else {
+        assert(idx.expSim(i, j) == 1.0)
+      }
+    }
+    // self-similarity is exp(maxSim)
+    assert(math.abs(idx.expSim(3, 3) - math.exp(10.0)) < 1e-6)
+  }
+
+  test("simNorm equals direct sum over the domain") {
+    val fn = LevenshteinSimilarity(5.0, 10.0)
+    val idx = AttributeIndex.build(spark, statesDf, 0,
+      AttributeSpec("state", fn, BetaParams(1.0, 1.0)))
+    for (v <- states.indices) {
+      val direct = states.indices.map { w =>
+        idx.probs(w) * math.exp(fn.sim(idx.values(v), idx.values(w)))
+      }.sum
+      assert(math.abs(idx.simNorms(v) - direct) < 1e-9, s"value $v")
+    }
+  }
+
+  test("distortion density sums to one given any entity value") {
+    val fn = LevenshteinSimilarity(5.0, 10.0)
+    val idx = AttributeIndex.build(spark, statesDf, 0,
+      AttributeSpec("state", fn, BetaParams(1.0, 1.0)))
+    for (y <- states.indices) {
+      val total = states.indices.map(x => idx.distortionProb(x, y)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"y=$y total=$total")
+    }
+  }
+
+  test("powered totals match direct computation") {
+    val fn = LevenshteinSimilarity(5.0, 10.0)
+    val idx = AttributeIndex.build(spark, statesDf, 0,
+      AttributeSpec("state", fn, BetaParams(1.0, 1.0)))
+    for (k <- 0 to 3) {
+      val direct = states.indices.map { v =>
+        idx.probs(v) * math.pow(idx.simNorms(v), -k)
+      }.sum
+      assert(math.abs(idx.poweredTotal(k) - direct) < 1e-9, s"k=$k")
+    }
+  }
+
+  test("ModelIndex collects file statistics") {
+    import spark.implicits._
+    val df = Seq(
+      ("r1", "A", "x", "p"), ("r2", "A", "y", null), ("r3", "B", "x", "q"))
+      .toDF("id", "file", "c1", "c2")
+    val specs = Seq(
+      AttributeSpec("c1", ConstantSimilarity, BetaParams(1.0, 1.0)),
+      AttributeSpec("c2", ConstantSimilarity, BetaParams(1.0, 1.0)))
+    val mi = ModelIndex.build(spark, df, "file", specs)
+    assert(mi.numRecords == 3)
+    assert(mi.fileSizes == Map("A" -> 2L, "B" -> 1L))
+    assert(mi.observedCounts((0, "A")) == 2L)
+    assert(mi.observedCounts((1, "A")) == 1L)
+    assert(mi.observedCounts((1, "B")) == 1L)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.er
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.{ConstantSimilarity, LevenshteinSimilarity}
+import graft.er.model._
+
+/** End-to-end MCMC run on synthetic RLdata-shaped data (generated here, no
+  * external fixtures): ~10% duplicated entities with character-level
+  * distortions; asserts chain shape, diagnostics sanity, SMPC
+  * non-degeneracy, and a pairwise-F1 floor against ground truth. */
+class EREndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val firstNames = Vector("ANNA", "BERND", "CARSTEN", "DORIS", "ERWIN",
+    "FRIEDA", "GERD", "HELGA", "INGO", "JUTTA", "KLAUS", "LENA", "MARTIN",
+    "NADJA", "OTTO", "PETRA", "RAINER", "SABINE", "THOMAS", "UTE")
+  private val lastNames = Vector("MUELLER", "SCHMIDT", "SCHNEIDER", "FISCHER",
+    "WEBER", "MEYER", "WAGNER", "BECKER", "SCHULZ", "HOFFMANN")
+
+  /** Distort a name: substitute one character (seeded). */
+  private def distort(s: String, rng: java.util.SplittableRandom): String = {
+    if (s.isEmpty) s
+    else {
+      val i = rng.nextInt(s.length)
+      val c = ('A' + rng.nextInt(26)).toChar
+      s.updated(i, c)
+    }
+  }
+
+  test("sampler recovers duplicate structure on synthetic data") {
+    import spark.implicits._
+    // RLdata-shaped synthetic data: 5 matching attributes (2 names under
+    // Levenshtein similarity, 3 categorical dates), ~20% duplicated
+    // entities, each duplicate distorted in at most one attribute —
+    // matching the reference's canonical workload difficulty (BASELINE.md).
+    val rng = new java.util.SplittableRandom(271828L)
+    val nEntities = 80
+    val rows = (0 until nEntities).flatMap { e =>
+      val fn = firstNames(rng.nextInt(firstNames.length))
+      val ln = lastNames(rng.nextInt(lastNames.length))
+      val by = (1940 + rng.nextInt(60)).toString
+      val bm = (1 + rng.nextInt(12)).toString
+      val bd = (1 + rng.nextInt(28)).toString
+      val base = (s"rec-$e-0", e.toString, fn, ln, by, bm, bd)
+      if (rng.nextInt(4) == 0) {
+        val dup = rng.nextInt(5) match {
+          case 0 => (s"rec-$e-1", e.toString, distort(fn, rng), ln, by, bm, bd)
+          case 1 => (s"rec-$e-1", e.toString, fn, distort(ln, rng), by, bm, bd)
+          case _ => (s"rec-$e-1", e.toString, fn, ln, by, bm, bd)
+        }
+        Seq(base, dup)
+      } else Seq(base)
+    }
+    val df = rows.toDF("rec_id", "ent_id", "fname", "lname", "by", "bm", "bd")
+
+    val prior = BetaParams(0.5, 50.0)
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("lname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("by", ConstantSimilarity, prior),
+      AttributeSpec("bm", ConstantSimilarity, prior),
+      AttributeSpec("bd", ConstantSimilarity, prior))
+
+    val init = ERState.initialize(spark, df, "rec_id", None, specs,
+      _ => SinglePartition, seed = 42L)
+
+    assert(init.summary.numObservedEntities == rows.length)
+    assert(init.summary.aggDistortions.isEmpty) // init has no distortions
+
+    val result = Sampler.run(init, numSweeps = 100, burnIn = 40, thin = 6)
+    val chain = result.chain.get.cache()
+
+    // chain shape: 10 recorded samples, every record in every sample
+    val iterations = chain.select("iteration").distinct().count()
+    assert(iterations == 10L, s"iterations=$iterations")
+    val perIter = Analysis.partitionSizes(chain)
+      .groupBy("iteration").sum("numRecords")
+      .collect().map(_.getLong(1)).toSet
+    assert(perIter == Set(rows.length.toLong))
+
+    // diagnostics recorded, log-likelihood finite
+    assert(result.diagnostics.size == 10)
+    assert(result.diagnostics.forall(d => !d.logLikelihood.isNaN &&
+      !d.logLikelihood.isInfinite))
+
+    // SMPC: non-degenerate (more than one cluster, fewer than #records
+    // since duplicates should merge)
+    val smpc = Analysis.sharedMostProbableClusters(chain).cache()
+    val nClusters = smpc.count()
+    assert(nClusters > 1 && nClusters < rows.length, s"nClusters=$nClusters")
+
+    // pairwise F1 against ground truth
+    val pred = Analysis.membershipFromClusters(smpc.select("records"), "records")
+    val truth = df.select($"rec_id".as("recordId"), $"ent_id".as("clusterId"))
+    val m = Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId").head()
+    val (precision, recall, f1) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    info(s"precision=$precision recall=$recall f1=$f1")
+    assert(f1 > 0.65, s"f1=$f1 too low — sampler failed to link duplicates")
+
+    // determinism: same seed → identical first-step summary
+    val init2 = ERState.initialize(spark, df, "rec_id", None, specs,
+      _ => SinglePartition, seed = 42L)
+    val s1 = init.step().summary
+    val s2 = init2.step().summary
+    assert(s1 == s2, "one-step summaries differ under identical seeds")
+  }
+
+  test("multi-partition run keeps all records and stays consistent") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(314159L)
+    val rows = (0 until 60).map { e =>
+      (s"r$e", firstNames(rng.nextInt(firstNames.length)),
+        lastNames(rng.nextInt(lastNames.length)))
+    }
+    val df = rows.toDF("rec_id", "fname", "lname")
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+      AttributeSpec("lname", ConstantSimilarity, BetaParams(0.5, 50.0)))
+
+    val init = ERState.initialize(spark, df, "rec_id", None, specs,
+      idx => KDTreePartitioner.fit(idx, Seq(0), 2), seed = 7L)
+    assert(init.partitioner.numPartitions == 4)
+
+    val after = (1 to 5).foldLeft(init)((s, _) => s.step())
+    val sample = after.linkageSample().collect()
+    val allIds = sample.flatMap(_.linkageStructure.flatten).sorted
+    assert(allIds.toSeq == rows.map(_._1).sorted)
+    // partition ids within range
+    assert(sample.forall(s => s.partitionId >= 0 && s.partitionId < 4))
+  }
+}
