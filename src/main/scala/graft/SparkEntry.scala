@@ -16,10 +16,14 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.Clustering.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.Clustering.oracles ++
+      graft.queries.Pipeline.oracles
 }

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard — all expressed as declarative
+  * DataFrame pipelines (hash → band → bucket-join), so the only shuffles
+  * are the band-bucket groupBys/joins and everything stays in whole-stage
+  * codegen (no Python, no RDDs).
+  */
+object Dedup {
+
+  /** Exact duplicates: md5 over the raw text, one hash-aggregation. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("docId"), md5(col(textCol).cast("binary")).as("hash"))
+      .groupBy(col("hash"))
+      .agg(sort_array(collect_list(col("docId"))).as("docIds"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+
+  /** Whitespace word tokens, lowercased. */
+  def tokens(textCol: Column): Column =
+    split(lower(trim(textCol)), "\\s+")
+
+  /** Word k-shingles as strings ("a b c" for k=3). Documents shorter than
+    * k words yield their full token string as the single shingle. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = tokens(textCol)
+    array_distinct(when(size(toks) <= k, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the shingle set. Computed columnar — one
+    * projection, no explode, no shuffle. */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH banding: docs sharing any (bandIndex, bandHash) bucket are
+    * candidate near-duplicates. bands × rowsPerBand must equal the
+    * signature length. Returns (docId, band, bandHash). */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minHashSignature(shingles(col(textCol), shingleSize),
+      bands * rowsPerBand)
+    docs.select(col(idCol).as("docId"), sig.as("sig"))
+      .select(col("docId"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b,
+            array_join(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandHash")
+  }
+
+  /** Candidate pairs from LSH buckets (distinct, canonicalized a < b).
+    * The self-join shuffles once on the bucket key; bucket skew is bounded
+    * because identical signatures collapse to identical hashes. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val l = b.toDF("a", "band", "bandHash")
+    val r = b.toDF("b", "band", "bandHash")
+    l.join(r, Seq("band", "bandHash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact Jaccard similarity on word-shingle sets for given id pairs —
+    * the verification stage after LSH candidate generation. */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("docId"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.toDF("a", "shA"), "a")
+      .join(sh.toDF("b", "shB"), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs above a Jaccard threshold. */
+  def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleSize: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+    verifyJaccard(docs, cands, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, the sign of the sum of
+    * token-hash bits. Pure column expressions (64 conditional sums over
+    * the token array — stays in codegen; no UDF). */
+  def simHash(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until 64).map { b =>
+      // sum of (bit set ? 1 : -1) over tokens, then sign → bit b
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate candidates: block on the four 16-bit chunks
+    * (any pair within Hamming distance 3 shares at least one chunk —
+    * pigeonhole), then verify the full distance. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("docId"), simHash(col(textCol)).as("sig"))
+    val chunks = sigs.select(col("docId"), col("sig"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("docId", "sig", "chunk", "chunkVal")
+    val l = chunks.toDF("a", "sigA", "chunk", "chunkVal")
+    val r = chunks.toDF("b", "sigB", "chunk", "chunkVal")
+    l.join(r, Seq("chunk", "chunkVal"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        hammingDistance(col("sigA"), col("sigB")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard similarity between given id pairs. */
+  def charNgramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val g2 = docs.select(col(idCol).as("docId"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+        i => col(textCol).substr(i, lit(n)))).as("g"))
+    pairs
+      .join(g2.toDF("a", "gA"), "a")
+      .join(g2.toDF("b", "gB"), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("gA"), col("gB"))).cast("double") /
+          size(array_union(col("gA"), col("gB")))).as("jaccard"))
+  }
+}

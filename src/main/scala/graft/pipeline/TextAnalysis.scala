@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, n-gram/stopword language identification, and document
+  * fingerprinting. All column expressions (codegen-friendly, no UDFs) so
+  * they fuse into one projection over the scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column =
+    when(length(trim(textCol)) === 0, 0)
+      .otherwise(size(split(trim(textCol), "\\s+")))
+
+  /** BPE-ish subword count estimate: words plus extra units for long words
+    * (a word of length L contributes ceil(L/4) units, mimicking byte-pair
+    * segment density without a vocabulary). */
+  def subwordCountEstimate(textCol: Column): Column =
+    when(length(trim(textCol)) === 0, 0)
+      .otherwise(aggregate(split(trim(textCol), "\\s+"), lit(0),
+        (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")))
+
+  /** Punctuation character count. */
+  def punctCount(textCol: Column): Column =
+    length(textCol) - length(regexp_replace(textCol, "[\\.,;:!\\?]", ""))
+
+  /** Mean word length. */
+  def meanWordLength(textCol: Column): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0), (acc, w) => acc + length(w))
+        .cast("double") / size(toks))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "in", "den", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "en", "por"))
+
+  /** Fraction of tokens that are stopwords of the given language. */
+  def stopwordRatio(textCol: Column, lang: String = "en"): Column = {
+    val toks = Dedup.tokens(textCol)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_intersect(toks,
+        array(stopwords(lang).map(lit): _*))).cast("double") / size(toks))
+    // note: array_intersect dedups — ratio of *distinct* stopword hits;
+    // cheap and monotone in true stopword density
+  }
+
+  /** Heuristic quality score in [0,1]: combines length adequacy, moderate
+    * punctuation, word-length plausibility, and stopword presence. */
+  def qualityScore(textCol: Column): Column = {
+    val lenScore = least(length(textCol).cast("double") / 200.0, lit(1.0))
+    val punctRatio = punctCount(textCol).cast("double") /
+      greatest(length(textCol), lit(1))
+    val punctScore = lit(1.0) - least(punctRatio * 10.0, lit(1.0))
+    val mwl = meanWordLength(textCol)
+    val wordScore = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio(textCol) * 5.0, lit(1.0))
+    round((lenScore + punctScore + wordScore + stopScore) / 4.0, 4)
+  }
+
+  /** Language identification by stopword-hit ratio across the built-in
+    * lexicons; returns the best language code or "und" when nothing hits. */
+  def detectLanguage(textCol: Column): Column = {
+    val toks = Dedup.tokens(textCol)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(langCode).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Order-insensitive content fingerprint: xxhash64 over the sorted
+    * distinct token set — robust to shuffling/duplication, cheap to
+    * compare across a corpus. */
+  def contentFingerprint(textCol: Column): Column =
+    xxhash64(array_join(array_sort(array_distinct(Dedup.tokens(textCol))), " "))
+
+  /** Rolling-hash (winnowing-style) fingerprint set: hashes of word
+    * 4-grams, keeping each window's minimum — a compact sketch for
+    * containment/overlap detection. */
+  def winnowedFingerprints(textCol: Column, k: Int = 4, window: Int = 5): Column = {
+    val sh = Dedup.shingles(textCol, k)
+    val hashes = transform(sh, s => xxhash64(s))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hashes) - window, lit(0))),
+      i => array_min(slice(hashes, i + lit(1), lit(window)))))
+  }
+
+  /** One-call document profile used by the pipeline queries. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_computed"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordCountEstimate(col(textCol)).as("n_subwords"),
+      round(meanWordLength(col(textCol)), 4).as("mean_word_len"),
+      punctCount(col(textCol)).as("n_punct"),
+      qualityScore(col(textCol)).as("quality"),
+      detectLanguage(col(textCol)).as("lang_pred"),
+      contentFingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (array<float>), for training-data similarity search and
+  * embedding-based near-dedup.
+  *
+  * Brute-force cosine top-k is the exact baseline: one broadcast join of
+  * the (small) query set against the corpus, dot products as zip_with +
+  * aggregate column expressions (codegen), top-k as one hash aggregation
+  * per query (max-k via window over a pre-filtered candidate set).
+  * The scale path is random-hyperplane LSH: 16-bit sign sketches, bucket
+  * join, verify — corpus never self-joins unblocked.
+  */
+object VectorOps {
+
+  /** Dot product of two float-array columns (promoted to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * queries must be small enough to broadcast (it is hint-broadcast);
+    * the corpus is scanned once. Ties broken by corpus id for
+    * determinism; self-matches excluded when ids collide.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH sketch: `bits` sign bits from deterministic
+    * pseudo-random hyperplanes (hyperplane component h_{b,i} derived from
+    * xxhash64(b, i), mapped to [-1, 1]). Same-bucket vectors are
+    * candidates; Hamming-close buckets can be probed by re-running with a
+    * different seed band. */
+  def hyperplaneSketch(vecCol: Column, bits: Int, seed: Int = 0): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vecCol,
+          transform(sequence(lit(0), size(vecCol) - 1),
+            i => (pmod(xxhash64(lit(seed), lit(b), i), lit(2000000L)).cast("double") -
+              1000000.0) / 1000000.0),
+          (x, h) => x * h),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH: bucket on the sketch, verify cosine within buckets.
+    * Recall improves with more probe seeds (union of bucketings). */
+  def lshNeighborPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 12, minCosine: Double = 0.8, probes: Int = 2): DataFrame = {
+    val sketches = (0 until probes).map { seed =>
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        hyperplaneSketch(col(vecCol), bits, seed).as("bucket"),
+        lit(seed).as("probe"))
+    }.reduce(_ unionAll _)
+    val l = sketches.toDF("a", "va", "bucket", "probe")
+    val r = sketches.toDF("b", "vb", "bucket", "probe")
+    l.join(r, Seq("probe", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+  }
+}

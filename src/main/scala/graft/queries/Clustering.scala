@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.{ConstantSimilarity, LevenshteinSimilarity}
+import graft.er.{Analysis, ERState, Sampler, SinglePartition}
+import graft.er.model._
+
+/** Clustering-evaluation and posterior-summary operators (SURVEY §2:
+  * A2-A10, J1/J2, G1/G2, F4/F9) exercised through the graft.er.Analysis
+  * library against memberships derived from the TPC-H-ish tables, so the
+  * DuckDB oracle can check the exact math. Plus the end-to-end MCMC
+  * pipeline as a bounded-size rows-only query.
+  */
+object Clustering {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Two deterministic synthetic clusterings of orders (coarse/fine). */
+  private def memberships(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+    val pred = o.select(col("o_orderkey").as("recordId"),
+      (col("o_custkey") % 500).as("clusterId"))
+    val truth = o.select(col("o_orderkey").as("recordId"),
+      (col("o_custkey") % 997).as("clusterId"))
+    (pred, truth)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2+A8: contingency table of two clusterings.
+    "q_contingency_table" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pred = o.select(col("o_orderkey").as("recordId"),
+        (col("o_custkey") % 20).as("clusterId"))
+      val truth = o.select(col("o_orderkey").as("recordId"),
+        (col("o_custkey") % 7).as("clusterId"))
+      Analysis.contingencyTable(pred, truth, "recordId", "clusterId")
+        .orderBy("predId", "trueId")
+    }),
+
+    // J1-equivalent pairwise metrics via contingency sums (A9/A10/F4).
+    "q_pairwise_metrics" -> ((s, dir) => {
+      val (pred, truth) = memberships(s, dir)
+      Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId")
+    }),
+
+    // A9: adjusted Rand index.
+    "q_adjusted_rand_index" -> ((s, dir) => {
+      val (pred, truth) = memberships(s, dir)
+      Analysis.adjustedRandIndex(pred, truth, "recordId", "clusterId")
+    }),
+
+    // A2/A3-shape: per-key modal category via one hash agg (max_by), then
+    // regroup — the SMPC dataflow shape on relational data.
+    "q_modal_assignment" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("modal_type"),
+          col("m.n").as("n"))
+        .groupBy(col("modal_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("modal_type")
+    }),
+
+    // A13 via the library: exact-match dedup baseline, size histogram.
+    "q_exact_match_baseline" -> ((s, dir) => {
+      Analysis.exactMatchClusters(t(s, dir, "part"), "p_partkey",
+        Seq("p_brand", "p_type", "p_size"))
+        .select(size(col("cluster")).as("clust_size"))
+        .groupBy(col("clust_size")).agg(count(lit(1)).as("n"))
+        .orderBy("clust_size")
+    }),
+
+    // G4/A13 via the library: near-match (all-but-one column) groups.
+    "q_near_match_baseline" -> ((s, dir) => {
+      val near = Analysis.nearMatchMembership(t(s, dir, "part"), "p_partkey",
+        Seq("p_brand", "p_type", "p_size"), slack = 1)
+      near.groupBy(col("clusterId")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("n") >= 5, 1)).as("n_big_groups"))
+    }),
+
+    // End-to-end Bayesian ER (rows-only: MCMC is not SQL-expressible).
+    // Bounded input (300 base records + 60 planted distorted duplicates)
+    // so the cost is scale-factor-independent; output is the pairwise
+    // metrics against the planted ground truth.
+    "q_er_pipeline" -> ((s, dir) => erPipeline(s, dir))
+  )
+
+  private def erPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .orderBy(col("c_custkey")).limit(300)
+      .select(col("c_custkey").cast("string").as("rid"),
+        upper(substring(col("c_name"), -8, 8)).as("name"),
+        col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"))
+
+    // plant duplicates: every 5th record, with the name's 3rd character
+    // cycled — a deterministic single-field distortion
+    val dups = base.filter(col("rid").cast("long") % 5 === 0)
+      .select(concat(col("rid"), lit("-dup")).as("rid"),
+        concat(substring(col("name"), 1, 2), lit("X"),
+          substring(col("name"), 4, 100)).as("name"),
+        col("nation"), col("segment"))
+    val records = base.unionAll(dups)
+
+    val prior = BetaParams(0.5, 50.0)
+    val specs = Seq(
+      AttributeSpec("name", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("nation", ConstantSimilarity, prior),
+      AttributeSpec("segment", ConstantSimilarity, prior))
+
+    val init = ERState.initialize(s, records, "rid", None, specs,
+      _ => SinglePartition, seed = 42L)
+    val result = Sampler.run(init, numSweeps = 30, burnIn = 10, thin = 4)
+
+    val smpc = Analysis.sharedMostProbableClusters(result.chain.get)
+    val pred = Analysis.membershipFromClusters(smpc.select("records"), "records")
+    // planted truth: rid with and without the "-dup" suffix share an entity
+    val truth = records.select(col("rid").as("recordId"),
+      regexp_replace(col("rid"), "-dup$", "").as("clusterId"))
+    Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_contingency_table" ->
+      """SELECT o_custkey % 20 AS predId, o_custkey % 7 AS trueId,
+        |  count(*) AS n
+        |FROM orders GROUP BY predId, trueId ORDER BY predId, trueId""".stripMargin,
+
+    "q_pairwise_metrics" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey % 500 AS p,
+        |             o_custkey % 997 AS t FROM orders),
+        |cell AS (SELECT sum(n*(n-1)/2.0) AS tp FROM
+        |  (SELECT p, t, count(*) AS n FROM m GROUP BY p, t)),
+        |pp AS (SELECT sum(n*(n-1)/2.0) AS pred_pairs FROM
+        |  (SELECT p, count(*) AS n FROM m GROUP BY p)),
+        |tt AS (SELECT sum(n*(n-1)/2.0) AS true_pairs FROM
+        |  (SELECT t, count(*) AS n FROM m GROUP BY t))
+        |SELECT round(tp / pred_pairs, 6) AS precision,
+        |  round(tp / true_pairs, 6) AS recall,
+        |  round(2.0 * tp / (pred_pairs + true_pairs), 6) AS f1
+        |FROM cell, pp, tt""".stripMargin,
+
+    "q_adjusted_rand_index" ->
+      """WITH m AS (SELECT o_orderkey, o_custkey % 500 AS p,
+        |             o_custkey % 997 AS t FROM orders),
+        |cell AS (SELECT sum(n*(n-1)/2.0) AS sum_cell FROM
+        |  (SELECT p, t, count(*) AS n FROM m GROUP BY p, t)),
+        |rs AS (SELECT sum(n*(n-1)/2.0) AS sum_row FROM
+        |  (SELECT p, count(*) AS n FROM m GROUP BY p)),
+        |cs AS (SELECT sum(n*(n-1)/2.0) AS sum_col FROM
+        |  (SELECT t, count(*) AS n FROM m GROUP BY t)),
+        |tot AS (SELECT count(*)*(count(*)-1)/2.0 AS total FROM m)
+        |SELECT round((sum_cell - sum_row*sum_col/total) /
+        |  ((sum_row + sum_col)/2.0 - sum_row*sum_col/total), 6) AS ari
+        |FROM cell, rs, cs, tot""".stripMargin,
+
+    "q_modal_assignment" ->
+      """SELECT modal_type, count(*) AS n_users FROM (
+        |  SELECT user_id, event_type AS modal_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type DESC) AS rn
+        |  FROM (SELECT user_id, event_type, count(*) AS n FROM events
+        |        GROUP BY user_id, event_type))
+        |WHERE rn = 1 GROUP BY modal_type ORDER BY modal_type""".stripMargin,
+
+    "q_exact_match_baseline" ->
+      """SELECT clust_size, count(*) AS n FROM (
+        |  SELECT count(*) AS clust_size FROM part
+        |  GROUP BY p_brand, p_type, p_size)
+        |GROUP BY clust_size ORDER BY clust_size""".stripMargin,
+
+    "q_near_match_baseline" ->
+      """WITH near AS (
+        |  SELECT p_partkey, '0' || chr(1) || coalesce(CAST(p_brand AS VARCHAR), ' ')
+        |    || chr(1) || coalesce(CAST(p_type AS VARCHAR), ' ') AS key FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, '1' || chr(1) || coalesce(CAST(p_brand AS VARCHAR), ' ')
+        |    || chr(1) || coalesce(CAST(p_size AS VARCHAR), ' ') FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, '2' || chr(1) || coalesce(CAST(p_type AS VARCHAR), ' ')
+        |    || chr(1) || coalesce(CAST(p_size AS VARCHAR), ' ') FROM part),
+        |groups AS (SELECT key, count(*) AS n FROM near GROUP BY key
+        |           HAVING count(*) >= 2)
+        |SELECT count(*) AS n_groups,
+        |  count(CASE WHEN n >= 5 THEN 1 END) AS n_big_groups
+        |FROM groups""".stripMargin
+  )
+}

@@ -295,6 +295,28 @@ object Relational {
         .groupBy(col("key")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
         .orderBy("key")
+    }),
+
+    // Batch time-window aggregation over the events table (the streaming
+    // table's batch surface; event-time bucketing via date_trunc).
+    "q_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Analytic window: per-user previous-event delta (lag) + running sum.
+    "q_events_user_deltas" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running"),
+          row_number().over(w).as("seq"))
+        .orderBy("user_id", "seq")
     })
   )
 
@@ -468,6 +490,22 @@ object Relational {
       """SELECT key, count(*) AS n FROM (
         |  SELECT concat_ws('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS key
         |  FROM part)
-        |GROUP BY key HAVING count(*) >= 2 ORDER BY key""".stripMargin
+        |GROUP BY key HAVING count(*) >= 2 ORDER BY key""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_user_deltas" ->
+      """SELECT user_id, event_id,
+        |  round(value - lag(value, 1) OVER w, 2) AS delta,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+        |  row_number() OVER w AS seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, seq""".stripMargin
   )
 }

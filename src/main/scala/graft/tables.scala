@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -13,6 +15,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects:
+    // read nanos as long, then truncate to microsecond timestamps (the
+    // same truncation DuckDB applies, keeping oracle parity).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // integral `div`, not `/`: nano ticks exceed double's 53-bit mantissa
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines and data"),
+    (4L, "the quick brown fox jumps over the lazy dog"))   // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact duplicate groups") {
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+      .select("docIds").as[Seq[Long]].collect()
+    assert(groups.toSeq == Seq(Seq(1L, 4L)))
+  }
+
+  test("shingles and jaccard") {
+    val j = Dedup.charNgramJaccard(docs,
+      Seq((1L, 4L), (1L, 3L)).toDF("a", "b"), "doc_id", "text")
+      .orderBy("b").as[(Long, Long, Double)].collect()
+    assert(j(1)._3 == 1.0)      // identical texts → jaccard 1 (pair (1,4))
+    assert(j(0)._3 < 0.3)       // unrelated texts (pair (1,3))
+  }
+
+  test("minhash LSH finds near-duplicates and skips unrelated") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      threshold = 0.5).as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 4L)))  // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs distance 0, similar small, unrelated large") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("token, punct and word-length stats") {
+    val r = Seq((1L, "Hello, world! This is a test."))
+      .toDF("doc_id", "text")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("t"),
+        TextAnalysis.punctCount(col("text")).as("p"),
+        round(TextAnalysis.meanWordLength(col("text")), 3).as("m"))
+      .head()
+    assert(r.getInt(0) == 6)
+    assert(r.getInt(1) == 3) // ',' + '!' + '.'
+    val empty = Seq((1L, "   ")).toDF("doc_id", "text")
+      .select(TextAnalysis.tokenCount(col("text"))).head()
+    assert(empty.getInt(0) == 0)
+  }
+
+  test("language identification picks the stopword-dominant language") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist in den garten und die katze"),
+      (3L, "xyzzy qwerty asdf"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.detectLanguage(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(df(1L) == "en")
+    assert(df(2L) == "de")
+    assert(df(3L) == "und")
+  }
+
+  test("content fingerprint is token-order invariant") {
+    val fp = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("cosine and brute-force top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = vecs.filter(col("vec_id") === 0)
+      .select(VectorOps.cosine(col("embedding"), col("embedding"))).head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+
+    val topk = VectorOps.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .select("rank", "cid").as[(Int, Long)].collect().toMap
+    assert(topk(1) == 1L) // closest is the 0.9/0.1 vector
+  }
+
+  test("hyperplane sketch: scale-invariant, deterministic") {
+    val vecs = Seq(
+      (0L, Array(0.3f, -1.2f, 0.7f, 2.0f)),
+      (1L, Array(0.6f, -2.4f, 1.4f, 4.0f)), // same direction, 2x scale
+      (2L, Array(-0.3f, 1.2f, -0.7f, -2.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val sk = vecs.select(col("vec_id"),
+      VectorOps.hyperplaneSketch(col("embedding"), 16).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sk(0L) == sk(1L))
+    assert(sk(0L) != sk(2L))
+  }
+
+  test("multimodal plumbing: features, frames, resize") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      docs.withColumnRenamed("doc_id", "doc_id")
+        .select(col("doc_id"), col("text")))
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 4)
+    val f1 = feats.find(_.mediaId == 1L).get
+    val f4 = feats.find(_.mediaId == 4L).get
+    assert(f1.byteLen == "the quick brown fox jumps over the lazy dog".length)
+    assert(f1.checksum == f4.checksum)       // identical payloads
+    assert(f1.features.toSeq == f4.features.toSeq)
+    assert(f1.features.length == 8)
+
+    val frames = Multimodal.sampleFrames(media, n = 4).collect()
+    assert(frames.count(_.mediaId == 1L) == 4)
+
+    val resized = Multimodal.resizePayload(media, 16).collect()
+    assert(resized.forall(_.payload.length == 16))
+  }
+}
