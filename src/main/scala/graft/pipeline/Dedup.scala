@@ -33,12 +33,24 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. Computed columnar — one
-    * projection, no explode, no shuffle. */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** Remix of a base hash under seed i — the i-th "permutation" for
+    * MinHash from a single string-hash pass. xxhash64 over the 8-byte
+    * long is native + codegen'd and gives independent functions per seed
+    * (xor/shift schemes are GF(2)-linear → correlated bands; long
+    * multiplication trips ANSI overflow checks). */
+  private def remix(h: Column, i: Int): Column = xxhash64(lit(i), h)
+
+  /** MinHash signature from a precomputed shingle-hash array: for each of
+    * `numHashes` derived hash functions, the minimum remixed hash.
+    *
+    * The expensive part (string hashing of every shingle) happens ONCE in
+    * the input column; each signature slot is one cheap long-arithmetic
+    * pass. Inlining the shingle expression here instead would recompute
+    * the string work `numHashes` times per row — measured 16x slower at
+    * sf0.1. */
+  def minHashSignature(shingleHashCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+      array_min(transform(shingleHashCol, h => remix(h, i)))
     }: _*)
 
   /** LSH banding: docs sharing any (bandIndex, bandHash) bucket are
@@ -46,9 +58,12 @@ object Dedup {
     * signature length. Returns (docId, band, bandHash). */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minHashSignature(shingles(col(textCol), shingleSize),
-      bands * rowsPerBand)
-    docs.select(col(idCol).as("docId"), sig.as("sig"))
+    docs
+      .select(col(idCol).as("docId"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("docId"), transform(col("sh"), s => xxhash64(s)).as("shHash"))
+      .select(col("docId"),
+        minHashSignature(col("shHash"), bands * rowsPerBand).as("sig"))
       .select(col("docId"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b,
@@ -93,21 +108,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over word tokens: per bit, the sign of the sum of
-    * token-hash bits. Pure column expressions (64 conditional sums over
-    * the token array — stays in codegen; no UDF). */
-  def simHash(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    val hashes = transform(toks, t => xxhash64(t))
+  /** 64-bit SimHash from a precomputed token-hash array column: per bit,
+    * the sign of the sum of token-hash bits. Pure column expressions (64
+    * conditional sums — stays in codegen; no UDF). Feed it a materialized
+    * hash column (see `simHashes`) so tokenization isn't redone 64 times. */
+  def simHashFromHashes(hashesCol: Column): Column = {
     val bitCols = (0 until 64).map { b =>
       // sum of (bit set ? 1 : -1) over tokens, then sign → bit b
-      val bitSum = aggregate(hashes, lit(0),
+      val bitSum = aggregate(hashesCol, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1))
       when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** (id, simhash) for every document — tokenize+hash once, then fold. */
+  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("docId"),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .select(col("docId"), simHashFromHashes(col("th")).as("sig"))
+
+  /** Convenience single-column form (used in tests/ad-hoc queries). */
+  def simHash(textCol: Column): Column =
+    simHashFromHashes(transform(tokens(textCol), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -118,7 +142,7 @@ object Dedup {
     * pigeonhole), then verify the full distance. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("docId"), simHash(col(textCol)).as("sig"))
+    val sigs = simHashes(docs, idCol, textCol)
     val chunks = sigs.select(col("docId"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
