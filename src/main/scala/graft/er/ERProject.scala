@@ -1,0 +1,154 @@
+package graft.er
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SimilarityFn
+import graft.er.model._
+
+/** Job-spec surface (reference S6 + ProjectSteps): a JSON config names the
+  * data, attributes, priors, partitioner, sampler flags and steps; the
+  * project compiles that into the sample → summarize → evaluate pipeline.
+  * (JSON via Spark's bundled Jackson instead of the reference's HOCON —
+  * same fields, dependency-free.)
+  */
+object ERProject {
+
+  final case class AttributeConf(
+      name: String,
+      similarity: String = "constant",     // "constant" | "levenshtein"
+      threshold: Double = 7.0,
+      maxSimilarity: Double = 10.0,
+      alpha: Double = 0.5,
+      beta: Double = 50.0)
+
+  final case class Conf(
+      dataPath: String,
+      idColumn: String,
+      fileIdColumn: Option[String] = None,
+      entityIdColumn: Option[String] = None, // ground truth, evaluation only
+      nullValue: String = "NA",
+      attributes: Seq[AttributeConf] = Nil,
+      partitioner: String = "single",      // "single" | "kdtree"
+      numLevels: Int = 0,
+      splitAttributes: Seq[String] = Nil,
+      seed: Long = 42L,
+      collapsedAssignment: Boolean = false,
+      sweeps: Int = 100,
+      burnIn: Int = 0,
+      thin: Int = 1,
+      resume: Boolean = false,
+      outputPath: String,
+      steps: Seq[String] = Seq("sample", "summarize", "evaluate"))
+
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def parseConf(json: String): Conf = mapper.readValue(json, classOf[Conf])
+
+  def loadConf(path: String): Conf =
+    parseConf(Files.readString(Paths.get(path)))
+
+  def specsOf(conf: Conf): Seq[AttributeSpec] = conf.attributes.map { a =>
+    AttributeSpec(a.name,
+      SimilarityFn.fromName(a.similarity, a.threshold, a.maxSimilarity),
+      BetaParams(a.alpha, a.beta))
+  }
+
+  def partitionerOf(conf: Conf, specs: Seq[AttributeSpec]): ModelIndex => EntityPartitioner =
+    conf.partitioner match {
+      case "single" => _ => SinglePartition
+      case "kdtree" =>
+        val attrIds = conf.splitAttributes.map(n => specs.indexWhere(_.name == n))
+        require(attrIds.forall(_ >= 0), "unknown split attribute")
+        idx => KDTreePartitioner.fit(idx,
+          if (attrIds.nonEmpty) attrIds else specs.indices, conf.numLevels)
+      case other => throw new IllegalArgumentException(s"unknown partitioner: $other")
+    }
+
+  /** Execute the configured steps. Returns the SMPC clusters when the
+    * summarize step ran. */
+  def run(spark: SparkSession, conf: Conf): Option[DataFrame] = {
+    val out = conf.outputPath
+    val specs = specsOf(conf)
+    val records = IO.readRecordsCsv(spark, conf.dataPath, conf.nullValue)
+
+    if (conf.steps.contains("sample")) {
+      val stateDir = s"$out/saved-state"
+      val init =
+        if (conf.resume && Files.exists(Paths.get(s"$stateDir/driver-state.bin")))
+          IO.loadState(spark, stateDir)
+        else
+          ERState.initialize(spark, records, conf.idColumn, conf.fileIdColumn,
+            specs, partitionerOf(conf, specs), conf.seed, conf.collapsedAssignment)
+      val result = Sampler.run(init, conf.sweeps, conf.burnIn, conf.thin,
+        chainPath = Some(s"$out/linkage-chain.parquet"))
+      IO.writeDiagnosticsCsv(result.diagnostics, specs.length,
+        init.index.value.fileSizes.keys.toSeq.sorted, s"$out/diagnostics.csv")
+      IO.saveState(result.state, stateDir)
+    }
+
+    val smpc: Option[DataFrame] =
+      if (conf.steps.contains("summarize") || conf.steps.contains("evaluate")) {
+        val chain = IO.readChain(spark, s"$out/linkage-chain.parquet")
+        val clusters = Analysis.sharedMostProbableClusters(chain)
+        if (conf.steps.contains("summarize")) {
+          IO.writeClustersCsv(clusters.select(col("records")), "records",
+            s"$out/shared-most-probable-clusters.csv")
+          IO.writeClusterSizeDistributionCsv(chain,
+            s"$out/cluster-size-distribution.csv")
+          IO.writePartitionSizesCsv(chain, s"$out/partition-sizes.csv")
+        }
+        Some(clusters)
+      } else None
+
+    if (conf.steps.contains("evaluate")) {
+      conf.entityIdColumn.foreach { entCol =>
+        val truth = records.select(
+          col(conf.idColumn).cast("string").as("recordId"),
+          col(entCol).cast("string").as("clusterId"))
+        val pred = Analysis.membershipFromClusters(
+          smpc.get.select(col("records")), "records")
+        val pw = Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId").head()
+        val ari = Analysis.adjustedRandIndex(pred, truth, "recordId", "clusterId")
+          .head().getDouble(0)
+        val text =
+          f"""Pairwise metrics
+             |  precision: ${pw.getDouble(0)}%.6f
+             |  recall:    ${pw.getDouble(1)}%.6f
+             |  f1:        ${pw.getDouble(2)}%.6f
+             |Cluster metrics
+             |  adjusted-rand-index: $ari%.6f
+             |""".stripMargin
+        Files.createDirectories(Paths.get(out))
+        Files.writeString(Paths.get(s"$out/evaluation-results.txt"), text)
+      }
+    }
+    smpc
+  }
+}
+
+/** CLI entry point: spark-submit --class graft.er.RunER <jar> config.json */
+object RunER {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: RunER <config.json>")
+    val spark = SparkSession.builder()
+      .appName("graft-er")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.maxPlanStringLength", "16384")
+      .getOrCreate()
+    try ERProject.run(spark, ERProject.loadConf(args(0)))
+    finally spark.stop()
+  }
+}

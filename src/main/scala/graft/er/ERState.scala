@@ -106,6 +106,25 @@ final class ERState private (
 
 object ERState {
 
+  /** Reconstruct a state from persisted pieces (IO.loadState — S4 resume).
+    * The chain continues exactly where it stopped: same seed discipline,
+    * same θ, same iteration counter. */
+  def resume(
+      spark: SparkSession,
+      index: ModelIndex,
+      partitioner: EntityPartitioner,
+      clusters: Dataset[EntityCluster],
+      theta: DistortionProbs,
+      iteration: Long,
+      baseSeed: Long,
+      collapsedAssignment: Boolean,
+      summary: SummaryVars): ERState = {
+    val idxB = spark.sparkContext.broadcast(index)
+    new ERState(spark, idxB, partitioner,
+      clusters.persist(StorageLevel.MEMORY_AND_DISK), theta, iteration,
+      baseSeed, collapsedAssignment, summary)
+  }
+
   /** Deterministic initialization (reference K13, State.scala:195-334
     * semantics, simplified to the exact-population case): every record
     * starts as its own singleton entity — entity values copied from the

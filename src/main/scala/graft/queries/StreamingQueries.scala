@@ -1,0 +1,35 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming exercised through the correctness gate: the
+  * windowed-count stream drains the events table with AvailableNow and
+  * its result must hash-match the plain batch SQL — proving event-time
+  * windowing parity between the streaming and batch engines.
+  */
+object StreamingQueries {
+
+  private val runCounter = new AtomicInteger(0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_windowed_counts" -> ((s, dir) => {
+      val name = s"stream_counts_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runWindowedCountsOnce(s, dir, name)
+      q.awaitTermination(300000)
+      s.table(name)
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin)
+}

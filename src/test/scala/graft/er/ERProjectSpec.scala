@@ -1,0 +1,95 @@
+package graft.er
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Config-driven end-to-end project run: CSV in → sample → summarize →
+  * evaluate → resume, exercising every source/sink in SURVEY §2.1. */
+class ERProjectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeFixture(dir: String): Unit = {
+    val rng = new java.util.SplittableRandom(99L)
+    val names = Vector("ANNA", "BERND", "CARSTEN", "DORIS", "ERWIN", "FRIEDA",
+      "GERD", "HELGA", "INGO", "JUTTA")
+    val sb = new StringBuilder("rec_id,ent_id,fname,by\n")
+    (0 until 50).foreach { e =>
+      val fn = names(rng.nextInt(names.length))
+      val by = (1950 + rng.nextInt(30)).toString
+      sb.append(s"r$e-0,$e,$fn,$by\n")
+      if (e % 5 == 0) {
+        val fn2 = fn.updated(rng.nextInt(fn.length), 'X')
+        sb.append(s"r$e-1,$e,$fn2,$by\n")
+      }
+      if (e == 7) sb.append(s"r$e-2,$e,NA,$by\n") // missing value path
+    }
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/records.csv"), sb.toString)
+  }
+
+  test("config-driven sample/summarize/evaluate run + resume") {
+    val dir = Files.createTempDirectory("erproject").toString
+    writeFixture(dir)
+    val confJson =
+      s"""{
+         |  "dataPath": "$dir/records.csv",
+         |  "idColumn": "rec_id",
+         |  "entityIdColumn": "ent_id",
+         |  "nullValue": "NA",
+         |  "attributes": [
+         |    {"name": "fname", "similarity": "levenshtein",
+         |     "threshold": 7.0, "maxSimilarity": 10.0,
+         |     "alpha": 0.5, "beta": 50.0},
+         |    {"name": "by", "similarity": "constant"}
+         |  ],
+         |  "partitioner": "kdtree", "numLevels": 1,
+         |  "splitAttributes": ["fname"],
+         |  "seed": 7, "sweeps": 12, "burnIn": 4, "thin": 2,
+         |  "outputPath": "$dir/out",
+         |  "steps": ["sample", "summarize", "evaluate"]
+         |}""".stripMargin
+    val conf = ERProject.parseConf(confJson)
+    assert(conf.attributes.length == 2)
+    assert(conf.fileIdColumn.isEmpty)
+
+    val smpc = ERProject.run(spark, conf)
+    assert(smpc.isDefined)
+
+    // every sink exists and has content
+    assert(Files.exists(Paths.get(s"$dir/out/diagnostics.csv")))
+    val diag = Files.readString(Paths.get(s"$dir/out/diagnostics.csv"))
+    assert(diag.linesIterator.next().startsWith("iteration,"))
+    assert(diag.linesIterator.size == 5) // header + 4 recorded samples
+
+    assert(Files.exists(Paths.get(s"$dir/out/evaluation-results.txt")))
+    val eval = Files.readString(Paths.get(s"$dir/out/evaluation-results.txt"))
+    assert(eval.contains("precision:") && eval.contains("adjusted-rand-index:"))
+
+    assert(Files.exists(Paths.get(s"$dir/out/cluster-size-distribution.csv")))
+    assert(Files.exists(Paths.get(s"$dir/out/partition-sizes.csv")))
+    assert(Files.list(Paths.get(s"$dir/out/shared-most-probable-clusters.csv"))
+      .count() > 0)
+
+    // chain is readable + burn-in filter prunes
+    val chain = IO.readChain(spark, s"$dir/out/linkage-chain.parquet")
+    val n = chain.count()
+    assert(n > 0)
+    assert(IO.chainAfterBurnIn(chain, Long.MaxValue).count() == 0)
+
+    // clusters CSV round-trips
+    val clustersBack = IO.readClustersCsv(spark,
+      s"$dir/out/shared-most-probable-clusters.csv")
+    assert(clustersBack.count() > 0)
+
+    // resume: saved state picks up at iteration 12 and can step further
+    val resumed = IO.loadState(spark, s"$dir/out/saved-state")
+    assert(resumed.iteration == 12L)
+    assert(resumed.partitioner.numPartitions == 2)
+    val stepped = resumed.step()
+    assert(stepped.iteration == 13L)
+    assert(stepped.summary.numObservedEntities > 0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming windowed counts match the batch equivalent") {
+    import org.apache.spark.sql.functions._
+    val q = EventStreams.runWindowedCountsOnce(spark,
+      "/root/testdata/sf0.001", "stream_counts")
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_counts")
+      .select("window_start", "event_type", "n", "sum_value")
+
+    val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("splitSessions closes on gaps and keeps the tail open") {
+    val gap = 1000L
+    val events = List((0L, 1.0), (500L, 2.0), (5000L, 3.0), (5500L, 4.0), (99999L, 5.0))
+    val (closed, open) = EventStreams.splitSessions(events, gap)
+    assert(closed == List(List((0L, 1.0), (500L, 2.0)), List((5000L, 3.0), (5500L, 4.0))))
+    assert(open == List((99999L, 5.0)))
+  }
+
+  test("sessionize emits closed sessions (batch-driven)") {
+    import spark.implicits._
+    val evs = Seq(
+      EventStreams.Event(1, new java.sql.Timestamp(0L), 1L, "a", 1.0),
+      EventStreams.Event(2, new java.sql.Timestamp(10000L), 1L, "a", 2.0),
+      EventStreams.Event(3, new java.sql.Timestamp(10 * 60 * 60 * 1000L), 1L, "a", 4.0),
+      EventStreams.Event(4, new java.sql.Timestamp(5000L), 2L, "b", 8.0))
+      .toDS()
+    val sessions = EventStreams.sessionize(evs, gapMs = 60 * 1000L).collect()
+    // user 1: first session (2 events) closed by the 10h-later event;
+    // the trailing singletons stay open and are not emitted
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 1L && s.nEvents == 2 && s.totalValue == 3.0)
+  }
+}
