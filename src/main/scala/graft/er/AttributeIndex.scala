@@ -183,7 +183,9 @@ object AttributeIndex {
     // Each value emits candidate lengths [len, len + gap]; joining on the
     // partner's exact length covers every pair whose length difference can
     // possibly clear the similarity threshold, in both directions.
-    val simUdf = udf((a: String, b: String) => lev.sim(a, b))
+    // Similarity itself is the native codegen'd expression (no UDF).
+    def simExpr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.LevenshteinSim.lev_sim(a, b, lev.threshold, lev.maxSimilarity)
     val gapUdf = udf((l: Int) => {
       val g = lev.maxLengthGap(l)
       if (g > 64) 64 else g // defensive cap; θ=0 would otherwise explode
@@ -197,7 +199,7 @@ object AttributeIndex {
 
     val pairs = a.join(b, col("candLen") === col("lenb"))
       .filter(col("vida") < col("vidb"))
-      .withColumn("sim", simUdf(col("va"), col("vb")))
+      .withColumn("sim", simExpr(col("va"), col("vb")))
       .filter(col("sim") > 0.0)
       .select(col("vida"), col("vidb"), col("sim"))
       .as[(Int, Int, Double)]
