@@ -1,0 +1,71 @@
+package graft.er
+
+// Measures the RLdata500/RLdata10000-equivalent sampler throughput for
+// BASELINE.md. sbt "Test/runMain graft.er.ERPerfBaseline"
+object ERPerfBaseline {
+  import graft.core.{ConstantSimilarity, LevenshteinSimilarity}
+  import graft.er.model._
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val firstNames = (0 until 400).map(i => s"NAME${i}X${i % 7}")
+    val lastNames = (0 until 150).map(i => s"SURNAME${i}Y")
+    def distort(s: String, rng: java.util.SplittableRandom): String =
+      s.updated(rng.nextInt(s.length), ('A' + rng.nextInt(26)).toChar)
+
+    def dataset(nEntities: Int): org.apache.spark.sql.DataFrame = {
+      val rng = new java.util.SplittableRandom(515151L)
+      (0 until nEntities).flatMap { e =>
+        val fn = firstNames(rng.nextInt(firstNames.length))
+        val ln = lastNames(rng.nextInt(lastNames.length))
+        val by = (1940 + rng.nextInt(60)).toString
+        val bm = (1 + rng.nextInt(12)).toString
+        val bd = (1 + rng.nextInt(28)).toString
+        val base = (s"rec-$e-0", e.toString, fn, ln, by, bm, bd)
+        if (rng.nextInt(10) == 0) { // 10% duplicates, RLdata difficulty
+          val dup = rng.nextInt(5) match {
+            case 0 => (s"rec-$e-1", e.toString, distort(fn, rng), ln, by, bm, bd)
+            case 1 => (s"rec-$e-1", e.toString, fn, distort(ln, rng), by, bm, bd)
+            case 2 => (s"rec-$e-1", e.toString, fn, ln, distort(by, rng), bm, bd)
+            case _ => (s"rec-$e-1", e.toString, fn, ln, by, bm, bd)
+          }
+          Seq(base, dup)
+        } else Seq(base)
+      }.toDF("rec_id", "ent_id", "fname", "lname", "by", "bm", "bd")
+    }
+
+    val prior = BetaParams(0.5, 50.0)
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("lname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("by", ConstantSimilarity, prior),
+      AttributeSpec("bm", ConstantSimilarity, prior),
+      AttributeSpec("bd", ConstantSimilarity, prior))
+
+    for ((nEnt, sweeps, parts) <- Seq((455, 100, 0), (9090, 30, 1))) {
+      val df = dataset(nEnt).cache()
+      val n = df.count()
+      val t0 = System.nanoTime()
+      val init = ERState.initialize(spark, df, "rec_id", None, specs,
+        idx => if (parts == 0) SinglePartition
+               else KDTreePartitioner.fit(idx, Seq(0), parts),
+        seed = 319158L)
+      val tInit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      var st = init
+      (1 to sweeps).foreach { i =>
+        st = st.step()
+        if (i % 10 == 0) st = st.checkpointed()
+      }
+      val tSweeps = (System.nanoTime() - t1) / 1e9
+      println(f"[perf] records=$n partitions=${1 << parts} init=${tInit}%.1fs " +
+        f"sweeps=$sweeps total=${tSweeps}%.1fs perSweep=${tSweeps / sweeps}%.3fs " +
+        f"obsEnt=${st.summary.numObservedEntities}")
+      df.unpersist()
+    }
+    spark.stop()
+  }
+}
