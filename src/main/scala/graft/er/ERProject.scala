@@ -38,7 +38,8 @@ object ERProject {
       numLevels: Int = 0,
       splitAttributes: Seq[String] = Nil,
       seed: Long = 42L,
-      collapsedAssignment: Boolean = false,
+      sampler: String = "gibbs",   // gibbs | gibbs-sequential | pcg1 | pcg2
+      collapsedAssignment: Boolean = false, // legacy alias for pcg1
       sweeps: Int = 100,
       burnIn: Int = 0,
       thin: Int = 1,
@@ -63,6 +64,16 @@ object ERProject {
       SimilarityFn.fromName(a.similarity, a.threshold, a.maxSimilarity),
       BetaParams(a.alpha, a.beta))
   }
+
+  def samplerKindOf(conf: Conf): GibbsKernel.SamplerKind =
+    if (conf.collapsedAssignment) GibbsKernel.PCG1
+    else conf.sampler match {
+      case "gibbs" => GibbsKernel.Gibbs
+      case "gibbs-sequential" => GibbsKernel.GibbsSequential
+      case "pcg1" => GibbsKernel.PCG1
+      case "pcg2" => GibbsKernel.PCG2
+      case other => throw new IllegalArgumentException(s"unknown sampler: $other")
+    }
 
   def partitionerOf(conf: Conf, specs: Seq[AttributeSpec]): ModelIndex => EntityPartitioner =
     conf.partitioner match {
@@ -89,7 +100,7 @@ object ERProject {
           IO.loadState(spark, stateDir)
         else
           ERState.initialize(spark, records, conf.idColumn, conf.fileIdColumn,
-            specs, partitionerOf(conf, specs), conf.seed, conf.collapsedAssignment)
+            specs, partitionerOf(conf, specs), conf.seed, samplerKindOf(conf))
       val result = Sampler.run(init, conf.sweeps, conf.burnIn, conf.thin,
         chainPath = Some(s"$out/linkage-chain.parquet"))
       IO.writeDiagnosticsCsv(result.diagnostics, specs.length,

@@ -27,7 +27,7 @@ final class ERState private (
     val theta: DistortionProbs,
     val iteration: Long,
     val baseSeed: Long,
-    val collapsedAssignment: Boolean,
+    val samplerKind: GibbsKernel.SamplerKind,
     val summary: SummaryVars) {
 
   import spark.implicits._
@@ -61,14 +61,14 @@ final class ERState private (
 
     val idxB = index
     val part = partitioner
-    val collapsed = collapsedAssignment
+    val kind = samplerKind
     val seed = baseSeed
 
     val next = clusters
       .groupByKey(_.partitionId)
       .flatMapGroups { (pid: Int, rows: Iterator[EntityCluster]) =>
         val rng = new SplittableRandom(Rng.seedFor(seed, it, pid.toLong))
-        GibbsKernel.sweep(rows.toArray, idxB.value, part, newTheta, rng, collapsed)
+        GibbsKernel.sweep(rows.toArray, idxB.value, part, newTheta, rng, kind)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -76,7 +76,7 @@ final class ERState private (
     clusters.unpersist(blocking = false)
 
     new ERState(spark, index, partitioner, next, newTheta, it, baseSeed,
-      collapsedAssignment, newSummary)
+      samplerKind, newSummary)
   }
 
   /** Truncate the iterative plan's lineage (reference: periodic RDD
@@ -84,7 +84,7 @@ final class ERState private (
   def checkpointed(): ERState = {
     val cp = clusters.localCheckpoint(eager = true)
     new ERState(spark, index, partitioner, cp, theta, iteration, baseSeed,
-      collapsedAssignment, summary)
+      samplerKind, summary)
   }
 
   /** Current linkage structure, one row per partition (reference A1,
@@ -117,12 +117,12 @@ object ERState {
       theta: DistortionProbs,
       iteration: Long,
       baseSeed: Long,
-      collapsedAssignment: Boolean,
+      samplerKind: GibbsKernel.SamplerKind,
       summary: SummaryVars): ERState = {
     val idxB = spark.sparkContext.broadcast(index)
     new ERState(spark, idxB, partitioner,
       clusters.persist(StorageLevel.MEMORY_AND_DISK), theta, iteration,
-      baseSeed, collapsedAssignment, summary)
+      baseSeed, samplerKind, summary)
   }
 
   /** Deterministic initialization (reference K13, State.scala:195-334
@@ -139,7 +139,7 @@ object ERState {
       specs: Seq[AttributeSpec],
       partitioner: ModelIndex => EntityPartitioner,
       seed: Long,
-      collapsedAssignment: Boolean = false): ERState = {
+      samplerKind: GibbsKernel.SamplerKind = GibbsKernel.Gibbs): ERState = {
     import spark.implicits._
 
     val withFile = fileIdCol match {
@@ -186,7 +186,7 @@ object ERState {
 
     val theta = idx.priorTheta
     val summary = summarize(init, idxB, theta)
-    new ERState(spark, idxB, part, init, theta, 0L, seed, collapsedAssignment,
+    new ERState(spark, idxB, part, init, theta, 0L, seed, samplerKind,
       summary)
   }
 

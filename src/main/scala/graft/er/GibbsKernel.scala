@@ -82,6 +82,18 @@ object GibbsKernel {
   @inline private def postingKey(attr: Int, value: Int): Long =
     (attr.toLong << 32) | (value.toLong & 0xffffffffL)
 
+  /** Sampler variants (reference ProjectStep.scala:35,53-58 flag triples):
+    *  - Gibbs:          indexed assignment, uncollapsed values
+    *  - GibbsSequential: index-free O(E) assignment scan, uncollapsed values
+    *  - PCG1:           distortion-collapsed assignment, uncollapsed values
+    *  - PCG2:           distortion-collapsed assignment AND values
+    */
+  sealed trait SamplerKind extends Serializable
+  case object Gibbs extends SamplerKind
+  case object GibbsSequential extends SamplerKind
+  case object PCG1 extends SamplerKind
+  case object PCG2 extends SamplerKind
+
   /** One full sweep. Returns the partition's clusters re-keyed by the
     * partitioner (the caller's groupByKey supplies the shuffle). */
   def sweep(
@@ -90,13 +102,13 @@ object GibbsKernel {
       partitioner: EntityPartitioner,
       theta: DistortionProbs,
       rng: SplittableRandom,
-      collapsedAssignment: Boolean): Iterator[EntityCluster] = {
+      kind: SamplerKind): Iterator[EntityCluster] = {
 
     val st = PartitionState.fromClusters(clusters)
     val nA = index.numAttributes
 
-    updateAssignments(st, index, theta, rng, collapsedAssignment)
-    updateEntityValues(st, index, rng)
+    updateAssignments(st, index, theta, rng, kind)
+    updateEntityValues(st, index, theta, rng, kind == PCG2)
     updateDistortions(st, index, theta, rng)
 
     // Re-key each cluster by its (possibly changed) entity values.
@@ -118,15 +130,17 @@ object GibbsKernel {
       index: ModelIndex,
       theta: DistortionProbs,
       rng: SplittableRandom,
-      collapsed: Boolean): Unit = {
+      kind: SamplerKind): Unit = {
     val nA = index.numAttributes
-    val inv = if (collapsed) null else buildInvertedIndex(st, nA)
+    val inv = if (kind == Gibbs) buildInvertedIndex(st, nA) else null
     var r = 0
     while (r < st.records.length) {
       val rec = st.records(r)
-      val (cands, weights) =
-        if (collapsed) collapsedAssignmentWeights(st, index, theta, rec)
-        else indexedAssignmentWeights(st, inv, index, rec)
+      val (cands, weights) = kind match {
+        case Gibbs => indexedAssignmentWeights(st, inv, index, rec)
+        case GibbsSequential => sequentialAssignmentWeights(st, index, rec)
+        case PCG1 | PCG2 => collapsedAssignmentWeights(st, index, theta, rec)
+      }
       val pick = cands(sampleCategorical(weights, rng))
       val prev = st.assign(r)
       if (pick != prev) {
@@ -163,15 +177,14 @@ object GibbsKernel {
     val cands: Array[Int] =
       if (postings.isEmpty) Array.tabulate(st.entities.length)(identity)
       else {
-        // smallest-first intersection of the posting lists; never empty —
+        // Smallest-first intersection of the posting lists; never empty —
         // the record's current entity matches every non-distorted attribute
-        // by the sweep invariant.
-        val sortedLists = postings.sortBy(_.length)
-        val smallest = sortedLists.head
-        val rest = sortedLists.tail.map(_.toSet)
-        val buf = ArrayBuffer.empty[Int]
-        smallest.foreach { e => if (rest.forall(_.contains(e))) buf += e }
-        buf.toArray
+        // by the sweep invariant. Lists are ascending (built in entity
+        // order), so this is allocation-free merge/galloping intersection —
+        // no per-record Set materialization (GC-critical at millions of
+        // records per partition).
+        val sorted = postings.sortBy(_.length)
+        intersectSorted(sorted.head, sorted.tail)
       }
 
     val weights = new Array[Double](cands.length)
@@ -191,6 +204,40 @@ object GibbsKernel {
       }
       weights(i) = w
       i += 1
+    }
+    (cands, weights)
+  }
+
+  /** Index-free O(numEntities) scan with the same conditional as the
+    * indexed update: hard zero where a non-distorted observed attribute
+    * disagrees (reference "Gibbs-Sequential", GibbsUpdates.scala:434-466). */
+  private[er] def sequentialAssignmentWeights(
+      st: PartitionState,
+      index: ModelIndex,
+      rec: StateRecord): (Array[Int], Array[Double]) = {
+    val nA = index.numAttributes
+    val cands = Array.tabulate(st.entities.length)(identity)
+    val weights = new Array[Double](cands.length)
+    var e = 0
+    while (e < cands.length) {
+      val vals = st.entities(e)
+      var w = 1.0
+      var a = 0
+      while (w > 0.0 && a < nA) {
+        val x = rec.values(a)
+        if (x != MissingValue) {
+          val y = vals(a)
+          if (!rec.distorted(a)) {
+            if (x != y) w = 0.0
+          } else {
+            val attr = index.attributes(a)
+            w *= attr.expSim(x, y) / attr.simNorms(y)
+          }
+        }
+        a += 1
+      }
+      weights(e) = w
+      e += 1
     }
     (cands, weights)
   }
@@ -231,7 +278,8 @@ object GibbsKernel {
   // --- entity value resampling ------------------------------------------
 
   private def updateEntityValues(
-      st: PartitionState, index: ModelIndex, rng: SplittableRandom): Unit = {
+      st: PartitionState, index: ModelIndex, theta: DistortionProbs,
+      rng: SplittableRandom, collapsedValues: Boolean): Unit = {
     val nA = index.numAttributes
     var e = 0
     while (e < st.entities.length) {
@@ -239,7 +287,10 @@ object GibbsKernel {
       val linked = st.links(e)
       var a = 0
       while (a < nA) {
-        vals(a) = sampleEntityValue(index.attributes(a), a, linked, st, rng)
+        vals(a) =
+          if (collapsedValues)
+            sampleEntityValueCollapsed(index.attributes(a), a, linked, st, theta, rng)
+          else sampleEntityValue(index.attributes(a), a, linked, st, rng)
         a += 1
       }
       e += 1
@@ -307,6 +358,70 @@ object GibbsKernel {
     else support(sampleCategorical(pertW, rng))
   }
 
+  /** PCG2 variant: distortion indicators integrated out of the value draw —
+    * p(y) ∝ φ(y)·Π_i [(1-θ_i)·1{x_i=y} + θ_i·ψ(x_i|y)] over ALL observed
+    * linked records (flags ignored). Same base/perturbation mixture: off
+    * the union of neighborhoods every factor collapses to θ_i·φ(x_i)/z(y),
+    * so the base is the cached powered distribution f_m scaled by the
+    * constant C = Π θ_i·φ(x_i). */
+  private[er] def sampleEntityValueCollapsed(
+      attr: AttributeIndex,
+      a: Int,
+      linked: ArrayBuffer[Int],
+      st: PartitionState,
+      theta: DistortionProbs,
+      rng: SplittableRandom): Int = {
+
+    val xs = ArrayBuffer.empty[Int]
+    val ths = ArrayBuffer.empty[Double]
+    linked.foreach { r =>
+      val rec = st.records(r)
+      val x = rec.values(a)
+      if (x != MissingValue) { xs += x; ths += theta(a, rec.fileId) }
+    }
+    val m = xs.length
+    if (m == 0) return attr.samplePowered(0, rng)
+
+    var c = 1.0
+    var i = 0
+    while (i < m) { c *= ths(i) * attr.probs(xs(i)); i += 1 }
+
+    // support where any factor differs from its default
+    val union = new java.util.HashSet[Integer]()
+    i = 0
+    while (i < m) {
+      union.add(xs(i))
+      attr.neighbors(xs(i)).foreach(n => union.add(n))
+      i += 1
+    }
+
+    val support = new Array[Int](union.size)
+    val pertW = new Array[Double](union.size)
+    var s = 0.0
+    var j = 0
+    val it = union.iterator()
+    while (it.hasNext) {
+      val y = it.next().intValue()
+      val zy = attr.simNorms(y)
+      var full = attr.probs(y)
+      i = 0
+      while (i < m) {
+        val hit = if (xs(i) == y) 1.0 - ths(i) else 0.0
+        full *= hit + ths(i) * attr.probs(xs(i)) * attr.expSim(xs(i), y) / zy
+        i += 1
+      }
+      val w = full - c * attr.baseWeight(m, y)
+      support(j) = y
+      pertW(j) = math.max(w, 0.0) // guard fp round-off
+      s += pertW(j)
+      j += 1
+    }
+
+    val baseMass = c * attr.poweredTotal(m)
+    if (rng.nextDouble() * (baseMass + s) < baseMass) attr.samplePowered(m, rng)
+    else support(sampleCategorical(pertW, rng))
+  }
+
   // --- distortion indicator resampling ----------------------------------
 
   private def updateDistortions(
@@ -343,6 +458,40 @@ object GibbsKernel {
       val p = pDist / (pDist + (1.0 - theta))
       rng.nextDouble() < p
     }
+  }
+
+  /** Intersect ascending int lists: walk the smallest, binary-search the
+    * rest. */
+  private[er] def intersectSorted(
+      smallest: ArrayBuffer[Int], rest: List[ArrayBuffer[Int]]): Array[Int] = {
+    if (rest.isEmpty) return smallest.toArray
+    val out = ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < smallest.length) {
+      val e = smallest(i)
+      var ok = true
+      var ls = rest
+      while (ok && ls.nonEmpty) {
+        if (binarySearch(ls.head, e) < 0) ok = false
+        ls = ls.tail
+      }
+      if (ok) out += e
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def binarySearch(xs: ArrayBuffer[Int], key: Int): Int = {
+    var lo = 0
+    var hi = xs.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = xs(mid)
+      if (v < key) lo = mid + 1
+      else if (v > key) hi = mid - 1
+      else return mid
+    }
+    -1
   }
 
   // --- shared helpers ----------------------------------------------------

@@ -97,7 +97,7 @@ object IO {
       theta: DistortionProbs,
       iteration: Long,
       baseSeed: Long,
-      collapsedAssignment: Boolean,
+      samplerKind: GibbsKernel.SamplerKind,
       summary: SummaryVars) extends Serializable
 
   /** S8: persist the full sampler state — partition clusters as parquet,
@@ -109,7 +109,7 @@ object IO {
     val oos = new ObjectOutputStream(
       Files.newOutputStream(Paths.get(s"$dir/driver-state.bin")))
     try oos.writeObject(DriverState(state.index.value, state.partitioner,
-      state.theta, state.iteration, state.baseSeed, state.collapsedAssignment,
+      state.theta, state.iteration, state.baseSeed, state.samplerKind,
       state.summary))
     finally oos.close()
   }
@@ -124,6 +124,6 @@ object IO {
       .select(col("partitionId"), col("entityValues"), col("records"))
       .as[EntityCluster]
     ERState.resume(spark, ds.index, ds.partitioner, clusters, ds.theta,
-      ds.iteration, ds.baseSeed, ds.collapsedAssignment, ds.summary)
+      ds.iteration, ds.baseSeed, ds.samplerKind, ds.summary)
   }
 }

@@ -118,7 +118,7 @@ object Clustering {
 
     val init = ERState.initialize(s, records, "rid", None, specs,
       _ => SinglePartition, seed = 42L)
-    val result = Sampler.run(init, numSweeps = 30, burnIn = 10, thin = 4)
+    val result = Sampler.run(init, numSweeps = 16, burnIn = 4, thin = 3)
 
     val smpc = Analysis.sharedMostProbableClusters(result.chain.get)
     val pred = Analysis.membershipFromClusters(smpc.select("records"), "records")

@@ -45,7 +45,10 @@ object ERPerfBaseline {
       AttributeSpec("bm", ConstantSimilarity, prior),
       AttributeSpec("bd", ConstantSimilarity, prior))
 
-    for ((nEnt, sweeps, parts) <- Seq((455, 100, 0), (9090, 30, 1))) {
+    val workloads =
+      if (args.contains("big")) Seq((91000, 10, 3)) // ~100k records, 8 parts
+      else Seq((455, 100, 0), (9090, 30, 1))
+    for ((nEnt, sweeps, parts) <- workloads) {
       val df = dataset(nEnt).cache()
       val n = df.count()
       val t0 = System.nanoTime()

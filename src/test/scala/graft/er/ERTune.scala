@@ -50,7 +50,8 @@ object ERTune {
         AttributeSpec("bm", ConstantSimilarity, prior),
         AttributeSpec("bd", ConstantSimilarity, prior))
       var st = ERState.initialize(spark, df, "rec_id", None, specs,
-        _ => SinglePartition, seed = 42L, collapsedAssignment = collapsed)
+        _ => SinglePartition, seed = 42L,
+        samplerKind = if (collapsed) GibbsKernel.PCG1 else GibbsKernel.Gibbs)
       println(s"== collapsed=$collapsed prior=Beta(${prior.alpha},${prior.beta})")
       (1 to 200).foreach { i =>
         st = st.step()

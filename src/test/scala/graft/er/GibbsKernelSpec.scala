@@ -143,6 +143,63 @@ class GibbsKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("sequential assignment agrees with indexed candidates") {
+    val idx = levIndex
+    val entities = ArrayBuffer(
+      Array(idx.idOf("ANNA")), Array(idx.idOf("ANNE")), Array(idx.idOf("BOB")))
+    val rec = StateRecord("r", "0", Array(idx.idOf("ANNA")), Array(false))
+    val st = new GibbsKernel.PartitionState(entities, Array(rec), Array(0),
+      ArrayBuffer(ArrayBuffer(0), ArrayBuffer.empty, ArrayBuffer.empty))
+    val (cands, w) = GibbsKernel.sequentialAssignmentWeights(st, mkModel(idx), rec)
+    assert(cands.length == 3)
+    // non-distorted ANNA: only entity 0 gets non-zero weight
+    assert(w(0) > 0.0 && w(1) == 0.0 && w(2) == 0.0)
+
+    // distorted record: every entity weighted by expSim/z
+    val recD = StateRecord("r", "0", Array(idx.idOf("ANNA")), Array(true))
+    val (_, wd) = GibbsKernel.sequentialAssignmentWeights(st, mkModel(idx), recD)
+    entities.zipWithIndex.foreach { case (vals, e) =>
+      val expected = idx.expSim(idx.idOf("ANNA"), vals(0)) / idx.simNorms(vals(0))
+      assert(math.abs(wd(e) - expected) < 1e-12, s"entity $e")
+    }
+  }
+
+  test("collapsed entity-value draw matches the exact collapsed posterior") {
+    val idx = levIndex
+    val theta = DistortionProbs(Map((0, "0") -> 0.25))
+    // two observed links: ANNA (flag irrelevant), ANNE
+    val st = singletonState(idx,
+      Seq(("r0", idx.idOf("ANNA"), false), ("r1", idx.idOf("ANNE"), true)))
+    val xs = Seq(idx.idOf("ANNA"), idx.idOf("ANNE"))
+    val th = 0.25
+    val target = (0 until idx.domainSize).map { y =>
+      idx.probs(y) * xs.map { x =>
+        (if (x == y) 1.0 - th else 0.0) + th * idx.distortionProb(x, y)
+      }.product
+    }
+    val z = target.sum
+    val rng = new SplittableRandom(17L)
+    val n = 300000
+    val counts = new Array[Long](idx.domainSize)
+    (0 until n).foreach { _ =>
+      counts(GibbsKernel.sampleEntityValueCollapsed(idx, 0, st.links(0), st,
+        theta, rng)) += 1
+    }
+    (0 until idx.domainSize).foreach { y =>
+      assert(math.abs(counts(y).toDouble / n - target(y) / z) < 0.006,
+        s"y=${idx.values(y)} got ${counts(y).toDouble / n} want ${target(y) / z}")
+    }
+  }
+
+  test("intersectSorted matches set intersection") {
+    def ab(xs: Int*) = ArrayBuffer(xs: _*)
+    assert(GibbsKernel.intersectSorted(ab(1, 3, 5), List(ab(1, 2, 3, 4, 5))).toSeq ==
+      Seq(1, 3, 5))
+    assert(GibbsKernel.intersectSorted(ab(2, 4), List(ab(1, 3, 5))).toSeq == Seq())
+    assert(GibbsKernel.intersectSorted(ab(7), List(ab(1, 7, 9), ab(7))).toSeq == Seq(7))
+    assert(GibbsKernel.intersectSorted(ab(1, 2), Nil).toSeq == Seq(1, 2))
+  }
+
   test("sweep preserves records and population, and is deterministic") {
     val idx = levIndex
     val model = mkModel(idx)
@@ -160,7 +217,7 @@ class GibbsKernelSpec extends AnyFunSuite {
         entityValues = c.entityValues.clone(),
         records = c.records.map(r => r.copy(values = r.values.clone(),
           distorted = r.distorted.clone())))),
-      model, SinglePartition, theta, new SplittableRandom(seed), false).toArray
+      model, SinglePartition, theta, new SplittableRandom(seed), GibbsKernel.Gibbs).toArray
 
     val out1 = runSweep(99L)
     val out2 = runSweep(99L)
