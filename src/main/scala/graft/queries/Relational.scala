@@ -306,6 +306,20 @@ object Relational {
         .orderBy("hour", "event_type")
     }),
 
+    // Skew-mitigated aggregation: event_type has a handful of hot keys —
+    // salted two-stage agg spreads them across reducers; result must equal
+    // the plain GROUP BY.
+    "q_skew_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedCountSum(
+        t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")
+    }),
+    "q_skew_salted_distinct" -> ((s, dir) => {
+      graft.operators.Skew.saltedCountDistinct(
+        t(s, dir, "events"), "event_type", "user_id")
+        .orderBy("event_type")
+    }),
+
     // Analytic window: per-user previous-event delta (lag) + running sum.
     "q_events_user_deltas" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -497,6 +511,14 @@ object Relational {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY hour, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_skew_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_user_deltas" ->
       """SELECT user_id, event_id,

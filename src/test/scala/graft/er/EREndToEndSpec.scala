@@ -107,6 +107,26 @@ class EREndToEndSpec extends AnyFunSuite {
     assert(s1 == s2, "one-step summaries differ under identical seeds")
   }
 
+  test("multi-file records get per-file distortion probabilities") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (s"r$i", if (i % 2 == 0) "census" else "survey",
+        firstNames(i % firstNames.length), (1950 + i % 20).toString)
+    }
+    val df = rows.toDF("rec_id", "src", "fname", "by")
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+      AttributeSpec("by", ConstantSimilarity, BetaParams(0.5, 50.0)))
+    val init = ERState.initialize(spark, df, "rec_id", Some("src"), specs,
+      _ => SinglePartition, seed = 3L)
+    assert(init.index.value.fileSizes == Map("census" -> 20L, "survey" -> 20L))
+    val after = init.step().step()
+    // θ carries one entry per (attribute, file)
+    assert(after.theta.probs.keySet ==
+      Set((0, "census"), (0, "survey"), (1, "census"), (1, "survey")))
+    assert(after.theta.probs.values.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
   test("multi-partition run keeps all records and stays consistent") {
     import spark.implicits._
     val rng = new java.util.SplittableRandom(314159L)
