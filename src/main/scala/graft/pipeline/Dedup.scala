@@ -157,6 +157,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup modality:
+    * semantic near-dups that share no surface text. Delegates to the
+    * hyperplane-LSH ANN path (VectorOps), thresholded on cosine. */
+  def embeddingNearDuplicatePairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, bits: Int = 12, probes: Int = 2): DataFrame =
+    VectorOps.lshNeighborPairs(corpus, idCol, vecCol, bits, minCosine, probes)
+
   /** Character n-gram Jaccard similarity between given id pairs. */
   def charNgramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {

@@ -105,5 +105,6 @@ object TextAnalysis {
       punctCount(col(textCol)).as("n_punct"),
       qualityScore(col(textCol)).as("quality"),
       detectLanguage(col(textCol)).as("lang_pred"),
-      contentFingerprint(col(textCol)).as("fingerprint"))
+      contentFingerprint(col(textCol)).as("fingerprint"),
+      size(winnowedFingerprints(col(textCol))).as("n_winnowed"))
 }

@@ -39,8 +39,58 @@ object ERTune {
       } else Seq(base)
     }
     println(s"records=${rows.length} dups=${rows.length - 80}")
-    val df = rows.toDF("rec_id", "ent_id", "fname", "lname", "by", "bm", "bd").cache()
+    val df0 = rows.toDF("rec_id", "ent_id", "fname", "lname", "by", "bm", "bd")
+
+    // "rl10k" mode: RLdata10000-scale quality run (one config, long chain)
+    val rl10k = args.contains("rl10k")
+    val df = if (!rl10k) df0.cache() else {
+      val rng2 = new java.util.SplittableRandom(808080L)
+      val fn10k = (0 until 400).map(i => s"NAME$i" + ('A' + i % 26).toChar)
+      val ln10k = (0 until 150).map(i => s"SURNAME$i" + ('A' + i % 26).toChar)
+      (0 until 9090).flatMap { e =>
+        val fn = fn10k(rng2.nextInt(fn10k.length))
+        val ln = ln10k(rng2.nextInt(ln10k.length))
+        val by = (1940 + rng2.nextInt(60)).toString
+        val bm = (1 + rng2.nextInt(12)).toString
+        val bd = (1 + rng2.nextInt(28)).toString
+        val base = (s"rec-$e-0", e.toString, fn, ln, by, bm, bd)
+        if (rng2.nextInt(10) == 0) {
+          val dup = rng2.nextInt(5) match {
+            case 0 => (s"rec-$e-1", e.toString, distort(fn, rng2), ln, by, bm, bd)
+            case 1 => (s"rec-$e-1", e.toString, fn, distort(ln, rng2), by, bm, bd)
+            case _ => (s"rec-$e-1", e.toString, fn, ln, by, bm, bd)
+          }
+          Seq(base, dup)
+        } else Seq(base)
+      }.toDF("rec_id", "ent_id", "fname", "lname", "by", "bm", "bd").cache()
+    }
     val truth = df.select($"rec_id".as("recordId"), $"ent_id".as("clusterId"))
+    if (rl10k) {
+      val specs = Seq(
+        AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+        AttributeSpec("lname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+        AttributeSpec("by", ConstantSimilarity, BetaParams(0.5, 50.0)),
+        AttributeSpec("bm", ConstantSimilarity, BetaParams(0.5, 50.0)),
+        AttributeSpec("bd", ConstantSimilarity, BetaParams(0.5, 50.0)))
+      var st = ERState.initialize(spark, df, "rec_id", None, specs,
+        idx => KDTreePartitioner.fit(idx, Seq(0), 1), seed = 319158L)
+      println(s"== rl10k records=${df.count()} partitions=2")
+      val t0 = System.nanoTime()
+      (1 to 300).foreach { i =>
+        st = st.step()
+        if (i % 10 == 0) st = st.checkpointed()
+        if (i % 50 == 0) {
+          val pred = Analysis.membershipFromClusters(
+            st.currentClusters().toDF("cluster"), "cluster")
+          val m = Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId").head()
+          println(f"  sweep $i%3d ${(System.nanoTime() - t0) / 1e9}%.0fs " +
+            f"obsEnt=${st.summary.numObservedEntities} prec=${m.getDouble(0)}%.3f " +
+            f"rec=${m.getDouble(1)}%.3f f1=${m.getDouble(2)}%.3f")
+        }
+      }
+      spark.stop()
+      return
+    }
 
     for (collapsed <- Seq(true, false); prior <- Seq(BetaParams(0.5, 50.0))) {
       val specs = Seq(
