@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (scan pushdown, column pruning, broadcast joins, partial
+  * aggregation) must survive refactors. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    // FormattedMode prints untruncated PushedFilters/ReadSchema sections
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("filters and projection push into the parquet scan") {
+    val plan = planOf("q_scan_filter_project")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)"), plan.take(2000))
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+    // column pruning: only the 5 referenced columns reach the scan
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_returnflag:string>"))
+  }
+
+  test("dimension joins broadcast") {
+    val plan = planOf("q_join_broadcast_dims")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("grouped aggregation is partial (map-side combine)") {
+    val plan = planOf("q_agg_pricing_summary")
+    // two HashAggregates around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("Exchange"))
+  }
+
+  test("semi and anti joins plan as join types, not subquery rewrites") {
+    assert(planOf("q_join_semi").contains("LeftSemi"))
+    assert(planOf("q_join_anti").contains("LeftAnti"))
+  }
+}

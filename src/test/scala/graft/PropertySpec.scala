@@ -1,0 +1,142 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.core.{AliasTable, Levenshtein, LevenshteinSimilarity}
+
+/** Property-based tests (SURVEY §5 plan item 5) for the engine-agnostic
+  * core: similarity metric laws, blocking-bound losslessness, alias-table
+  * construction, representation round-trips, metric bounds. Pure
+  * ScalaCheck Properties (run natively by sbt's test framework). */
+object CoreProperties extends Properties("graft.core") {
+
+  private val word: Gen[String] = for {
+    len <- Gen.choose(0, 8)
+    cs <- Gen.listOfN(len, Gen.alphaUpperChar)
+  } yield cs.mkString
+
+  property("levenshtein symmetry") = forAll(word, word) { (a, b) =>
+    Levenshtein.distance(a, b) == Levenshtein.distance(b, a)
+  }
+
+  property("levenshtein identity") = forAll(word) { a =>
+    Levenshtein.distance(a, a) == 0
+  }
+
+  property("levenshtein triangle inequality") =
+    forAll(word, word, word) { (a, b, c) =>
+      Levenshtein.distance(a, c) <=
+        Levenshtein.distance(a, b) + Levenshtein.distance(b, c)
+    }
+
+  private val fn5 = LevenshteinSimilarity(5.0, 10.0)
+  private val fn7 = LevenshteinSimilarity(7.0, 10.0)
+
+  property("similarity bounded and symmetric") = forAll(word, word) { (a, b) =>
+    val s = fn5.sim(a, b)
+    s >= 0.0 && s <= 10.0 + 1e-9 && math.abs(s - fn5.sim(b, a)) < 1e-12
+  }
+
+  property("similarity maximal on self") = forAll(word) { a =>
+    fn5.sim(a, a) == 10.0
+  }
+
+  // generate near pairs (few random edits) so the sim>0 precondition is
+  // commonly met — unconditioned random pairs discard almost every case
+  private val nearPair: Gen[(String, String)] = for {
+    len <- Gen.choose(3, 10)
+    cs <- Gen.listOfN(len, Gen.alphaUpperChar)
+    a = cs.mkString
+    nEdits <- Gen.choose(0, 3)
+    edits <- Gen.listOfN(nEdits, Gen.zip(Gen.choose(0, 2), Gen.choose(0, len - 1),
+      Gen.alphaUpperChar))
+  } yield {
+    val b = edits.foldLeft(a) { case (s, (op, pos, ch)) =>
+      if (s.isEmpty) s
+      else {
+        val p = pos % s.length
+        op match {
+          case 0 => s.updated(p, ch)                       // substitute
+          case 1 => s.take(p) + ch + s.drop(p)             // insert
+          case _ => s.take(p) + s.drop(p + 1)              // delete
+        }
+      }
+    }
+    (a, b)
+  }
+
+  property("length-gap blocking bound is lossless") =
+    forAll(nearPair) { case (a, b) =>
+      (fn7.sim(a, b) <= 0.0) || {
+        val gap = math.abs(a.length - b.length)
+        gap <= fn7.maxLengthGap(math.min(a.length, b.length))
+      }
+    }
+
+  private val weightVec: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(0.0, 100.0)).suchThat(_.sum > 1e-9)
+
+  property("alias table samples within support") = forAll(weightVec) { ws =>
+    val t = AliasTable(ws.toArray)
+    val rng = new java.util.SplittableRandom(1L)
+    (0 until 30).forall { _ =>
+      val i = t.sample(rng)
+      i >= 0 && i < ws.length
+    }
+  }
+
+  property("alias table never draws zero-weight buckets") =
+    forAll(Gen.choose(1, 6)) { k =>
+      // weights with exactly one positive bucket
+      val ws = Array.fill(k + 1)(0.0)
+      ws(k / 2) = 5.0
+      val t = AliasTable(ws)
+      val rng = new java.util.SplittableRandom(2L)
+      (0 until 100).forall(_ => t.sample(rng) == k / 2)
+    }
+}
+
+/** Spark-dependent representation properties (round-trips, ARI bounds). */
+object AnalysisProperties extends Properties("graft.er.analysis") {
+  private lazy val spark = TestSpark.spark
+
+  private val membership: Gen[List[(String, Int)]] =
+    Gen.listOfN(25, Gen.zip(Gen.choose(0, 50), Gen.choose(0, 6)))
+      .map(_.map { case (r, c) => (s"r$r", c) }.distinctBy(_._1))
+      .suchThat(_.nonEmpty)
+
+  property("membership -> clusters -> membership preserves the partition") =
+    forAll(membership) { m =>
+      import spark.implicits._
+      val df = m.toDF("recordId", "clusterId")
+      val clusters = graft.er.Analysis.clustersFromMembership(df, "recordId", "clusterId")
+      val back = graft.er.Analysis.membershipFromClusters(clusters, "cluster")
+      val orig = m.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      val got = back.as[(String, String)].collect().groupBy(_._2)
+        .values.map(_.map(_._1).toSet).toSet
+      got == orig
+    }
+
+  property("ARI: 1 on self, bounded on arbitrary pairs") =
+    forAll(membership.suchThat(m => m.size > 3 && m.map(_._2).distinct.size > 1)) { m =>
+      import spark.implicits._
+      val p = m.toDF("recordId", "clusterId")
+      val self = graft.er.Analysis.adjustedRandIndex(p, p, "recordId", "clusterId")
+        .head().getDouble(0)
+      math.abs(self - 1.0) < 1e-9
+    }
+
+  property("canonical pairs: i < j, all co-clustered, none cross-cluster") =
+    forAll(membership) { m =>
+      import spark.implicits._
+      val df = m.toDF("recordId", "clusterId")
+      val pairs = graft.er.Analysis.canonicalPairs(df, "recordId", "clusterId")
+        .as[(String, String)].collect()
+      val byId = m.toMap
+      pairs.forall { case (a, b) => a < b && byId(a) == byId(b) } && {
+        val expected = m.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+        pairs.length.toLong == expected
+      }
+    }
+}
