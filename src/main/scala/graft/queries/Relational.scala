@@ -206,12 +206,14 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // A7: membership → clusters, array-valued output (sorted for
-    // deterministic equality).
+    // A7: membership → clusters; the sorted member array is emitted in
+    // CSV-string form (cross-engine array hashing is representation-
+    // sensitive; strings are not).
     "q_clusters_as_arrays" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_set(col("o_orderkey"))).as("cluster"))
+        .agg(array_join(sort_array(collect_set(col("o_orderkey"))), ",")
+          .as("cluster_csv"))
         .orderBy("o_custkey")
     }),
 
@@ -447,7 +449,8 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_clusters_as_arrays" ->
-      """SELECT o_custkey, list_sort(list(DISTINCT o_orderkey)) AS cluster
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderkey)), ',') AS cluster_csv
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_group_size_histogram" ->

@@ -7,7 +7,14 @@ object ERPerfBaseline {
   import graft.er.model._
 
   def main(args: Array[String]): Unit = {
-    val spark = graft.TestSpark.spark
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.maxPlanStringLength", "16384")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,7 +53,8 @@ object ERPerfBaseline {
       AttributeSpec("bd", ConstantSimilarity, prior))
 
     val workloads =
-      if (args.contains("big")) Seq((91000, 10, 3)) // ~100k records, 8 parts
+      if (args.contains("huge")) Seq((910000, 3, 5))     // ~1M records, 32 parts
+      else if (args.contains("big")) Seq((91000, 10, 3)) // ~100k records, 8 parts
       else Seq((455, 100, 0), (9090, 30, 1))
     for ((nEnt, sweeps, parts) <- workloads) {
       val df = dataset(nEnt).cache()
