@@ -77,7 +77,11 @@ object Dedup {
     * because identical signatures collapse to identical hashes. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    // both sides of the self-join consume the band table — materialize it
+    // once instead of recomputing the signatures per side (at scale this
+    // is the natural checkpoint of the dedup pipeline)
     val b = lshBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.toDF("a", "band", "bandHash")
     val r = b.toDF("b", "band", "bandHash")
     l.join(r, Seq("band", "bandHash"))
