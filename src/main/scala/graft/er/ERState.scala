@@ -192,63 +192,14 @@ object ERState {
 
   /** Single-pass summary over the state: observed-entity/isolate counts,
     * joint log-likelihood, per-(attribute, file) distortion counts, and the
-    * per-record distortion histogram (reference A12 — accumulators replaced
-    * by a deterministic mapPartitions + reduce). */
+    * per-record distortion histogram (reference A12 — the accumulator pass
+    * replaced by a typed Aggregator: exactly-once under task retry, one
+    * Dataset aggregation, empty state handled by `zero`). */
   def summarize(
       ds: Dataset[EntityCluster],
       index: Broadcast[ModelIndex],
       theta: DistortionProbs): SummaryVars = {
-    import ds.sparkSession.implicits._
-
-    ds.mapPartitions { rows =>
-      val idx = index.value
-      val nA = idx.numAttributes
-      var nObserved = 0L
-      var nIsolates = 0L
-      var logLik = 0.0
-      val aggDist = scala.collection.mutable.Map.empty[(Int, String), Long]
-      val recDist = scala.collection.mutable.Map.empty[Int, Long]
-
-      rows.foreach { c =>
-        if (c.records.isEmpty) nIsolates += 1 else nObserved += 1
-        var a = 0
-        while (a < nA) {
-          logLik += math.log(idx.attributes(a).probs(c.entityValues(a)))
-          a += 1
-        }
-        c.records.foreach { r =>
-          var nDist = 0
-          a = 0
-          while (a < nA) {
-            val x = r.values(a)
-            if (x != MissingValue) {
-              val th = theta(a, r.fileId)
-              if (r.distorted(a)) {
-                nDist += 1
-                aggDist.updateWith((a, r.fileId))(c => Some(c.getOrElse(0L) + 1))
-                logLik += math.log(th) +
-                  math.log(idx.attributes(a).distortionProb(x, c.entityValues(a)))
-              } else {
-                logLik += math.log(1.0 - th)
-              }
-            }
-            a += 1
-          }
-          recDist.updateWith(nDist)(c => Some(c.getOrElse(0L) + 1))
-        }
-      }
-      Iterator.single(SummaryVars(nObserved, nIsolates, logLik,
-        aggDist.toMap, recDist.toMap))
-    }.reduce { (x, y) =>
-      SummaryVars(
-        x.numObservedEntities + y.numObservedEntities,
-        x.numIsolates + y.numIsolates,
-        x.logLikelihood + y.logLikelihood,
-        mergeCounts(x.aggDistortions, y.aggDistortions),
-        mergeCounts(x.recDistortions, y.recDistortions))
-    }
+    val agg = new SummaryAggregator(index, theta)
+    ds.select(agg.toColumn).head()
   }
-
-  private def mergeCounts[K](a: Map[K, Long], b: Map[K, Long]): Map[K, Long] =
-    b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
 }
