@@ -45,6 +45,15 @@ object SqlSurface {
         |                   WHERE c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    // grouping sets: subtotal + grand-total rows via ROLLUP (absent in the
+    // reference; SURVEY §2.4 "free via Catalyst")
+    "q_sql_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     // CASE + HAVING + grouped expression
     "q_sql_order_buckets" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
@@ -59,6 +68,15 @@ object SqlSurface {
     sharedSql.map { case (name, text) =>
       name -> ((s: SparkSession, dir: String) => sql(s, dir, text))
     } ++ Map[String, (SparkSession, String) => DataFrame](
+      // exact interpolated quantiles (both engines use linear
+      // interpolation; the function is spelled differently)
+      "q_quantiles" -> ((s, dir) => sql(s, dir,
+        """SELECT l_returnflag,
+          |  round(percentile(l_quantity, 0.5), 4) AS median_qty,
+          |  round(percentile(l_quantity, 0.9), 4) AS p90_qty,
+          |  round(percentile(l_extendedprice, 0.5), 2) AS median_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
       // the custom codegen'd Catalyst expression through the SQL surface;
       // the oracle replicates its closed-form from DuckDB's levenshtein()
       "q_sql_lev_sim" -> ((s, dir) => sql(s, dir,
@@ -67,6 +85,13 @@ object SqlSurface {
           |FROM customer ORDER BY c_custkey""".stripMargin)))
 
   val oracles: Map[String, String] = sharedSql ++ Map(
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_sql_lev_sim" ->
       """SELECT c_custkey, round(greatest(0.0,
         |    (10.0 * (1.0 - 2.0 * d / (la + lb + d)) - 5.0) * 10.0 / 5.0), 6) AS sim
