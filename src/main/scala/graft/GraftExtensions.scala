@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.LevenshteinSim
+
+/** Session-extension entry point: makes the engine's custom expressions
+  * available on any cluster without code changes —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *
+  * (Programmatic sessions can equivalently call
+  * `LevenshteinSim.register(spark)`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("lev_sim"),
+      new ExpressionInfo(classOf[LevenshteinSim].getName, "lev_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LevenshteinSim.builder(exprs)))
+  }
+}

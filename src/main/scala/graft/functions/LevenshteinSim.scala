@@ -64,29 +64,33 @@ object LevenshteinSim {
   private def expr(c: Column): Expression =
     org.apache.spark.sql.GraftExpressionBridge.expression(c)
 
+  /** Expression builder shared by the temp-function registration and the
+    * SparkSessionExtensions injection (graft.GraftExtensions). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    def litD(e: Expression, name: String): Double = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.value match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"$name must be a numeric literal, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name must be a literal, got $other")
+    }
+    exprs match {
+      case Seq(a, b) => LevenshteinSim(a, b, 7.0, 10.0)
+      case Seq(a, b, t) => LevenshteinSim(a, b, litD(t, "threshold"), 10.0)
+      case Seq(a, b, t, m) =>
+        LevenshteinSim(a, b, litD(t, "threshold"), litD(m, "maxSim"))
+      case _ => throw new IllegalArgumentException(
+        "lev_sim expects 2-4 arguments")
+    }
+  }
+
   /** SQL registration: lev_sim(a, b[, threshold[, maxSim]]). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("lev_sim",
-      { exprs =>
-        def litD(e: Expression, name: String): Double = e match {
-          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-            l.value match {
-              case d: java.lang.Double => d.doubleValue()
-              case d: org.apache.spark.sql.types.Decimal => d.toDouble
-              case n: Number => n.doubleValue()
-              case other => throw new IllegalArgumentException(
-                s"$name must be a numeric literal, got $other")
-            }
-          case other => throw new IllegalArgumentException(
-            s"$name must be a literal, got $other")
-        }
-        exprs match {
-          case Seq(a, b) => LevenshteinSim(a, b, 7.0, 10.0)
-          case Seq(a, b, t) => LevenshteinSim(a, b, litD(t, "threshold"), 10.0)
-          case Seq(a, b, t, m) =>
-            LevenshteinSim(a, b, litD(t, "threshold"), litD(m, "maxSim"))
-          case _ => throw new IllegalArgumentException(
-            "lev_sim expects 2-4 arguments")
-        }
-      }, "scala_udf")
+      builder(_), "scala_udf")
 }
