@@ -51,11 +51,15 @@ final class ERState private (
       }).toMap)
   }
 
-  /** One Markov transition: θ draw → per-partition Gibbs sweep inside
-    * flatMapGroups (shuffles once on the new partition keys) → summary
-    * aggregation (the single action). */
-  def step(): ERState = {
-    val it = iteration + 1
+  /** One Markov transition block: θ draw → `innerSweeps` per-partition
+    * Gibbs sweeps inside a single flatMapGroups (one shuffle on the new
+    * partition keys) → summary aggregation (one action). innerSweeps=1 is
+    * the reference cadence; larger blocks amortize shuffle + scheduling
+    * cost k-fold at the price of k-sweep-stale entity placement and θ
+    * (see GibbsKernel.sweepMany). */
+  def step(innerSweeps: Int = 1): ERState = {
+    require(innerSweeps >= 1)
+    val it = iteration + innerSweeps
     val driverRng = new SplittableRandom(Rng.seedFor(baseSeed, it, -1L))
     val newTheta = resampleTheta(driverRng)
 
@@ -63,12 +67,14 @@ final class ERState private (
     val part = partitioner
     val kind = samplerKind
     val seed = baseSeed
+    val sweepIters = (iteration + 1) to it
 
     val next = clusters
       .groupByKey(_.partitionId)
       .flatMapGroups { (pid: Int, rows: Iterator[EntityCluster]) =>
-        val rng = new SplittableRandom(Rng.seedFor(seed, it, pid.toLong))
-        GibbsKernel.sweep(rows.toArray, idxB.value, part, newTheta, rng, kind)
+        val rngs = sweepIters.map(j =>
+          new SplittableRandom(Rng.seedFor(seed, j, pid.toLong)))
+        GibbsKernel.sweepMany(rows.toArray, idxB.value, part, newTheta, rngs, kind)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -102,14 +102,30 @@ object GibbsKernel {
       partitioner: EntityPartitioner,
       theta: DistortionProbs,
       rng: SplittableRandom,
+      kind: SamplerKind): Iterator[EntityCluster] =
+    sweepMany(clusters, index, partitioner, theta, Seq(rng), kind)
+
+  /** Blocked sweeps: run one in-memory sweep per supplied RNG before
+    * re-keying — entities move partitions only at the block boundary, so a
+    * block of k sweeps costs ONE shuffle and one action instead of k.
+    * Partitioned ER already restricts links to partition-local entities
+    * (the d-blink approximation); holding entity placement fixed within a
+    * block is the same approximation class, and k=1 reproduces the
+    * reference cadence exactly. */
+  def sweepMany(
+      clusters: Array[EntityCluster],
+      index: ModelIndex,
+      partitioner: EntityPartitioner,
+      theta: DistortionProbs,
+      rngs: Seq[SplittableRandom],
       kind: SamplerKind): Iterator[EntityCluster] = {
 
     val st = PartitionState.fromClusters(clusters)
-    val nA = index.numAttributes
-
-    updateAssignments(st, index, theta, rng, kind)
-    updateEntityValues(st, index, theta, rng, kind == PCG2)
-    updateDistortions(st, index, theta, rng)
+    rngs.foreach { rng =>
+      updateAssignments(st, index, theta, rng, kind)
+      updateEntityValues(st, index, theta, rng, kind == PCG2)
+      updateDistortions(st, index, theta, rng)
+    }
 
     // Re-key each cluster by its (possibly changed) entity values.
     val out = ArrayBuffer.empty[EntityCluster]

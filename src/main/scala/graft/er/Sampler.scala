@@ -30,6 +30,10 @@ object Sampler {
     * chain layout (BufferedRDDWriter.scala:44-50). When no path is given
     * the thinned samples are unioned into an in-memory Dataset.
     */
+  /** `sweepsPerJob` > 1 runs blocked sweeps (GibbsKernel.sweepMany): k
+    * sweeps per shuffle+action. Samples/diagnostics are only observable at
+    * block boundaries, so pick a value dividing `thin` (and `burnIn`) to
+    * keep the recorded-sample count unchanged. */
   def run(
       init: ERState,
       numSweeps: Int,
@@ -37,7 +41,8 @@ object Sampler {
       thin: Int = 1,
       chainPath: Option[String] = None,
       checkpointEvery: Int = 10,
-      writeBufferSize: Int = 10): Result = {
+      writeBufferSize: Int = 10,
+      sweepsPerJob: Int = 1): Result = {
 
     val t0 = System.currentTimeMillis()
     var state = init
@@ -58,10 +63,16 @@ object Sampler {
       }
     }
 
-    var sweep = 1
-    while (sweep <= numSweeps) {
-      state = state.step()
-      if (sweep % checkpointEvery == 0) state = state.checkpointed()
+    var sweep = 0
+    var lastCheckpoint = 0
+    while (sweep < numSweeps) {
+      val k = math.min(sweepsPerJob, numSweeps - sweep)
+      state = state.step(k)
+      sweep += k
+      if (sweep - lastCheckpoint >= checkpointEvery) {
+        state = state.checkpointed()
+        lastCheckpoint = sweep
+      }
       if (sweep > burnIn && (sweep - burnIn) % thin == 0) {
         // Materialize the sample now (eager localCheckpoint): the state it
         // reads is about to be unpersisted by the next step, and keeping
@@ -74,7 +85,6 @@ object Sampler {
           s.numObservedEntities, s.numIsolates, s.logLikelihood,
           s.aggDistortions, s.recDistortions)
       }
-      sweep += 1
     }
     flush()
 

@@ -118,7 +118,10 @@ object Clustering {
 
     val init = ERState.initialize(s, records, "rid", None, specs,
       _ => SinglePartition, seed = 42L)
-    val result = Sampler.run(init, numSweeps = 16, burnIn = 4, thin = 3)
+    // blocked sweeps: 4 sweeps per shuffle/action — 4 Spark jobs for the
+    // whole chain instead of 16
+    val result = Sampler.run(init, numSweeps = 16, burnIn = 4, thin = 4,
+      sweepsPerJob = 4)
 
     val smpc = Analysis.sharedMostProbableClusters(result.chain.get)
     val pred = Analysis.membershipFromClusters(smpc.select("records"), "records")

@@ -107,6 +107,26 @@ class EREndToEndSpec extends AnyFunSuite {
     assert(s1 == s2, "one-step summaries differ under identical seeds")
   }
 
+  test("blocked sweeps (sweepsPerJob > 1) keep cadence and records") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i =>
+      (s"r$i", firstNames(i % firstNames.length), (1950 + i % 10).toString))
+    val df = rows.toDF("rec_id", "fname", "by")
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+      AttributeSpec("by", ConstantSimilarity, BetaParams(0.5, 50.0)))
+    val init = ERState.initialize(spark, df, "rec_id", None, specs,
+      _ => SinglePartition, seed = 21L)
+    val res = Sampler.run(init, numSweeps = 12, burnIn = 4, thin = 4,
+      sweepsPerJob = 4)
+    assert(res.state.iteration == 12L)
+    val chain = res.chain.get
+    assert(chain.select("iteration").distinct().count() == 2) // sweeps 8, 12
+    val ids = chain.collect().filter(_.iteration == 12L)
+      .flatMap(_.linkageStructure.flatten).sorted
+    assert(ids.toSeq == rows.map(_._1).sorted)
+  }
+
   test("multi-file records get per-file distortion probabilities") {
     import spark.implicits._
     val rows = (0 until 40).map { i =>
