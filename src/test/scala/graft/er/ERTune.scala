@@ -74,10 +74,12 @@ object ERTune {
         AttributeSpec("bd", ConstantSimilarity, BetaParams(0.5, 50.0)))
       var st = ERState.initialize(spark, df, "rec_id", None, specs,
         idx => KDTreePartitioner.fit(idx, Seq(0), 1), seed = 319158L)
-      println(s"== rl10k records=${df.count()} partitions=2")
+      val block = if (args.contains("blocked")) 5 else 1
+      println(s"== rl10k records=${df.count()} partitions=2 block=$block")
       val t0 = System.nanoTime()
-      (1 to 300).foreach { i =>
-        st = st.step()
+      (1 to 300 / block).foreach { i0 =>
+        val i = i0 * block
+        st = st.step(block)
         if (i % 10 == 0) st = st.checkpointed()
         if (i % 50 == 0) {
           val pred = Analysis.membershipFromClusters(
