@@ -61,7 +61,12 @@ object TextAnalysis {
     val mwl = meanWordLength(textCol)
     val wordScore = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
     val stopScore = least(stopwordRatio(textCol) * 5.0, lit(1.0))
-    round((lenScore + punctScore + wordScore + stopScore) / 4.0, 4)
+    // +1e-9 before rounding: component ratios are small-denominator
+    // rationals, so the mean often lands exactly on a decimal rounding
+    // boundary (e.g. 0.59625), where Spark (rounds the shortest decimal
+    // repr) and DuckDB (rounds the binary value) disagree. The epsilon
+    // pushes boundary values consistently up on both engines.
+    round((lenScore + punctScore + wordScore + stopScore) / 4.0 + 1e-9, 4)
   }
 
   /** Language identification by stopword-hit ratio across the built-in
@@ -101,7 +106,7 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars_computed"),
       tokenCount(col(textCol)).as("n_tokens"),
       subwordCountEstimate(col(textCol)).as("n_subwords"),
-      round(meanWordLength(col(textCol)), 4).as("mean_word_len"),
+      round(meanWordLength(col(textCol)) + 1e-9, 4).as("mean_word_len"),
       punctCount(col(textCol)).as("n_punct"),
       qualityScore(col(textCol)).as("quality"),
       detectLanguage(col(textCol)).as("lang_pred"),

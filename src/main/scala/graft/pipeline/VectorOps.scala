@@ -17,12 +17,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
 
-  /** Dot product of two float-array columns (promoted to double). */
+  /** Dot product of two float-array columns. Elements are promoted to
+    * double BEFORE the multiply and summed by a sequential left fold —
+    * the exact operation order DuckDB's `list_transform` + `list_reduce`
+    * performs, so cross-engine results are bitwise identical (float
+    * multiply-then-promote would differ in the last ulp). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -44,6 +51,65 @@ object VectorOps {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Squared L2 distance between two float-array columns (double-promoted
+    * sequential fold — same cross-engine determinism contract as `dot`). */
+  def l2DistSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** IVF (inverted-file) approximate nearest neighbor — the indexed scale
+    * path beyond brute force. The corpus is coarse-quantized into cells
+    * (nearest centroid by L2); each query probes only its `nprobe`
+    * nearest cells, so the candidate join touches ~nprobe/numCentroids of
+    * the corpus instead of all of it.
+    *
+    * Centroids here are taken deterministically from the corpus
+    * (`id < numCentroids`) so the whole pipeline is reproducible
+    * relational algebra (and therefore DuckDB-oracle-checkable); swap in
+    * k-means|| centroids at scale without changing the dataflow. The
+    * centroid side of both distance joins is broadcast (numCentroids ~
+    * sqrt(corpus) rows); the only real shuffle is the cell-key equi-join,
+    * which is the point of IVF.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+    val cen = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cenId"), col(vecCol).as("cenVec"))
+    // corpus → owning cell (argmin L2, centroid id as tiebreak)
+    val wAssign = Window.partitionBy(col("cid"))
+      .orderBy(col("distSq").asc, col("cenId").asc)
+    val cells = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .join(broadcast(cen))
+      .select(col("cid"), col("cvec"), col("cenId"),
+        l2DistSq(col("cvec"), col("cenVec")).as("distSq"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("cvec"), col("cenId").as("cell"))
+    // query → nprobe nearest cells
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("distSq").asc, col("cenId").asc)
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .join(broadcast(cen))
+      .select(col("qid"), col("qvec"), col("cenId"),
+        l2DistSq(col("qvec"), col("cenVec")).as("distSq"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cenId").as("cell"))
+    // search only the probed cells
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    probed.join(cells, "cell")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
   }
 

@@ -45,17 +45,32 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
-    // Full text-analysis profile: quality score, language id,
-    // fingerprint (rows-only: heuristic + xxhash internals).
+    // Full text-analysis profile: token/subword counts, quality score,
+    // language id — all deterministic column algebra, oracle-checked.
+    // (The xxhash-based fingerprint columns live in q_doc_fingerprint.)
     "q_doc_profile" -> ((s, dir) =>
       TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+        .drop("fingerprint", "n_winnowed")
         .orderBy("doc_id")),
 
-    // MinHash+LSH near-dup detection on planted duplicates (rows-only).
-    // Emits one row per surviving near-dup pair.
+    // Document fingerprints (rows-only: xxhash64 internals have no DuckDB
+    // equivalent).
+    "q_doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint"), col("n_winnowed"))
+        .orderBy("doc_id")),
+
+    // MinHash+LSH near-dup detection on planted duplicates, then EXACT
+    // Jaccard verification — candidate-generate + verify, the shape that
+    // scales to 100TB. Because verification is exact and the band config
+    // (32 bands x 4 rows) has ~5e-8 miss probability at the 0.8
+    // threshold, the output equals the full all-pairs answer and is
+    // oracle-checked against a DuckDB sparse shingle-join.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
-      Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8,
+          shingleSize = 3, bands = 32, rowsPerBand = 4)
+        .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 6).as("jaccard"))
         .orderBy("a", "b")
     }),
 
@@ -73,7 +88,7 @@ object Pipeline {
       val pairs = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
         .filter(col("b") < 50)
       Dedup.charNgramJaccard(t(s, dir, "documents"), pairs, "doc_id", "text")
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 6).as("jaccard"))
         .orderBy("a", "b")
     }),
 
@@ -97,12 +112,25 @@ object Pipeline {
         .orderBy("label")
     }),
 
-    // Brute-force exact cosine top-k (rows-only: rank boundaries are
-    // float-sensitive across engines).
+    // Brute-force exact cosine top-k, oracle-checked: both engines
+    // promote float->double before multiplying and sum with a sequential
+    // left fold, so cosines (and therefore ranks) are bitwise identical.
     "q_ann_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 5)
       VectorOps.bruteForceTopK(emb, queriesDf, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF ANN: coarse-quantize the corpus into cells, probe the 3 nearest
+    // cells per query, top-k within. Deterministic centroid choice makes
+    // the whole index + search pipeline relational algebra — the oracle
+    // replays it exactly in DuckDB.
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", numCentroids = 16, nprobe = 3, k = 5)
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
         .orderBy("qid", "rank")
     }),
@@ -164,7 +192,7 @@ object Pipeline {
         |          WHERE doc_id < 49)
         |SELECT a, b, round(
         |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
-        |  len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+        |  len(list_distinct(list_concat(ga.g, gb.g))) + 1e-9, 6) AS jaccard
         |FROM pairs JOIN grams ga ON pairs.a = ga.doc_id
         |           JOIN grams gb ON pairs.b = gb.doc_id
         |ORDER BY a, b""".stripMargin,
@@ -179,6 +207,146 @@ object Pipeline {
         |  round(avg(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // Exact top-k with bitwise-identical double arithmetic (see query).
+    "q_ann_bruteforce_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT qid, e.vec_id AS cid, round(
+        |    list_reduce(list_transform(list_zip(e.v, q.qv),
+        |      p -> p[1] * p[2]), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+        |       (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+        |       (a, b) -> a + b))), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, cid, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // IVF replayed relationally: same centroid set, same argmin cell
+    // assignment, same probe set, same in-cell top-k.
+    "q_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cen AS (SELECT vec_id AS cen_id, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id AS cid, e.v AS cvec, cen_id, row_number() OVER
+        |    (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(e.v, cen.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM e, cen),
+        |cells AS (SELECT cid, cvec, cen_id AS cell FROM asg WHERE rk = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, e.v AS qvec, cen_id, row_number() OVER
+        |    (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(e.v, cen.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM e, cen WHERE e.vec_id < 5),
+        |probed AS (SELECT qid, qvec, cen_id AS cell FROM qp WHERE rk <= 3),
+        |scored AS (
+        |  SELECT qid, cid, round(
+        |    list_reduce(list_transform(list_zip(cvec, qvec),
+        |      p -> p[1] * p[2]), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_transform(cvec, x -> x * x),
+        |       (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_transform(qvec, x -> x * x),
+        |       (a, b) -> a + b))), 6) AS cosine
+        |  FROM probed JOIN cells USING (cell) WHERE cid <> qid),
+        |ranked AS (SELECT qid, cid, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // All near-dup pairs at Jaccard >= 0.8 over word 3-shingle sets, via
+    // a sparse shingle join (pairs sharing no shingle have J = 0 and
+    // can't qualify). The Spark side reaches the same answer through
+    // MinHash LSH candidates + exact verification.
+    "q_dedup_minhash_lsh" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM docs),
+        |sz AS (SELECT doc_id, len(g) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i) + 1e-9, 6) AS jaccard
+        |FROM inter JOIN sz sa ON inter.a = sa.doc_id
+        |           JOIN sz sb ON inter.b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    // Profile columns re-derived in DuckDB; language id picks the max
+    // (hits, lang) struct exactly like Spark's greatest(struct(...)).
+    "q_doc_profile" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    string_split_regex(trim(text), '\s+') AS wtoks,
+        |    length(text) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\.,;:!\?]', '', 'g')) AS INTEGER) AS np
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, nc, np,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(wtoks) AS INTEGER) END AS n_tokens,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(list_sum(list_transform(wtoks,
+        |           w -> CAST(ceil(length(w) / 4.0) AS INTEGER)))
+        |           AS INTEGER) END AS n_subwords,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(wtoks,
+        |           w -> length(w))) AS DOUBLE) / len(wtoks) END AS mwl,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is',
+        |      'it','that','for'])) AS h_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','ein',
+        |      'zu','in','den','mit'])) AS h_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','un',
+        |      'une','de','dans','pour'])) AS h_fr,
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una',
+        |      'de','en','por'])) AS h_es,
+        |    len(toks) AS ntk
+        |  FROM p)
+        |SELECT doc_id, nc AS n_chars_computed, n_tokens, n_subwords,
+        |  round(mwl + 1e-9, 4) AS mean_word_len, np AS n_punct,
+        |  round((least(CAST(nc AS DOUBLE) / 200.0, 1.0)
+        |    + (1.0 - least(CAST(np AS DOUBLE) / greatest(nc, 1) * 10.0, 1.0))
+        |    + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        |    + least((CASE WHEN ntk = 0 THEN 0.0
+        |             ELSE CAST(h_en AS DOUBLE) / ntk END) * 5.0, 1.0))
+        |    / 4.0 + 1e-9, 4) AS quality,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) > 0
+        |       THEN list_max([{'h': h_de, 'l': 'de'}, {'h': h_en, 'l': 'en'},
+        |         {'h': h_es, 'l': 'es'}, {'h': h_fr, 'l': 'fr'}]).l
+        |       ELSE 'und' END AS lang_pred
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_pipeline" ->
       """SELECT doc_id AS mediaId, CAST(strlen(text) AS INTEGER) AS byteLen,

@@ -62,21 +62,54 @@ object SqlSurface {
         |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
         |FROM orders
         |GROUP BY bucket HAVING count(*) > 10
-        |ORDER BY bucket""".stripMargin)
+        |ORDER BY bucket""".stripMargin,
+
+    // exact interpolated quantiles, spelled as explicit rank
+    // interpolation instead of percentile()/quantile_cont() so both
+    // engines execute the *same* IEEE operations (the built-ins use
+    // different interpolation formulas that differ in the last ulp and
+    // flip rounding at decimal boundaries like 52724.245). The +1e-9
+    // pushes decimal-exact half-way values consistently up on both
+    // engines (Spark rounds the shortest decimal repr, DuckDB the
+    // binary value).
+    "q_quantiles" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS v,
+        |    0.5 AS p, 'median_qty' AS m FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE),
+        |    0.9, 'p90_qty' FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE),
+        |    0.5, 'median_price' FROM lineitem),
+        |r AS (
+        |  SELECT rf, m, p, v,
+        |    CAST(row_number() OVER (PARTITION BY rf, m ORDER BY v)
+        |      AS DOUBLE) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY rf, m) AS DOUBLE) AS n
+        |  FROM src),
+        |pick AS (
+        |  SELECT rf, m,
+        |    sum(CASE WHEN rn = floor(1 + (n - 1) * p) THEN v END) AS lov,
+        |    sum(CASE WHEN rn = floor(1 + (n - 1) * p) + 1 THEN v END) AS hiv,
+        |    max(1 + (n - 1) * p - floor(1 + (n - 1) * p)) AS g
+        |  FROM r GROUP BY rf, m),
+        |vals AS (
+        |  SELECT rf, m, lov + g * (coalesce(hiv, lov) - lov) AS val
+        |  FROM pick)
+        |SELECT rf AS l_returnflag,
+        |  round(max(CASE WHEN m = 'median_qty' THEN val END) + 1e-9, 4)
+        |    AS median_qty,
+        |  round(max(CASE WHEN m = 'p90_qty' THEN val END) + 1e-9, 4)
+        |    AS p90_qty,
+        |  round(max(CASE WHEN m = 'median_price' THEN val END) + 1e-9, 2)
+        |    AS median_price
+        |FROM vals GROUP BY rf ORDER BY rf""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     sharedSql.map { case (name, text) =>
       name -> ((s: SparkSession, dir: String) => sql(s, dir, text))
     } ++ Map[String, (SparkSession, String) => DataFrame](
-      // exact interpolated quantiles (both engines use linear
-      // interpolation; the function is spelled differently)
-      "q_quantiles" -> ((s, dir) => sql(s, dir,
-        """SELECT l_returnflag,
-          |  round(percentile(l_quantity, 0.5), 4) AS median_qty,
-          |  round(percentile(l_quantity, 0.9), 4) AS p90_qty,
-          |  round(percentile(l_extendedprice, 0.5), 2) AS median_price
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-
       // the custom codegen'd Catalyst expression through the SQL surface;
       // the oracle replicates its closed-form from DuckDB's levenshtein()
       "q_sql_lev_sim" -> ((s, dir) => sql(s, dir,
@@ -85,13 +118,6 @@ object SqlSurface {
           |FROM customer ORDER BY c_custkey""".stripMargin)))
 
   val oracles: Map[String, String] = sharedSql ++ Map(
-    "q_quantiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
     "q_sql_lev_sim" ->
       """SELECT c_custkey, round(greatest(0.0,
         |    (10.0 * (1.0 - 2.0 * d / (la + lb + d)) - 5.0) * 10.0 / 5.0), 6) AS sim

@@ -137,4 +137,36 @@ class PipelineSpec extends AnyFunSuite {
     val resized = Multimodal.resizePayload(media, 16).collect()
     assert(resized.forall(_.payload.length == 16))
   }
+
+  test("IVF top-k: agrees with brute force when every cell is probed") {
+    // 24 deterministic 8-dim vectors; 4 centroids, probe all 4 cells →
+    // IVF must return exactly the brute-force answer.
+    val vecs = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 131 + d * 17).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 3)
+    val ivf = VectorOps.ivfTopK(vecs, qs, "vec_id", "embedding",
+        numCentroids = 4, nprobe = 4, k = 3)
+      .select("qid", "rank", "cid").as[(Long, Int, Long)].collect().toSet
+    val bf = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", k = 3)
+      .select("qid", "rank", "cid").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == bf)
+    assert(ivf.size == 9)                    // 3 queries × k=3
+    assert(!ivf.exists(r => r._1 == r._3))   // no self-matches
+  }
+
+  test("IVF top-k: nprobe=1 searches only the query's own cell") {
+    val vecs = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 131 + d * 17).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 3)
+    val res = VectorOps.ivfTopK(vecs, qs, "vec_id", "embedding",
+        numCentroids = 4, nprobe = 1, k = 20)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    // every returned candidate shares the query's cell: with 24 vectors in
+    // 4 cells, a single probed cell can never return all 23 others
+    val perQ = res.groupBy(_._1).view.mapValues(_.length)
+    assert(perQ.values.forall(_ < 23))
+    assert(perQ.values.forall(_ >= 1))
+  }
 }
