@@ -152,8 +152,18 @@ object AttributeIndex {
       .agg(count(lit(1)).as("n"))
       .as[(String, Long)]
       .collect()
-      .sortBy(_._1)
+    fromCounts(spark, counted, attrId, spec)
+  }
 
+  /** Build from already-collected (value, count) pairs — lets the caller
+    * compute every attribute's dictionary in ONE grouped aggregation
+    * (melt + groupBy) instead of one Spark job per attribute. */
+  def fromCounts(
+      spark: SparkSession,
+      countedUnsorted: Array[(String, Long)],
+      attrId: Int,
+      spec: AttributeSpec): AttributeIndex = {
+    val counted = countedUnsorted.sortBy(_._1)
     val values = counted.map(_._1)
     val counts = counted.map(_._2)
     val n = values.length
@@ -269,8 +279,20 @@ object ModelIndex {
       }
     }.toMap
 
+    // all dictionaries in one melt + grouped count (single shuffle),
+    // instead of one groupBy/collect job per attribute
+    val melted = records
+      .select(posexplode(array(
+        specs.map(s => col(s.name).cast("string")): _*)).as(Seq("aid", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("aid"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Int, String, Long)]
+      .collect()
+    val byAttr = melted.groupBy(_._1)
     val attrs = specs.zipWithIndex.map { case (s, i) =>
-      AttributeIndex.build(spark, records.select(col(s.name)), i, s)
+      AttributeIndex.fromCounts(spark,
+        byAttr.getOrElse(i, Array.empty).map(t => (t._2, t._3)), i, s)
     }.toIndexedSeq
 
     new ModelIndex(attrs, fileSizes, observed, fileSizes.values.sum)

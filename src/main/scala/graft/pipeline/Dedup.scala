@@ -33,6 +33,15 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
   }
 
+  private def fanOut(df: DataFrame): DataFrame = graft.Tables.fanOut(df)
+
+  /** (docId, shingle-array) projection — the shared upstream of both the
+    * LSH banding and the exact verification stages. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    fanOut(docs).select(col(idCol).as("docId"),
+      shingles(col(textCol), shingleSize).as("sh"))
+
   /** Remix of a base hash under seed i — the i-th "permutation" for
     * MinHash from a single string-hash pass. xxhash64 over the 8-byte
     * long is native + codegen'd and gives independent functions per seed
@@ -53,14 +62,11 @@ object Dedup {
       array_min(transform(shingleHashCol, h => remix(h, i)))
     }: _*)
 
-  /** LSH banding: docs sharing any (bandIndex, bandHash) bucket are
-    * candidate near-duplicates. bands × rowsPerBand must equal the
-    * signature length. Returns (docId, band, bandHash). */
-  def lshBands(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    docs
-      .select(col(idCol).as("docId"),
-        shingles(col(textCol), shingleSize).as("sh"))
+  /** LSH banding from a precomputed shingle table: (docId, band,
+    * bandHash). bands × rowsPerBand must equal the signature length. */
+  def lshBandsFromShingles(shingleDf: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    shingleDf
       .select(col("docId"), transform(col("sh"), s => xxhash64(s)).as("shHash"))
       .select(col("docId"),
         minHashSignature(col("shHash"), bands * rowsPerBand).as("sig"))
@@ -71,6 +77,13 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandHash")
   }
+
+  /** LSH banding: docs sharing any (bandIndex, bandHash) bucket are
+    * candidate near-duplicates. */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    lshBandsFromShingles(shingleTable(docs, idCol, textCol, shingleSize),
+      bands, rowsPerBand)
 
   /** Candidate pairs from LSH buckets (distinct, canonicalized a < b).
     * The self-join shuffles once on the bucket key; bucket skew is bounded
@@ -93,8 +106,7 @@ object Dedup {
     * the verification stage after LSH candidate generation. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("docId"),
-      shingles(col(textCol), shingleSize).as("sh"))
+    val sh = shingleTable(docs, idCol, textCol, shingleSize)
     pairs
       .join(sh.toDF("a", "shA"), "a")
       .join(sh.toDF("b", "shB"), "b")
@@ -103,12 +115,29 @@ object Dedup {
           size(array_union(col("shA"), col("shB")))).as("jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate pairs above a Jaccard threshold. */
+  /** MinHash+LSH near-duplicate pairs above a Jaccard threshold.
+    *
+    * The shingle table is computed ONCE and persisted: the band/bucket
+    * stage consumes its hashes, and the exact-verification stage joins
+    * the same arrays back — without this the most expensive projection
+    * (tokenize + shingle every document) runs twice. */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
-    verifyJaccard(docs, cands, idCol, textCol, shingleSize)
+    val sh = shingleTable(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = lshBandsFromShingles(sh, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = b.toDF("a", "band", "bandHash")
+      .join(b.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cands
+      .join(sh.toDF("a", "shA"), "a")
+      .join(sh.toDF("b", "shB"), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -129,7 +158,7 @@ object Dedup {
 
   /** (id, simhash) for every document — tokenize+hash once, then fold. */
   def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("docId"),
+    fanOut(docs).select(col(idCol).as("docId"),
       transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
       .select(col("docId"), simHashFromHashes(col("th")).as("sig"))
 
@@ -172,7 +201,7 @@ object Dedup {
   /** Character n-gram Jaccard similarity between given id pairs. */
   def charNgramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val g2 = docs.select(col(idCol).as("docId"),
+    val g2 = fanOut(docs).select(col(idCol).as("docId"),
       array_distinct(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => col(textCol).substr(i, lit(n)))).as("g"))

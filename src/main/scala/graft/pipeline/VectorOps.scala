@@ -43,7 +43,8 @@ object VectorOps {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val c = graft.Tables.fanOut(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
@@ -85,7 +86,8 @@ object VectorOps {
     // corpus → owning cell (argmin L2, centroid id as tiebreak)
     val wAssign = Window.partitionBy(col("cid"))
       .orderBy(col("distSq").asc, col("cenId").asc)
-    val cells = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val cells = graft.Tables.fanOut(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .join(broadcast(cen))
       .select(col("cid"), col("cvec"), col("cenId"),
         l2DistSq(col("cvec"), col("cenVec")).as("distSq"))
@@ -137,11 +139,17 @@ object VectorOps {
   def lshNeighborPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int = 12, minCosine: Double = 0.8, probes: Int = 2): DataFrame = {
-    val sketches = (0 until probes).map { seed =>
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        hyperplaneSketch(col(vecCol), bits, seed).as("bucket"),
-        lit(seed).as("probe"))
-    }.reduce(_ unionAll _)
+    // all probe sketches in ONE pass over the corpus (posexplode), then
+    // persist: the bucket self-join consumes the table twice, and the
+    // sketch projection is the expensive part
+    val sketches = graft.Tables.fanOut(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(array((0 until probes).map(seed =>
+          hyperplaneSketch(col(vecCol), bits, seed)): _*)))
+      .withColumnRenamed("pos", "probe")
+      .withColumnRenamed("col", "bucket")
+      .select(col("id"), col("vec"), col("bucket"), col("probe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = sketches.toDF("a", "va", "bucket", "probe")
     val r = sketches.toDF("b", "vb", "bucket", "probe")
     l.join(r, Seq("probe", "bucket"))

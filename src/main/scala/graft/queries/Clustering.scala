@@ -108,7 +108,11 @@ object Clustering {
         concat(substring(col("name"), 1, 2), lit("X"),
           substring(col("name"), 4, 100)).as("name"),
         col("nation"), col("segment"))
+    // persist: downstream (stats pass, per-attribute dictionary builds,
+    // encode, truth join) would otherwise re-run the sort+limit over the
+    // full customer scan once per job
     val records = base.unionAll(dups)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val prior = BetaParams(0.5, 50.0)
     val specs = Seq(

@@ -26,4 +26,13 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Fan a small-but-CPU-heavy input out to every core before an
+    * expensive per-row projection. Small compressed scans are often a
+    * single parquet row group (one split), which would serialize the
+    * downstream compute onto one task; the round-robin shuffle costs far
+    * less than the work it parallelizes, at any cluster size (AQE
+    * coalesces when the input is already wide). */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
