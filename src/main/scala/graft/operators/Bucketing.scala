@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-located joins — the zero-shuffle scale path for
+  * repeated large-×-large equi-joins (fact-to-fact, e.g. lineitem ⋈
+  * orders at 100 TB).
+  *
+  * Writing both sides `bucketBy(n, key)` + `sortBy(key)` once means every
+  * subsequent join on that key needs NO Exchange and NO Sort: each task
+  * zips bucket i of both tables (hash-partitioned identically at write
+  * time). At cluster scale this converts the recurring per-query shuffle
+  * of the biggest tables into a one-time write cost — the same trade the
+  * reference makes by keeping its sampler state co-partitioned across
+  * sweeps (dblink `Partitions` RDD, partitioning/KDTreePartitioner).
+  *
+  * Uses the session catalog's default warehouse; callers set
+  * `spark.sql.warehouse.dir` for an explicit location.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed+sorted managed table (overwrite). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key. With equal bucket
+    * counts the physical plan is a SortMergeJoin with neither Exchange
+    * nor Sort on either side. */
+  def bucketedEquiJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** True iff the executed plan of `df` contains no shuffle exchange —
+    * the co-location assertion used by tests and plan audits. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+}
