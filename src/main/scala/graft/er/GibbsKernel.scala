@@ -328,17 +328,53 @@ object GibbsKernel {
 
     var m = 0
     var pinned = MissingValue
-    val distortedXs = ArrayBuffer.empty[Int]
-    linked.foreach { r =>
-      val rec = st.records(r)
+    var x0 = MissingValue
+    var distortedXs: ArrayBuffer[Int] = null
+    var li = 0
+    while (li < linked.length) {
+      val rec = st.records(linked(li))
       val x = rec.values(a)
       if (x != MissingValue) {
         if (!rec.distorted(a)) pinned = x
-        else { m += 1; distortedXs += x }
+        else {
+          m += 1
+          if (m == 1) x0 = x
+          else {
+            if (distortedXs == null) distortedXs = ArrayBuffer(x0)
+            distortedXs += x
+          }
+        }
       }
+      li += 1
     }
     if (pinned != MissingValue) return pinned
     if (m == 0) return attr.samplePowered(0, rng)
+
+    if (m == 1) {
+      // fast path for the overwhelmingly common single-distorted-link
+      // case: support is {x0} ∪ neighbors(x0), already materialized as
+      // arrays — no boxed map, no per-draw allocations beyond the two
+      // weight arrays
+      val ns = attr.neighbors(x0)
+      val es = attr.neighborExpSims(x0)
+      val support = new Array[Int](ns.length + 1)
+      val pertW = new Array[Double](ns.length + 1)
+      support(0) = x0
+      pertW(0) = attr.baseWeight(1, x0) *
+        (math.exp(attr.similarity.maxSimilarity) - 1.0)
+      var s = pertW(0)
+      var i = 0
+      while (i < ns.length) {
+        support(i + 1) = ns(i)
+        val w = attr.baseWeight(1, ns(i)) * (es(i) - 1.0)
+        pertW(i + 1) = w
+        s += w
+        i += 1
+      }
+      val t1 = attr.poweredTotal(1)
+      return if (rng.nextDouble() * (t1 + s) < t1) attr.samplePowered(1, rng)
+      else support(sampleCategorical(pertW, rng))
+    }
 
     // Perturbation support: values where Π exp(sim(x_i, y)) > 1.
     val factor = new java.util.HashMap[Integer, java.lang.Double]()
@@ -388,15 +424,56 @@ object GibbsKernel {
       theta: DistortionProbs,
       rng: SplittableRandom): Int = {
 
-    val xs = ArrayBuffer.empty[Int]
-    val ths = ArrayBuffer.empty[Double]
-    linked.foreach { r =>
-      val rec = st.records(r)
+    var m = 0
+    var x0 = MissingValue
+    var th0 = 0.0
+    var xs: ArrayBuffer[Int] = null
+    var ths: ArrayBuffer[Double] = null
+    var li = 0
+    while (li < linked.length) {
+      val rec = st.records(linked(li))
       val x = rec.values(a)
-      if (x != MissingValue) { xs += x; ths += theta(a, rec.fileId) }
+      if (x != MissingValue) {
+        val th = theta(a, rec.fileId)
+        m += 1
+        if (m == 1) { x0 = x; th0 = th }
+        else {
+          if (xs == null) { xs = ArrayBuffer(x0); ths = ArrayBuffer(th0) }
+          xs += x; ths += th
+        }
+      }
+      li += 1
     }
-    val m = xs.length
     if (m == 0) return attr.samplePowered(0, rng)
+
+    if (m == 1) {
+      // single observed link: support {x0} ∪ neighbors(x0) as arrays,
+      // factors from the precomputed neighbor exp-sims — no boxed set
+      val c = th0 * attr.probs(x0)
+      val ns = attr.neighbors(x0)
+      val es = attr.neighborExpSims(x0)
+      val support = new Array[Int](ns.length + 1)
+      val pertW = new Array[Double](ns.length + 1)
+      var s = 0.0
+      var j = 0
+      while (j < ns.length + 1) {
+        val y = if (j == 0) x0 else ns(j - 1)
+        val zy = attr.simNorms(y)
+        val expSim = if (j == 0) math.exp(attr.similarity.maxSimilarity)
+          else es(j - 1)
+        val hit = if (j == 0) 1.0 - th0 else 0.0
+        val full = attr.probs(y) * (hit + th0 * attr.probs(x0) * expSim / zy)
+        val w = full - c * attr.baseWeight(1, y)
+        support(j) = y
+        pertW(j) = math.max(w, 0.0) // guard fp round-off
+        s += pertW(j)
+        j += 1
+      }
+      val baseMass1 = c * attr.poweredTotal(1)
+      return if (rng.nextDouble() * (baseMass1 + s) < baseMass1)
+        attr.samplePowered(1, rng)
+      else support(sampleCategorical(pertW, rng))
+    }
 
     var c = 1.0
     var i = 0

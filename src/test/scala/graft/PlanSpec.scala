@@ -41,4 +41,14 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_join_semi").contains("LeftSemi"))
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
+
+  test("IVF centroid joins broadcast; ANN query set broadcasts") {
+    // both distance joins against the (tiny) centroid set must be
+    // broadcast — a shuffled centroid join would defeat the index
+    val ivf = planOf("q_ann_ivf_topk")
+    assert(ivf.contains("BroadcastNestedLoopJoin") ||
+      ivf.contains("BroadcastHashJoin"), ivf.take(3000))
+    val bf = planOf("q_ann_bruteforce_topk")
+    assert(bf.contains("BroadcastNestedLoopJoin"), bf.take(3000))
+  }
 }

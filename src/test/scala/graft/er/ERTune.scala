@@ -74,7 +74,9 @@ object ERTune {
         AttributeSpec("bd", ConstantSimilarity, BetaParams(0.5, 50.0)))
       var st = ERState.initialize(spark, df, "rec_id", None, specs,
         idx => KDTreePartitioner.fit(idx, Seq(0), 1), seed = 319158L)
-      val block = if (args.contains("blocked")) 5 else 1
+      val block = args.collectFirst {
+        case s if s.startsWith("block=") => s.stripPrefix("block=").toInt
+      }.getOrElse(if (args.contains("blocked")) 5 else 1)
       println(s"== rl10k records=${df.count()} partitions=2 block=$block")
       val t0 = System.nanoTime()
       (1 to 300 / block).foreach { i0 =>
