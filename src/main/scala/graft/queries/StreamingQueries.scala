@@ -24,6 +24,17 @@ object StreamingQueries {
       s.table(name)
         .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // Stateful streaming dedup (dropDuplicates over the event stream):
+    // the emitted key set must equal batch DISTINCT.
+    "q_stream_dedup" -> ((s, dir) => {
+      val name = s"stream_dedup_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamingDedupOnce(s, dir, name)
+      q.awaitTermination(300000)
+      s.table(name)
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -31,5 +42,9 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY window_start, event_type
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 }

@@ -93,4 +93,26 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming ingest dedup: emit each (user_id, event_type) key the
+    * first time it is seen — the stateful exact-dedup stage of a
+    * streaming training-data pipeline. State here is unbounded (keyed
+    * hash of seen keys); at scale, bound it with
+    * `withWatermark + dropDuplicatesWithinWatermark` so keys age out
+    * with event time. Emitted KEYS are deterministic (which physical row
+    * represented the key is not, so only keys are emitted). */
+  def runStreamingDedupOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
