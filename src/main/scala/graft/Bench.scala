@@ -16,7 +16,9 @@ object Bench {
     // absorb session/executor warm-up so the first timed query isn't
     // charged for JVM + codegen bring-up
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted: stable execution order makes per-query timings comparable
+    // across rounds (Map hash order reshuffles under query renames)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -24,8 +26,12 @@ object Bench {
           // a fast query
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release caches a query persisted (shingle/sketch/state tables) so
+      // later queries aren't timed under accumulated memory pressure
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
