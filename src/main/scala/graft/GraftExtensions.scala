@@ -22,5 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LevenshteinSim].getName, "lev_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LevenshteinSim.builder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName,
+        "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Sketches.minhashBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.SimHashSig].getName,
+        "simhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Sketches.simhashBuilder(exprs)))
   }
 }

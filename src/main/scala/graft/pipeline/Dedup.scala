@@ -52,12 +52,21 @@ object Dedup {
   /** MinHash signature from a precomputed shingle-hash array: for each of
     * `numHashes` derived hash functions, the minimum remixed hash.
     *
-    * The expensive part (string hashing of every shingle) happens ONCE in
-    * the input column; each signature slot is one cheap long-arithmetic
-    * pass. Inlining the shingle expression here instead would recompute
+    * Computed by the native one-pass `MinHashSig` expression
+    * (graft.functions.Sketches) — bitwise-equal to the column-algebra
+    * form below but with no per-slot intermediate arrays. The expensive
+    * part (string hashing of every shingle) happens ONCE in the input
+    * column; inlining the shingle expression here instead would recompute
     * the string work `numHashes` times per row — measured 16x slower at
     * sf0.1. */
   def minHashSignature(shingleHashCol: Column, numHashes: Int): Column =
+    graft.functions.Sketches.minhash_sig(shingleHashCol, numHashes)
+
+  /** Column-algebra reference form of `minHashSignature` (one
+    * array_min(transform(...)) per slot) — kept as the parity oracle for
+    * the native expression. */
+  private[pipeline] def minHashSignatureAlgebra(
+      shingleHashCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleHashCol, h => remix(h, i)))
     }: _*)
@@ -142,10 +151,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash from a precomputed token-hash array column: per bit,
-    * the sign of the sum of token-hash bits. Pure column expressions (64
-    * conditional sums — stays in codegen; no UDF). Feed it a materialized
-    * hash column (see `simHashes`) so tokenization isn't redone 64 times. */
-  def simHashFromHashes(hashesCol: Column): Column = {
+    * the sign of the sum of token-hash bits. Computed by the native
+    * one-pass `SimHashSig` expression (graft.functions.Sketches) —
+    * bitwise-equal to the 64-fold column-algebra form below. Feed it a
+    * materialized hash column (see `simHashes`) so tokenization isn't
+    * redone 64 times. */
+  def simHashFromHashes(hashesCol: Column): Column =
+    graft.functions.Sketches.simhash_sig(hashesCol)
+
+  /** Column-algebra reference form (64 conditional `aggregate` folds) —
+    * kept as the parity oracle for the native expression. */
+  private[pipeline] def simHashFromHashesAlgebra(hashesCol: Column): Column = {
     val bitCols = (0 until 64).map { b =>
       // sum of (bit set ? 1 : -1) over tokens, then sign → bit b
       val bitSum = aggregate(hashesCol, lit(0),

@@ -138,6 +138,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.payload.length == 16))
   }
 
+  test("native sketch expressions match their column-algebra forms bitwise") {
+    val hashed = docs.select(col("doc_id"),
+      transform(Dedup.tokens(col("text")), t => xxhash64(t)).as("th"),
+      transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("sh"))
+    val cmp = hashed.select(
+      Dedup.minHashSignature(col("sh"), 32).as("fastMin"),
+      Dedup.minHashSignatureAlgebra(col("sh"), 32).as("slowMin"),
+      Dedup.simHashFromHashes(col("th")).as("fastSim"),
+      Dedup.simHashFromHashesAlgebra(col("th")).as("slowSim"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("IVF top-k: agrees with brute force when every cell is probed") {
     // 24 deterministic 8-dim vectors; 4 centroids, probe all 4 cells →
     // IVF must return exactly the brute-force answer.
