@@ -65,6 +65,53 @@ object Sketches {
     sig
   }
 
+  /** Hyperplane component h_{b,i} for the LSH sketch, reproducing the
+    * column form `(pmod(xxhash64(seed, b, i), 2e6) - 1e6) / 1e6`
+    * exactly (XxHash64 folds its children from seed 42). Matrices are
+    * cached JVM-globally per (seed, bits, dim) — values are deterministic
+    * so concurrent recomputation is benign. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private[functions] def planes(seed: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, bits, dim), _ => {
+      val seedH = XXH64.hashInt(seed, 42L)
+      Array.tabulate(bits) { b =>
+        val base = XXH64.hashInt(b, seedH)
+        Array.tabulate(dim) { i =>
+          // the column form's sequence() yields INTs — fold as hashInt
+          val h = XXH64.hashInt(i, base)
+          val m = h % 2000000L
+          val pm = if (m < 0) m + 2000000L else m
+          (pm.toDouble - 1000000.0) / 1000000.0
+        }
+      }
+    })
+
+  def hyperplaneSigKernel(arr: ArrayData, seed: Int, bits: Int): Long = {
+    val dim = arr.numElements()
+    val hs = planes(seed, bits, dim)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val row = hs(b)
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        proj += arr.getFloat(i).toDouble * row(i)
+        i += 1
+      }
+      if (proj > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def hyperplane_sig(vec: Column, bits: Int, seed: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      HyperplaneSig(org.apache.spark.sql.GraftExpressionBridge
+        .expression(vec), bits, seed))
+
   def minhash_sig(shingleHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       MinHashSig(org.apache.spark.sql.GraftExpressionBridge
@@ -114,6 +161,31 @@ case class MinHashSig(child: Expression, numHashes: Int)
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.Sketches.minhashSigKernel($a, $seedsRef);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH sketch over an array<float> embedding: bit b is
+  * the sign of the dot product with the b-th pseudo-random hyperplane.
+  * Bitwise-equal to the column-algebra form in VectorOps (which
+  * regenerated every hyperplane component per row via xxhash64 through
+  * three temp arrays per bit); here the component matrix is computed once
+  * per (seed, bits, dim) per JVM. */
+case class HyperplaneSig(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression {
+
+  require(bits > 0 && bits <= 64, "bits in 1..64")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.hyperplaneSigKernel(input.asInstanceOf[ArrayData], seed, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Sketches.hyperplaneSigKernel($a, $seed, $bits);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

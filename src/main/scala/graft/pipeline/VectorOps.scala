@@ -119,8 +119,15 @@ object VectorOps {
     * pseudo-random hyperplanes (hyperplane component h_{b,i} derived from
     * xxhash64(b, i), mapped to [-1, 1]). Same-bucket vectors are
     * candidates; Hamming-close buckets can be probed by re-running with a
-    * different seed band. */
-  def hyperplaneSketch(vecCol: Column, bits: Int, seed: Int = 0): Column = {
+    * different seed band. Computed by the native `HyperplaneSig`
+    * expression (one cached component matrix per JVM instead of per-row
+    * hash regeneration); bitwise-equal to the algebra form below. */
+  def hyperplaneSketch(vecCol: Column, bits: Int, seed: Int = 0): Column =
+    graft.functions.Sketches.hyperplane_sig(vecCol, bits, seed)
+
+  /** Column-algebra reference form — parity oracle for `HyperplaneSig`. */
+  private[pipeline] def hyperplaneSketchAlgebra(
+      vecCol: Column, bits: Int, seed: Int = 0): Column = {
     val bitCols = (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(vecCol,

@@ -152,6 +152,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
       assert(r.getLong(2) == r.getLong(3))
     }
+
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 37 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val hcmp = vecs.select(
+      VectorOps.hyperplaneSketch(col("embedding"), 12, 1).as("fast"),
+      VectorOps.hyperplaneSketchAlgebra(col("embedding"), 12, 1).as("slow"))
+      .collect()
+    hcmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("IVF top-k: agrees with brute force when every cell is probed") {
