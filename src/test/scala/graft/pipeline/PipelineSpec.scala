@@ -163,6 +163,35 @@ class PipelineSpec extends AnyFunSuite {
     hcmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("minhash signature agreement estimates true Jaccard (statistical)") {
+    // two synthetic docs with engineered shingle overlap: |A|=|B|=400,
+    // |A∩B|=200 → J = 200/600 = 1/3. With 512 independent hash slots the
+    // agreement fraction estimates J within ~4 sigma ≈ 0.083.
+    val a = (0 until 400).map(i => s"sh$i")
+    val b = (200 until 600).map(i => s"sh$i")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "sh")
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("shHash"))
+      .select(col("id"), Dedup.minHashSignature(col("shHash"), 512).as("sig"))
+    val sigs = df.orderBy("id").as[(Long, Seq[Long])].collect()
+    val agree = sigs(0)._2.zip(sigs(1)._2).count(p => p._1 == p._2) / 512.0
+    assert(math.abs(agree - 1.0 / 3.0) < 0.085, s"agreement $agree vs J=1/3")
+  }
+
+  test("hyperplane sketch hamming distance tracks cosine (statistical)") {
+    // near-identical vectors collide in almost all bits; near-orthogonal
+    // vectors disagree in ~half — the LSH property the bucket join relies on
+    val base = Array.tabulate(64)(d => math.sin(d * 0.7).toFloat)
+    val near = base.map(x => x * 1.01f)
+    val ortho = Array.tabulate(64)(d => math.cos(d * 0.7).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, ortho)).toDF("id", "v")
+      .select(col("id"),
+        VectorOps.hyperplaneSketch(col("v"), 64, 0).as("s"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(m(1L) ^ m(2L)) <= 4)
+    val dOrtho = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(dOrtho > 16 && dOrtho < 48, s"orthogonal hamming $dOrtho")
+  }
+
   test("IVF top-k: agrees with brute force when every cell is probed") {
     // 24 deterministic 8-dim vectors; 4 centroids, probe all 4 cells →
     // IVF must return exactly the brute-force answer.
