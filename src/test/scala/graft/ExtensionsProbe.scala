@@ -12,6 +12,17 @@ object ExtensionsProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val r = spark.sql("SELECT lev_sim('AB', 'BB', 5.0, 10.0) AS s").head().getDouble(0)
     println(s"[ext-probe] lev_sim via extensions = $r (expect 2.0)")
+    val m = spark.sql(
+      "SELECT minhash_sig(array(xxhash64('a'), xxhash64('b')), 4) AS s")
+      .head().getSeq[Long](0)
+    println(s"[ext-probe] minhash_sig via extensions = $m (expect 4 longs)")
+    assert(m.length == 4)
+    val sh = spark.sql(
+      "SELECT simhash_sig(array(xxhash64('a'))) AS s, xxhash64('a') AS h")
+      .head()
+    // single token: simhash == the token hash's bit pattern
+    println(s"[ext-probe] simhash_sig = ${sh.getLong(0)} (expect ${sh.getLong(1)})")
+    assert(sh.getLong(0) == sh.getLong(1))
     spark.stop()
   }
 }
