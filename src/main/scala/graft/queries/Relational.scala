@@ -112,6 +112,22 @@ object Relational {
         .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
     }),
 
+    // As-of join (beyond reference and core Spark): each click joined to
+    // the user's most recent purchase at-or-before it. One shuffle + one
+    // keyed window — see operators/AsOfJoin; oracle is DuckDB's native
+    // ASOF LEFT JOIN.
+    "q_join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(sum(col("value")), 2).as("pval"))
+      graft.operators.AsOfJoin.asOfJoin(clicks, purchases, "user_id", "ts", "pval")
+        .select(col("event_id"), col("user_id"), col("asof_pval"))
+        .orderBy("event_id")
+    }),
+
     // J3: cross join (reference uses cartesian for the similarity index;
     // kept here only on dimension tables — never on facts).
     "q_cross_join" -> ((s, dir) => {
@@ -391,6 +407,18 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, round(sum(value), 2) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, p.pval AS asof_pval
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
