@@ -128,6 +128,23 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Banded range join (beyond reference; vanilla Spark would
+    // nested-loop this): clicks joined to every 2-hour signup window
+    // containing them, via 1-hour band equi-join + exact filter. Oracle
+    // is DuckDB's native inequality (IE) join.
+    "q_join_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val wins = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("w_user"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.operators.RangeJoin.bandedIntervalJoin(
+          clicks, "ts", wins, "w_start", "w_end", bandMicros = 3600000000L)
+        .select(col("event_id"), col("w_user"), col("w_start"))
+        .orderBy("event_id", "w_user", "w_start")
+    }),
+
     // J3: cross join (reference uses cartesian for the similarity index;
     // kept here only on dimension tables — never on facts).
     "q_cross_join" -> ((s, dir) => {
@@ -419,6 +436,18 @@ object Relational {
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_range" ->
+      """WITH clicks AS (
+        |  SELECT event_id, ts FROM events WHERE event_type = 'click'),
+        |wins AS (
+        |  SELECT user_id AS w_user, ts AS w_start,
+        |    ts + INTERVAL 2 HOUR AS w_end
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, w.w_user, w.w_start
+        |FROM clicks c JOIN wins w
+        |  ON c.ts >= w.w_start AND c.ts < w.w_end
+        |ORDER BY event_id, w_user, w_start""".stripMargin,
 
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("banded interval join equals the nested-loop answer") {
+    // intervals of varied lengths crossing band boundaries; left points on
+    // boundaries, inside, outside
+    val left = (0L until 50L).map(i => (i, ts(i * 600L * 1000000L)))
+      .toDF("id", "t")
+    val right = Seq(
+      (100L, ts(0L), ts(3600L * 1000000L)),                    // 1h from epoch
+      (101L, ts(1800L * 1000000L), ts(1800L * 1000000L + 1L)), // 1µs window
+      (102L, ts(7200L * 1000000L), ts(36000L * 1000000L))      // 8h
+    ).toDF("rid", "s", "e")
+
+    val banded = RangeJoin
+      .bandedIntervalJoin(left, "t", right, "s", "e", bandMicros = 1800L * 1000000L)
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    val nested = left.join(right, col("t") >= col("s") && col("t") < col("e"))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == nested)
+    assert(banded.contains((0L, 100L)))    // start boundary included
+    assert(!banded.exists(_._2 == 101L))   // 1µs window catches no grid point
+    assert(!banded.contains((6L, 100L)))   // end boundary excluded (3600s)
+  }
+}
