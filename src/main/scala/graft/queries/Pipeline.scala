@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, TextAnalysis, VectorOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
 
 /** LLM-training-data pipeline operators over the documents/embeddings
   * tables: dedup family, text analysis, similarity search, multimodal
@@ -149,6 +149,18 @@ object Pipeline {
       VectorOps.lshNeighborPairs(emb.unionAll(planted), "vec_id", "embedding",
         bits = 10, minCosine = 0.9, probes = 2)
         .orderBy("a", "b")
+    }),
+
+    // Deterministic hash-based train/val/test split (reproducible across
+    // engines — the oracle recomputes the same md5 buckets in DuckDB).
+    "q_sample_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split", Sampling.split(col("doc_id"), 80, 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)) + 1e-9, 2)
+            .as("avg_chars"))
+        .orderBy("split")
     }),
 
     // Multimodal plumbing: binary payloads through batch feature
@@ -347,6 +359,20 @@ object Pipeline {
         |         {'h': h_es, 'l': 'es'}, {'h': h_fr, 'l': 'fr'}]).l
         |       ELSE 'und' END AS lang_pred
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 100 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 80 THEN 'train'
+        |            WHEN bk < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*) + 1e-9, 2)
+        |    AS avg_chars
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
 
     "q_multimodal_pipeline" ->
       """SELECT doc_id AS mediaId, CAST(strlen(text) AS INTEGER) AS byteLen,
