@@ -42,6 +42,20 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("banded range join plans as equi-join, not nested loop") {
+    val plan = planOf("q_join_range")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Join") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("as-of join is one keyed window, no join operator at all") {
+    val plan = planOf("q_join_asof")
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("NestedLoop"))
+  }
+
   test("IVF centroid joins broadcast; ANN query set broadcasts") {
     // both distance joins against the (tiny) centroid set must be
     // broadcast — a shuffled centroid join would defeat the index
