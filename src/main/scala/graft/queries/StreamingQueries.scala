@@ -35,6 +35,19 @@ object StreamingQueries {
       s.table(name)
         .select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // The custom stateful sessionization kernel (splitSessions, shared
+    // with the streaming flatMapGroupsWithState path) cross-checked
+    // against the relational formulation: lag + cumulative break sum.
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      EventStreams.sessionizeBatch(ev).toDF()
+        .orderBy("user_id", "start_us")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -46,5 +59,19 @@ object StreamingQueries {
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN lag(t) OVER w IS NULL
+        |       OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY t
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin)
 }

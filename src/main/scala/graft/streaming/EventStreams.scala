@@ -56,6 +56,32 @@ object EventStreams {
       }
   }
 
+  final case class SessionRow(user_id: Long, start_us: Long, end_us: Long,
+      n: Long)
+
+  /** Batch sessionization over the full history with the SAME session
+    * kernel the streaming path uses (`splitSessions`), emitting the final
+    * open session too — so the custom stateful operator can be
+    * cross-checked against a purely relational oracle (lag + cumulative
+    * session-break sum). Timestamps at microsecond precision; output has
+    * no float columns, so the check is exact. */
+  def sessionizeBatch(events: Dataset[Event],
+      gapUs: Long = 30 * 60 * 1000000L): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (userId, evs) =>
+        val all = evs.map { e =>
+          val us = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+          (us, e.value)
+        }.toList.sortBy(_._1)
+        val (closed, open) = splitSessions(all, gapUs)
+        val sessions = closed ++ (if (open.nonEmpty) List(open) else Nil)
+        sessions.iterator.map(s =>
+          SessionRow(userId, s.head._1, s.last._1, s.length.toLong))
+      }
+  }
+
   /** Split a time-sorted event list into (closed sessions, still-open
     * tail): a gap > gapMs closes the preceding session. */
   private[streaming] def splitSessions(
