@@ -11,7 +11,17 @@ import graft.er.model._
 object ERQueryProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val s = TestSpark.spark
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuf)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.maxPlanStringLength", "16384")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
