@@ -99,6 +99,23 @@ object TextAnalysis {
       i => array_min(slice(hashes, i + lit(1), lit(window)))))
   }
 
+  /** Training-corpus text cleaning: mask URLs then emails, strip control
+    * characters, collapse whitespace runs, trim. Plain regexp_replace
+    * chain (codegen, no UDF); patterns restricted to the syntax Java and
+    * RE2 share so the same cleaning is reproducible outside Spark (the
+    * gate oracle replays it in DuckDB and md5-compares the bytes). */
+  def cleanText(textCol: Column): Column = {
+    val noUrl = regexp_replace(textCol, "https?://[^ ]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noCtl = regexp_replace(noEmail, "[\\x00-\\x1F]", " ")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
+  /** Count of matches of a masking pattern (for curation stats). */
+  def matchCount(textCol: Column, pattern: String): Column =
+    size(regexp_extract_all(textCol, lit(pattern), lit(0)))
+
   /** One-call document profile used by the pipeline queries. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

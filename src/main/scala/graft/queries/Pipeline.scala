@@ -151,6 +151,21 @@ object Pipeline {
         .orderBy("a", "b")
     }),
 
+    // Text cleaning for corpus curation: URL/email masking, control-char
+    // strip, whitespace collapse — md5 of the cleaned bytes proves the
+    // transformation is byte-identical across engines.
+    "q_doc_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("clean"),
+          TextAnalysis.matchCount(col("text"), "https?://[^ ]+").as("n_urls"),
+          TextAnalysis.matchCount(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("n_emails"))
+        .select(col("doc_id"), md5(col("clean").cast("binary")).as("clean_hash"),
+          length(col("clean")).as("clean_len"), col("n_urls"), col("n_emails"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash-based train/val/test split (reproducible across
     // engines — the oracle recomputes the same md5 buckets in DuckDB).
     "q_sample_split" -> ((s, dir) => {
@@ -359,6 +374,25 @@ object Pipeline {
         |         {'h': h_es, 'l': 'es'}, {'h': h_fr, 'l': 'fr'}]).l
         |       ELSE 'und' END AS lang_pred
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_doc_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '[\x00-\x1F]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean,
+        |    len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        |  FROM documents)
+        |SELECT doc_id, md5(clean) AS clean_hash,
+        |  length(clean) AS clean_len, n_urls, n_emails
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_sample_split" ->
       """WITH b AS (
