@@ -138,6 +138,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.payload.length == 16))
   }
 
+  test("text cleaning masks URLs and emails, collapses whitespace") {
+    val r = Seq((1L, "see https://x.io/a?b=1 or mail bob.smith+x@corp.example.com\t now\u0001!"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.cleanText(col("text")).as("c"),
+        TextAnalysis.matchCount(col("text"), "https?://[^ ]+").as("u"),
+        TextAnalysis.matchCount(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("e"))
+      .head()
+    assert(r.getString(0) == "see <URL> or mail <EMAIL> now !")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+  }
+
   test("native sketch expressions match their column-algebra forms bitwise") {
     val hashed = docs.select(col("doc_id"),
       transform(Dedup.tokens(col("text")), t => xxhash64(t)).as("th"),
