@@ -114,11 +114,23 @@ object Dedup {
   /** Exact Jaccard similarity on word-shingle sets for given id pairs —
     * the verification stage after LSH candidate generation. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleSize)
+      textCol: String, shingleSize: Int = 3): DataFrame =
+    joinExactJaccard(shingleTable(docs, idCol, textCol, shingleSize), pairs)
+
+  /** Join candidate (a, b) pairs against a (docId, sh) shingle table and
+    * compute exact Jaccard. The shingle table is semi-join-pruned to docs
+    * that appear in at least one candidate pair BEFORE its arrays enter
+    * the pair joins: at scale the candidate set is a small fraction of the
+    * corpus, so the two array-carrying shuffles move only candidate docs'
+    * shingles, not the whole table's (and AQE turns the prune itself into
+    * a broadcast semi-join when the id list is small). */
+  private def joinExactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val candIds = pairs.select(col("a").as("docId"))
+      .union(pairs.select(col("b").as("docId"))).distinct()
+    val shCand = sh.join(candIds, Seq("docId"), "left_semi")
     pairs
-      .join(sh.toDF("a", "shA"), "a")
-      .join(sh.toDF("b", "shB"), "b")
+      .join(shCand.toDF("a", "shA"), "a")
+      .join(shCand.toDF("b", "shB"), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB")))).as("jaccard"))
@@ -129,25 +141,32 @@ object Dedup {
     * The shingle table is computed ONCE and persisted: the band/bucket
     * stage consumes its hashes, and the exact-verification stage joins
     * the same arrays back — without this the most expensive projection
-    * (tokenize + shingle every document) runs twice. */
+    * (tokenize + shingle every document) runs twice.
+    *
+    * Caching contract: the returned plan references tables persisted at
+    * `persistLevel` that stay cached until the session's cache is cleared
+    * (Bench/Verify call `spark.catalog.clearCache()` per query). Library
+    * callers embedding this in a long-lived session should either clear
+    * the cache after consuming the result or pass `StorageLevel.NONE`
+    * (correct, but recomputes the shingle projection per consumer). */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = lshBandsFromShingles(sh, bands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = b.toDF("a", "band", "bandHash")
+      bands: Int = 8, rowsPerBand: Int = 4,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    def cached(df: DataFrame): DataFrame =
+      if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) df
+      else df.persist(persistLevel)
+    val sh = cached(shingleTable(docs, idCol, textCol, shingleSize))
+    val b = cached(lshBandsFromShingles(sh, bands, rowsPerBand))
+    // cands is consumed three times downstream (the pair join itself plus
+    // the two branches of the semi-join id list) — cache the tiny id-pair
+    // table so the bucket self-join runs once
+    val cands = cached(b.toDF("a", "band", "bandHash")
       .join(b.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    cands
-      .join(sh.toDF("a", "shA"), "a")
-      .join(sh.toDF("b", "shB"), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b")).distinct())
+    joinExactJaccard(sh, cands).filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash from a precomputed token-hash array column: per bit,

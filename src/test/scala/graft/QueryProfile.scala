@@ -1,0 +1,41 @@
+package graft
+
+/** Scratch per-query profiler (not a test): runs named SparkEntry gate
+  * queries in a Bench-shaped session (same master/shuffle/AQE config,
+  * same warm-up, clearCache between runs) and prints per-run wall times.
+  *
+  * Run: sbt "Test/runMain graft.QueryProfile q_dedup_minhash_lsh [more...]"
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_EXPLAIN=1 to dump plans.
+  */
+object QueryProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.maxPlanStringLength", "16384")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names; fn = SparkEntry.queries(name)) {
+      if (explain) fn(spark, sfDir).explain("formatted")
+      for (i <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] $name%-28s run$i $dt%7.2f s  rows=$n")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
