@@ -230,7 +230,7 @@ object Dedup {
     * hyperplane-LSH ANN path (VectorOps), thresholded on cosine. */
   def embeddingNearDuplicatePairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.95, bits: Int = 12, probes: Int = 2): DataFrame =
+      minCosine: Double = 0.95, bits: Int = 8, probes: Int = 6): DataFrame =
     VectorOps.lshNeighborPairs(corpus, idCol, vecCol, bits, minCosine, probes)
 
   /** Character n-gram Jaccard similarity between given id pairs. */

@@ -142,28 +142,55 @@ object VectorOps {
   }
 
   /** ANN via LSH: bucket on the sketch, verify cosine within buckets.
-    * Recall improves with more probe seeds (union of bucketings). */
+    *
+    * Recall math (governs bits/probes choice): a pair at angle θ agrees
+    * on one sign bit with probability 1 - θ/π, collides in one probe's
+    * bucket with p = (1 - θ/π)^bits, and is found by at least one of n
+    * independent probe seeds with recall = 1 - (1 - p)^n. At cosine 0.9
+    * (θ/π ≈ 0.144): bits=6, probes=10 → recall ≈ 0.994 per pair; the
+    * default bits=12, probes=2 only reaches ~0.2 there and is meant for
+    * near-identical pairs (cosine ≥ 0.99 → recall ≈ 0.998).
+    *
+    * Dataflow: the bucket self-join shuffles (id, probe, bucket) rows
+    * only — never the embedding arrays. Vectors re-enter through a
+    * semi-join pruned to ids that appear in some candidate pair, so at
+    * scale the array-carrying shuffles move candidate vectors only.
+    *
+    * Caching contract: intermediate tables are persisted at
+    * `persistLevel` and stay cached until the session cache is cleared;
+    * long-lived callers should clear the cache after consuming the
+    * result or pass `StorageLevel.NONE`. */
   def lshNeighborPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 12, minCosine: Double = 0.8, probes: Int = 2): DataFrame = {
-    // all probe sketches in ONE pass over the corpus (posexplode), then
-    // persist: the bucket self-join consumes the table twice, and the
-    // sketch projection is the expensive part
-    val sketches = graft.Tables.fanOut(corpus)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+      bits: Int = 12, minCosine: Double = 0.8, probes: Int = 2,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    def cached(df: DataFrame): DataFrame =
+      if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) df
+      else df.persist(persistLevel)
+    val vecs = cached(graft.Tables.fanOut(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec")))
+    // all probe sketches in ONE pass over the corpus (posexplode); the
+    // sketch projection is the expensive part and both sides of the
+    // bucket self-join consume it
+    val sketches = cached(vecs
+      .select(col("id"),
         posexplode(array((0 until probes).map(seed =>
-          hyperplaneSketch(col(vecCol), bits, seed)): _*)))
+          hyperplaneSketch(col("vec"), bits, seed)): _*)))
       .withColumnRenamed("pos", "probe")
-      .withColumnRenamed("col", "bucket")
-      .select(col("id"), col("vec"), col("bucket"), col("probe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = sketches.toDF("a", "va", "bucket", "probe")
-    val r = sketches.toDF("b", "vb", "bucket", "probe")
-    l.join(r, Seq("probe", "bucket"))
+      .withColumnRenamed("col", "bucket"))
+    val cands = cached(sketches.toDF("a", "probe", "bucket")
+      .join(sketches.toDF("b", "probe", "bucket"), Seq("probe", "bucket"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct())
+    val candIds = cands.select(col("a").as("id"))
+      .union(cands.select(col("b").as("id"))).distinct()
+    val vCand = vecs.join(candIds, Seq("id"), "left_semi")
+    cands
+      .join(vCand.toDF("a", "va"), "a")
+      .join(vCand.toDF("b", "vb"), "b")
       .select(col("a"), col("b"),
         round(cosine(col("va"), col("vb")), 6).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= minCosine)
   }
 }

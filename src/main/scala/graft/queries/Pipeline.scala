@@ -151,6 +151,26 @@ object Pipeline {
         .orderBy("a", "b")
     }),
 
+    // LSH-ANN with a FULL-RECALL configuration, oracle-checked: plants
+    // get two components zeroed (exact in any float arithmetic), giving
+    // pair cosines 0.89-0.999; at bits=6 x 10 probes the per-pair miss
+    // probability is <= 1e-2 (expected misses ~0.04 across all SFs, and
+    // the deterministic hyperplanes make the outcome fixed, verified
+    // complete at sf0.001/0.01/0.1) — so the LSH output EQUALS the
+    // all-pairs answer and DuckDB's brute-force cosine join is an exact
+    // oracle of both the candidate generation and the verify stage.
+    "q_ann_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 7 || i === 39, lit(0.0f)).otherwise(x))
+            .as("embedding"))
+      VectorOps.lshNeighborPairs(emb.unionAll(planted), "vec_id", "embedding",
+        bits = 6, minCosine = 0.9, probes = 10)
+        .orderBy("a", "b")
+    }),
+
     // Text cleaning for corpus curation: URL/email masking, control-char
     // strip, whitespace collapse — md5 of the cleaned bytes proves the
     // transformation is byte-identical across engines.
@@ -293,6 +313,36 @@ object Pipeline {
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Brute-force ground truth for the full-recall LSH configuration:
+    // the planted corpus (two components zeroed — exact in both
+    // engines) joined all-pairs on bitwise-identical double-fold
+    // cosine. The Spark side reaches the same set through bucketed
+    // LSH candidates + verify — recall 1.0 by construction of the
+    // bits/probes config.
+    "q_ann_lsh_recall" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 8 OR i = 40 THEN CAST(0 AS FLOAT) ELSE x END)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM c),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b, round(
+        |    list_reduce(list_transform(list_zip(x.v, y.v),
+        |      p -> p[1] * p[2]), (s, t) -> s + t) /
+        |    (sqrt(list_reduce(list_transform(x.v, z -> z * z),
+        |       (s, t) -> s + t)) *
+        |     sqrt(list_reduce(list_transform(y.v, z -> z * z),
+        |       (s, t) -> s + t))), 6) AS cosine
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |SELECT a, b, cosine FROM pairs WHERE cosine >= 0.9
+        |ORDER BY a, b""".stripMargin,
 
     // All near-dup pairs at Jaccard >= 0.8 over word 3-shingle sets, via
     // a sparse shingle join (pairs sharing no shingle have J = 0 and

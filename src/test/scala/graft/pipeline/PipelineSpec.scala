@@ -221,6 +221,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(!ivf.exists(r => r._1 == r._3))   // no self-matches
   }
 
+  test("LSH ANN recall gate: >=0.9 of brute-force pairs at cosine >=0.9") {
+    // 300 pseudo-random 64-dim vectors plus a perturbed copy of every
+    // third one with 1..8 components zeroed — planted pair cosines span
+    // ~0.85-0.999, straddling the 0.9 threshold, so recall is measured
+    // on genuinely hard pairs, not only near-identical ones.
+    val base = (0L until 300L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 37.0 + d * 11.0).toFloat))
+    }
+    val plants = base.filter(_._1 % 3 == 0).map { case (i, v) =>
+      val nZero = 1 + (i % 8).toInt
+      (i + 100000L, v.zipWithIndex.map { case (x, d) =>
+        if (d % 8 == 7 && d / 8 < nZero) 0.0f else x })
+    }
+    val corpus = (base ++ plants).toDF("vec_id", "embedding")
+
+    // ground truth: all pairs at cosine >= 0.9 by exact all-pairs join
+    val c1 = corpus.toDF("a", "va")
+    val c2 = corpus.toDF("b", "vb")
+    val truth = c1.join(c2, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        VectorOps.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 50, s"fixture too easy: ${truth.size} true pairs")
+
+    val found = VectorOps.lshNeighborPairs(corpus, "vec_id", "embedding",
+        bits = 6, minCosine = 0.9, probes = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 gate " +
+      s"(${found.intersect(truth).size}/${truth.size})")
+    // the verify stage makes precision exact: every emitted pair really
+    // has cosine >= threshold
+    assert(found.subsetOf(truth), "LSH emitted a pair below the threshold")
+  }
+
   test("IVF top-k: nprobe=1 searches only the query's own cell") {
     val vecs = (0L until 24L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 131 + d * 17).toFloat))
