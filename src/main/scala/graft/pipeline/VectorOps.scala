@@ -80,9 +80,12 @@ object VectorOps {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
-    val cen = corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("cenId"), col(vecCol).as("cenVec"))
+      numCentroids: Int, nprobe: Int, k: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cen = centroids
+      .map(_.select(col("cenId"), col("cenVec")))
+      .getOrElse(corpus.filter(col(idCol) < numCentroids)
+        .select(col(idCol).as("cenId"), col(vecCol).as("cenVec")))
     // corpus → owning cell (argmin L2, centroid id as tiebreak)
     val wAssign = Window.partitionBy(col("cid"))
       .orderBy(col("distSq").asc, col("cenId").asc)
@@ -113,6 +116,28 @@ object VectorOps {
         round(cosine(col("cvec"), col("qvec")), 6).as("cosine"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
+  }
+
+  /** k-means|| centroids for `ivfTopK` — the quality path for real
+    * embedding distributions, where the deterministic `id < k` placeholder
+    * gives arbitrary cells and poor recall at fixed nprobe. Runs Spark
+    * MLlib's distributed k-means (k-means|| init, seeded → deterministic
+    * for a fixed input partitioning); the returned (cenId, cenVec) frame
+    * plugs into `ivfTopK`'s `centroids` parameter without changing the
+    * search dataflow. Centroid ids are assigned 0..k-1 in MLlib's center
+    * order. */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String,
+      k: Int, maxIter: Int = 5, seed: Long = 42L): DataFrame = {
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(seed).setInitMode("k-means||")
+      .fit(corpus.select(org.apache.spark.ml.functions
+        .array_to_vector(col(vecCol)).as("features")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cenId", "cenVec")
   }
 
   /** Random-hyperplane LSH sketch: `bits` sign bits from deterministic

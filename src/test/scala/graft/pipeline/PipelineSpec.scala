@@ -257,6 +257,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.subsetOf(truth), "LSH emitted a pair below the threshold")
   }
 
+  test("IVF with k-means centroids beats placeholder centroids on clustered data") {
+    // 200 vectors in 10 moderately-spread gaussian clusters; the first 10
+    // ids (the id<k placeholder centroids) all come from cluster 0 — the
+    // degenerate quantization the placeholder produces on clustered real
+    // data. Quantization boundaries derived from intra-cluster jitter cut
+    // through the other clusters, so some true neighbors land across a
+    // cell boundary and nprobe=2 misses them; k-means|| recovers the real
+    // centers and recall@5 goes to ~1. (On isotropic noise — like the
+    // synthetic embeddings table — NO centroid choice beats any other;
+    // measured placeholder 0.56 vs lloyd 0.52 there, which is why this
+    // gate uses clustered data.)
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(16)(3.0 * rng.nextGaussian()))
+    val vecs = (0L until 200L).map { i =>
+      val g = if (i < 10) 0 else (i % 10).toInt
+      (i, centers(g).map(c => (c + 1.0 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") >= 20 && col("vec_id") < 70)
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val bf = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", k = 5)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      val got = res.select("qid", "cid").as[(Long, Long)].collect().toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val placeholder = recallOf(VectorOps.ivfTopK(vecs, qs, "vec_id", "embedding",
+      numCentroids = 10, nprobe = 2, k = 5))
+    val kmeans = recallOf(VectorOps.ivfTopK(vecs, qs, "vec_id", "embedding",
+      numCentroids = 10, nprobe = 2, k = 5,
+      centroids = Some(VectorOps.kmeansCentroids(vecs, "embedding", k = 10))))
+    assert(kmeans >= 0.95, s"k-means IVF recall $kmeans")
+    assert(kmeans >= placeholder + 0.05,
+      s"k-means recall $kmeans not better than placeholder $placeholder")
+  }
+
   test("IVF top-k: nprobe=1 searches only the query's own cell") {
     val vecs = (0L until 24L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 131 + d * 17).toFloat))
