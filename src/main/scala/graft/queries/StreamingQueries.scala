@@ -37,6 +37,19 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Bounded-state streaming dedup (withWatermark +
+    // dropDuplicatesWithinWatermark): single AvailableNow batch → no
+    // state expires mid-run → emitted keys equal batch DISTINCT, while
+    // the plan carries the watermarked state-eviction operator.
+    "q_stream_dedup_bounded" -> ((s, dir) => {
+      val name = s"stream_dedup_bounded_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamingDedupBoundedOnce(s, dir, name)
+      q.awaitTermination(300000)
+      s.table(name)
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -58,6 +71,10 @@ object StreamingQueries {
         |ORDER BY window_start, event_type""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_dedup_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 

@@ -123,10 +123,11 @@ object EventStreams {
   /** Streaming ingest dedup: emit each (user_id, event_type) key the
     * first time it is seen — the stateful exact-dedup stage of a
     * streaming training-data pipeline. State here is unbounded (keyed
-    * hash of seen keys); at scale, bound it with
-    * `withWatermark + dropDuplicatesWithinWatermark` so keys age out
-    * with event time. Emitted KEYS are deterministic (which physical row
-    * represented the key is not, so only keys are emitted). */
+    * hash of seen keys, exact global dedup); for the bounded-state
+    * variant that ages keys out with event time, see
+    * `dedupWithinWatermark` / `runStreamingDedupBoundedOnce`. Emitted
+    * KEYS are deterministic (which physical row represented the key is
+    * not, so only keys are emitted). */
   def runStreamingDedupOnce(spark: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -136,6 +137,45 @@ object EventStreams {
       .parquet(eventsDir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Bounded-state streaming dedup: each key's state lives only until
+    * the event-time watermark passes the key's first-seen timestamp plus
+    * the `watermark` delay — so state size tracks the key-arrival rate
+    * over one horizon, not the whole key universe (the 100 TB-stream
+    * requirement). Duplicates within the horizon are dropped; a
+    * re-arrival after its state expired is re-emitted — that is the
+    * `dropDuplicatesWithinWatermark` contract, proven by the state-aging
+    * spec. `events` must carry an event-time `ts` column. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Drain-once runner for `dedupWithinWatermark` over the events
+    * parquet. AvailableNow reads the single events file as one
+    * micro-batch, so no state expires mid-run and the emitted key set
+    * equals batch DISTINCT — which makes this oracle-checkable while
+    * still exercising the bounded-state operator. */
+  def runStreamingDedupBoundedOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, watermark: String = "2 hours"): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+    val withTs =
+      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    dedupWithinWatermark(
+        withTs.select(col("ts"), col("user_id"), col("event_type")),
+        watermark, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
