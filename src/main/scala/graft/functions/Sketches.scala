@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native one-pass sketch expressions (SURVEY §4.2 custom `Expression`
   * path). The column-algebra forms of these sketches are correct but
@@ -69,11 +70,17 @@ object Sketches {
     * column form `(pmod(xxhash64(seed, b, i), 2e6) - 1e6) / 1e6`
     * exactly (XxHash64 folds its children from seed 42). Matrices are
     * cached JVM-globally per (seed, bits, dim) — values are deterministic
-    * so concurrent recomputation is benign. */
+    * so concurrent recomputation is benign. The cache is size-bounded:
+    * `dim` comes from each row's array length, so ragged embedding data
+    * would otherwise grow one matrix per distinct length without bound;
+    * past the cap the cache is cleared and rebuilt (cheap, deterministic
+    * recompute — a handful of matrices in any sane workload). */
+  private val PlaneCacheMaxEntries = 64
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
-  private[functions] def planes(seed: Int, bits: Int, dim: Int): Array[Array[Double]] =
+  private[functions] def planes(seed: Int, bits: Int, dim: Int): Array[Array[Double]] = {
+    if (planeCache.size() > PlaneCacheMaxEntries) planeCache.clear()
     planeCache.computeIfAbsent((seed, bits, dim), _ => {
       val seedH = XXH64.hashInt(seed, 42L)
       Array.tabulate(bits) { b =>
@@ -87,6 +94,7 @@ object Sketches {
         }
       }
     })
+  }
 
   def hyperplaneSigKernel(arr: ArrayData, seed: Int, bits: Int): Long = {
     val dim = arr.numElements()
@@ -131,6 +139,16 @@ object Sketches {
       "minhash_sig expects (array<long>, numHashes literal)")
   }
 
+  /** Analysis-time input check shared by the sketch expressions: the
+    * kernels read fixed byte widths off ArrayData, so anything but the
+    * exact element type must fail analysis, not return garbage. */
+  private[functions] def requireArrayOf(fn: String, child: Expression,
+      elem: DataType): TypeCheckResult = child.dataType match {
+    case ArrayType(e, _) if e == elem => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<${elem.catalogString}> input, got ${other.catalogString}")
+  }
+
   def simhashBuilder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(a) => SimHashSig(a)
     case _ => throw new IllegalArgumentException(
@@ -150,6 +168,12 @@ case class MinHashSig(child: Expression, numHashes: Int)
   require(numHashes > 0, "numHashes must be positive")
   @transient private lazy val seeds = Sketches.minhashSeeds(numHashes)
 
+  // strict (no implicit cast): these are exposed through the SQL surface,
+  // and a mistyped input (e.g. array<int>) would otherwise read the wrong
+  // byte widths off ArrayData and return garbage instead of failing
+  // analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireArrayOf(prettyName, child, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
@@ -177,6 +201,8 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Int)
 
   require(bits > 0 && bits <= 64, "bits in 1..64")
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireArrayOf(prettyName, child, FloatType)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
@@ -197,6 +223,8 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Int)
   * input, which yields 0). */
 case class SimHashSig(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireArrayOf(prettyName, child, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
 

@@ -26,14 +26,24 @@ object AsOfJoin {
 
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, rightValCol: String): DataFrame = {
+    val reserved = Seq("__side", "__rv", "__asof")
+    val clash = (left.columns ++ right.columns).toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"asOfJoin reserves column name(s) ${clash.mkString(", ")}; rename the input columns")
     val leftCols = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
+    // the right value travels inside a single-field struct: the struct is
+    // non-null exactly when the row IS a right row, so last(ignoreNulls)
+    // tracks row presence, and a right row whose value column is NULL
+    // still wins over older rows (DuckDB ASOF JOIN semantics)
+    val rvType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", right.schema(rightValCol).dataType)))
     val lNorm = left.select(
       Seq(col(keyCol), col(timeCol), lit(1).as("__side"),
-        lit(null).cast(right.schema(rightValCol).dataType).as("__rv")) ++
+        lit(null).cast(rvType).as("__rv")) ++
         leftCols.map(col): _*)
     val rNorm = right.select(
       Seq(col(keyCol), col(timeCol), lit(0).as("__side"),
-        col(rightValCol).as("__rv")) ++
+        struct(col(rightValCol).as("v")).as("__rv")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("__side").asc)
@@ -42,6 +52,6 @@ object AsOfJoin {
       .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(Seq(col(keyCol), col(timeCol)) ++ leftCols.map(col) :+
-        col("__asof").as(s"asof_$rightValCol"): _*)
+        col("__asof.v").as(s"asof_$rightValCol"): _*)
   }
 }

@@ -31,4 +31,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L).isEmpty)
     assert(out(6L).contains(2.0))
   }
+
+  test("a right row with NULL value still wins over older rows") {
+    // DuckDB ASOF JOIN semantics: the MOST RECENT at-or-before row
+    // matches even if its value column is NULL — row presence, not value
+    // nullability, drives the window.
+    val left = Seq((1L, 100L, 25L)).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 10L, Some(1.0)), (100L, 20L, None: Option[Double])
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.asOfJoin(left, right, "k", "t", "v")
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty, "the newer NULL-valued right row must win")
+  }
+
+  test("reserved internal column names are rejected up front") {
+    val left = Seq((1L, 1L, 1L)).toDF("__side", "k", "t")
+    val right = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(left, right, "k", "t", "v")
+    }
+    assert(e.getMessage.contains("__side"))
+  }
 }

@@ -175,6 +175,22 @@ class PipelineSpec extends AnyFunSuite {
     hcmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("sketch expressions reject mistyped input at analysis time") {
+    // strict input types: a mistyped array (e.g. array<int> where the
+    // kernel reads longs) must fail analysis, not silently return garbage
+    val df = Seq((1, Seq(1, 2))).toDF("id", "xs")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Dedup.simHashFromHashes(col("xs"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Dedup.minHashSignature(col("xs"), 4)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorOps.hyperplaneSketch(
+        col("xs").cast("array<double>"), 8)).collect()
+    }
+  }
+
   test("minhash signature agreement estimates true Jaccard (statistical)") {
     // two synthetic docs with engineered shingle overlap: |A|=|B|=400,
     // |A∩B|=200 → J = 200/600 = 1/3. With 512 independent hash slots the
