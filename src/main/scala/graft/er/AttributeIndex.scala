@@ -130,6 +130,21 @@ final class AttributeIndex(
 
 object AttributeIndex {
 
+  /** Hard cap on a matching attribute's dictionary size. ER matching
+    * attributes are categorical (names, dates, codes), orders of
+    * magnitude smaller than the record count; a free-text or unique-key
+    * column would blow up the driver-built dictionary and the
+    * O(domain × length-block) neighbor index. Fail fast with a
+    * diagnostic instead of an executor/driver OOM. */
+  val MaxDomainSize: Int = 1 << 20
+
+  private[er] def requireDomainFits(attrName: String, n: Long): Unit =
+    require(n <= MaxDomainSize,
+      s"attribute '$attrName' has $n distinct values (cap $MaxDomainSize): " +
+        "ER matching attributes must be categorical — this looks like " +
+        "free text or a unique key; drop the attribute or bucket it " +
+        "before linking")
+
   /** Build one index from the raw (string-typed) attribute column.
     *
     * Value counts come from a grouped aggregation (one shuffle, map-side
@@ -146,13 +161,14 @@ object AttributeIndex {
     import spark.implicits._
 
     val colName = column.columns.head
-    val counted = column
+    val grouped = column
       .filter(col(colName).isNotNull)
       .groupBy(col(colName).cast("string").as("v"))
       .agg(count(lit(1)).as("n"))
-      .as[(String, Long)]
-      .collect()
-    fromCounts(spark, counted, attrId, spec)
+    // count before collecting: fail on oversized domains while the data
+    // is still distributed, not with a driver OOM
+    requireDomainFits(spec.name, grouped.count())
+    fromCounts(spark, grouped.as[(String, Long)].collect(), attrId, spec)
   }
 
   /** Build from already-collected (value, count) pairs — lets the caller
@@ -163,6 +179,7 @@ object AttributeIndex {
       countedUnsorted: Array[(String, Long)],
       attrId: Int,
       spec: AttributeSpec): AttributeIndex = {
+    requireDomainFits(spec.name, countedUnsorted.length.toLong)
     val counted = countedUnsorted.sortBy(_._1)
     val values = counted.map(_._1)
     val counts = counted.map(_._2)
@@ -281,14 +298,21 @@ object ModelIndex {
 
     // all dictionaries in one melt + grouped count (single shuffle),
     // instead of one groupBy/collect job per attribute
-    val melted = records
+    val grouped = records
       .select(posexplode(array(
         specs.map(s => col(s.name).cast("string")): _*)).as(Seq("aid", "v")))
       .filter(col("v").isNotNull)
       .groupBy(col("aid"), col("v"))
       .agg(count(lit(1)).as("n"))
-      .as[(Int, String, Long)]
-      .collect()
+    // per-attribute domain sizes BEFORE collecting the dictionaries —
+    // an oversized (free-text) attribute fails with a diagnostic while
+    // the data is still distributed
+    grouped.groupBy(col("aid")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect()
+      .foreach { case (aid, n) =>
+        AttributeIndex.requireDomainFits(specs(aid).name, n)
+      }
+    val melted = grouped.as[(Int, String, Long)].collect()
     val byAttr = melted.groupBy(_._1)
     val attrs = specs.zipWithIndex.map { case (s, i) =>
       AttributeIndex.fromCounts(spark,

@@ -108,11 +108,8 @@ object Multimodal {
     * for image resize keeping the 1→1 batch shape. */
   def resizePayload(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map { m =>
-      val p = if (m.payload.length >= targetBytes)
-        java.util.Arrays.copyOf(m.payload, targetBytes)
-      else java.util.Arrays.copyOf(m.payload, targetBytes) // zero-padded
-      m.copy(payload = p)
-    }
+    // copyOf both truncates (len >= target) and zero-pads (len < target)
+    media.map(m => m.copy(payload =
+      java.util.Arrays.copyOf(m.payload, targetBytes)))
   }
 }

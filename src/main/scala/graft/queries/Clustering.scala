@@ -94,8 +94,11 @@ object Clustering {
   )
 
   private def erPipeline(s: SparkSession, dir: String): DataFrame = {
+    // custkeys are contiguous from 1, so a key filter bounds the input
+    // to the same 300 records a sort+limit would — without the global
+    // sort shuffle (and the filter pushes down into the scan)
     val base = t(s, dir, "customer")
-      .orderBy(col("c_custkey")).limit(300)
+      .filter(col("c_custkey") <= 300)
       .select(col("c_custkey").cast("string").as("rid"),
         upper(substring(col("c_name"), -8, 8)).as("name"),
         col("c_nationkey").cast("string").as("nation"),
@@ -109,8 +112,8 @@ object Clustering {
           substring(col("name"), 4, 100)).as("name"),
         col("nation"), col("segment"))
     // persist: downstream (stats pass, per-attribute dictionary builds,
-    // encode, truth join) would otherwise re-run the sort+limit over the
-    // full customer scan once per job
+    // encode, truth join) would otherwise re-run the filtered customer
+    // scan once per job
     val records = base.unionAll(dups)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

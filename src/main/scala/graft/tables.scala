@@ -18,8 +18,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects:
     // read nanos as long, then truncate to microsecond timestamps (the
-    // same truncation DuckDB applies, keeping oracle parity).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same truncation DuckDB applies, keeping oracle parity). The flag
+    // has no per-read option, so it must be a session conf; set it only
+    // for the one table that needs it (consulted at scan time too, so it
+    // cannot be unset after planning) — loading any other table leaves
+    // session state untouched.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       // integral `div`, not `/`: nano ticks exceed double's 53-bit mantissa

@@ -21,6 +21,17 @@ class AttributeIndexSpec extends AnyFunSuite {
       .toDF("state")
   }
 
+  test("oversized (free-text) attribute domains fail fast with a diagnostic") {
+    val e = intercept[IllegalArgumentException] {
+      AttributeIndex.requireDomainFits("notes",
+        AttributeIndex.MaxDomainSize + 1L)
+    }
+    assert(e.getMessage.contains("notes"))
+    assert(e.getMessage.contains("categorical"))
+    // at the cap is fine
+    AttributeIndex.requireDomainFits("ok", AttributeIndex.MaxDomainSize.toLong)
+  }
+
   test("dictionary is sorted and ids round-trip") {
     val idx = AttributeIndex.build(spark, statesDf, 0,
       AttributeSpec("state", ConstantSimilarity, BetaParams(1.0, 1.0)))
