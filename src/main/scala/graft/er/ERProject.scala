@@ -43,6 +43,11 @@ object ERProject {
       sweeps: Int = 100,
       burnIn: Int = 0,
       thin: Int = 1,
+      // sweeps per Spark job (shuffle amortization). 0 = auto: use the
+      // k=2 blocked sweeps the mixing study showed are free (BASELINE.md
+      // blocked-sweep table: same converged F1, ~2x throughput) whenever
+      // that keeps the recorded-sample cadence intact, else 1.
+      sweepsPerJob: Int = 0,
       resume: Boolean = false,
       outputPath: String,
       steps: Seq[String] = Seq("sample", "summarize", "evaluate"))
@@ -64,6 +69,16 @@ object ERProject {
       SimilarityFn.fromName(a.similarity, a.threshold, a.maxSimilarity),
       BetaParams(a.alpha, a.beta))
   }
+
+  /** Resolve the blocked-sweep factor: an explicit positive setting wins;
+    * auto (0) picks k=2 — free per the mixing study — but only when both
+    * thin and burnIn are even, so samples/diagnostics still land exactly
+    * on the configured cadence (they are only observable at block
+    * boundaries). */
+  def effectiveSweepsPerJob(conf: Conf): Int =
+    if (conf.sweepsPerJob > 0) conf.sweepsPerJob
+    else if (conf.thin % 2 == 0 && conf.burnIn % 2 == 0) 2
+    else 1
 
   def samplerKindOf(conf: Conf): GibbsKernel.SamplerKind =
     if (conf.collapsedAssignment) GibbsKernel.PCG1
@@ -102,7 +117,8 @@ object ERProject {
           ERState.initialize(spark, records, conf.idColumn, conf.fileIdColumn,
             specs, partitionerOf(conf, specs), conf.seed, samplerKindOf(conf))
       val result = Sampler.run(init, conf.sweeps, conf.burnIn, conf.thin,
-        chainPath = Some(s"$out/linkage-chain.parquet"))
+        chainPath = Some(s"$out/linkage-chain.parquet"),
+        sweepsPerJob = effectiveSweepsPerJob(conf))
       IO.writeDiagnosticsCsv(result.diagnostics, specs.length,
         init.index.value.fileSizes.keys.toSeq.sorted, s"$out/diagnostics.csv")
       IO.saveState(result.state, stateDir)

@@ -67,13 +67,19 @@ object ERPerfBaseline {
       val tInit = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       var st = init
-      (1 to sweeps).foreach { i =>
+      val perSweep = (1 to sweeps).map { i =>
+        val s0 = System.nanoTime()
         st = st.step()
         if (i % 10 == 0) st = st.checkpointed()
+        (System.nanoTime() - s0) / 1e9
       }
       val tSweeps = (System.nanoTime() - t1) / 1e9
+      // the first sweep pays one-time costs (codegen, shuffle setup);
+      // report the min alongside the mean so run-to-run noise is visible
       println(f"[perf] records=$n partitions=${1 << parts} init=${tInit}%.1fs " +
         f"sweeps=$sweeps total=${tSweeps}%.1fs perSweep=${tSweeps / sweeps}%.3fs " +
+        f"minSweep=${perSweep.min}%.3fs " +
+        f"each=[${perSweep.map(t => f"$t%.2f").mkString(",")}] " +
         f"obsEnt=${st.summary.numObservedEntities}")
       df.unpersist()
     }

@@ -30,6 +30,19 @@ class ERProjectSpec extends AnyFunSuite {
     Files.writeString(Paths.get(s"$dir/records.csv"), sb.toString)
   }
 
+  test("auto blocked sweeps: k=2 only when the sample cadence survives") {
+    def conf(thin: Int, burnIn: Int, spj: Int = 0) =
+      ERProject.Conf(dataPath = "x", idColumn = "id", outputPath = "y",
+        thin = thin, burnIn = burnIn, sweepsPerJob = spj)
+    assert(ERProject.effectiveSweepsPerJob(conf(thin = 2, burnIn = 0)) == 2)
+    assert(ERProject.effectiveSweepsPerJob(conf(thin = 10, burnIn = 4)) == 2)
+    // odd thin or burn-in would shift recorded samples off cadence → k=1
+    assert(ERProject.effectiveSweepsPerJob(conf(thin = 1, burnIn = 0)) == 1)
+    assert(ERProject.effectiveSweepsPerJob(conf(thin = 2, burnIn = 3)) == 1)
+    // explicit setting always wins
+    assert(ERProject.effectiveSweepsPerJob(conf(thin = 1, burnIn = 0, spj = 5)) == 5)
+  }
+
   test("config-driven sample/summarize/evaluate run + resume") {
     val dir = Files.createTempDirectory("erproject").toString
     writeFixture(dir)
