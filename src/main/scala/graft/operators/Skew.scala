@@ -27,6 +27,33 @@ object Skew {
       .agg(sum(col("__n")).as("n"), round(sum(col("__s")), 2).as("sum_value"))
   }
 
+  /** Salted equi-join for skewed LEFT keys that are too big to broadcast
+    * around: each left row gets a deterministic salt in [0, buckets), and
+    * each RIGHT row is replicated into every salt bucket — so a hot key's
+    * rows spread over `buckets` reducers instead of collapsing onto one.
+    * Result is exactly the plain inner equi-join (the salt only routes).
+    *
+    * Use when BOTH sides are too large to broadcast and AQE's runtime
+    * skew split cannot help (e.g. a single key holding >1 reducer's
+    * worth of data on both sides of a sort-merge join). Right-side
+    * replication costs `buckets`× the right table's shuffle volume —
+    * pick `buckets` ~ (hot-key rows / healthy-partition rows), and
+    * pre-filter the right side to the join's key range. The salt is
+    * derived from a row hash, not rand(): retried tasks re-salt
+    * identically, so the join stays exactly-once under task retry. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      buckets: Int = 8): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, l("__salt") === r("__salt") &&
+        l(keyCol) === r(keyCol), "inner")
+      .drop("__salt")
+      .drop(r(keyCol))
+  }
+
   /** Salted distinct-count: exact, via per-bucket pre-dedup then global
     * dedup — each shuffle carries only distinct (key, value) pairs. */
   def saltedCountDistinct(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
+import graft.pipeline.{Curation, Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
 
 /** LLM-training-data pipeline operators over the documents/embeddings
   * tables: dedup family, text analysis, similarity search, multimodal
@@ -169,6 +169,20 @@ object Pipeline {
       VectorOps.lshNeighborPairs(emb.unionAll(planted), "vec_id", "embedding",
         bits = 6, minCosine = 0.9, probes = 10)
         .orderBy("a", "b")
+    }),
+
+    // The COMPOSED curation pass (clean -> language filter -> quality
+    // floor -> exact dedup keep-min-id) over a corpus with planted
+    // exact duplicates; every stage is replayed in the DuckDB oracle,
+    // so the whole pipeline is hash-checked end to end.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Curation.curate(d.unionAll(dups), "doc_id", "text")
+        .select(col("docId").as("doc_id"), col("clean_hash"),
+          col("lang"), col("quality"))
+        .orderBy("doc_id")
     }),
 
     // Text cleaning for corpus curation: URL/email masking, control-char
@@ -424,6 +438,67 @@ object Pipeline {
         |         {'h': h_es, 'l': 'es'}, {'h': h_fr, 'l': 'fr'}]).l
         |       ELSE 'und' END AS lang_pred
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Curation replayed stage by stage: the q_doc_clean regex chain on a
+    // dup-planted corpus, the q_doc_profile scoring formulas applied to
+    // the CLEANED text, the same filters, then group-by-content keep-min.
+    "q_curation_pipeline" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '[\x00-\x1F]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM docs),
+        |p AS (
+        |  SELECT doc_id, clean,
+        |    string_split_regex(lower(trim(clean)), '\s+') AS toks,
+        |    string_split_regex(trim(clean), '\s+') AS wtoks,
+        |    length(clean) AS nc,
+        |    CAST(length(clean) - length(regexp_replace(clean,
+        |      '[\.,;:!\?]', '', 'g')) AS INTEGER) AS np
+        |  FROM c),
+        |q AS (
+        |  SELECT doc_id, clean, nc, np,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(wtoks,
+        |           w -> length(w))) AS DOUBLE) / len(wtoks) END AS mwl,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is',
+        |      'it','that','for'])) AS h_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','ein',
+        |      'zu','in','den','mit'])) AS h_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','un',
+        |      'une','de','dans','pour'])) AS h_fr,
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una',
+        |      'de','en','por'])) AS h_es,
+        |    len(toks) AS ntk
+        |  FROM p),
+        |scored AS (
+        |  SELECT doc_id, clean,
+        |    round((least(CAST(nc AS DOUBLE) / 200.0, 1.0)
+        |      + (1.0 - least(CAST(np AS DOUBLE) / greatest(nc, 1) * 10.0, 1.0))
+        |      + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        |      + least((CASE WHEN ntk = 0 THEN 0.0
+        |               ELSE CAST(h_en AS DOUBLE) / ntk END) * 5.0, 1.0))
+        |      / 4.0 + 1e-9, 4) AS quality,
+        |    CASE WHEN greatest(h_en, h_de, h_fr, h_es) > 0
+        |         THEN list_max([{'h': h_de, 'l': 'de'}, {'h': h_en, 'l': 'en'},
+        |           {'h': h_es, 'l': 'es'}, {'h': h_fr, 'l': 'fr'}]).l
+        |         ELSE 'und' END AS lang
+        |  FROM q),
+        |kept AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5)
+        |SELECT min(doc_id) AS doc_id, md5(clean) AS clean_hash,
+        |  min(lang) AS lang, min(quality) AS quality
+        |FROM kept GROUP BY md5(clean) ORDER BY doc_id""".stripMargin,
 
     "q_doc_clean" ->
       """WITH c AS (

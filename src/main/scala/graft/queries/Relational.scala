@@ -355,6 +355,24 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Skew-mitigated equi-join: deterministic left salt + right-side
+    // replication spreads hot join keys over `buckets` reducers when
+    // neither side broadcasts and AQE's skew split can't help. Result
+    // must equal the plain inner join (oracle aggregates it to a
+    // stable shape).
+    "q_skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, "okey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Analytic window: per-user previous-event delta (lag) + running sum.
     "q_events_user_deltas" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -579,6 +597,12 @@ object Relational {
     "q_skew_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_events_user_deltas" ->
       """SELECT user_id, event_id,

@@ -88,6 +88,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("curation pass: cleans, filters language and quality, dedups") {
+    val corpus = Seq(
+      (1L, "the cat is in the house and it is warm for the winter season today"),
+      (2L, "the cat is in the house and it is warm for the winter season today"), // exact dup of 1
+      (3L, "der hund ist in den garten und die katze ist auch da heute"), // German
+      (4L, "x"),                                                         // low quality
+      (5L, "the quick brown fox jumps over it and that is all for now"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(corpus, "doc_id", "text", minQuality = 0.4)
+      .select("docId", "lang").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 5L),
+      s"expected dup 2 merged into 1, German 3 and junk 4 dropped: $out")
+    assert(out.values.forall(_ == "en"))
+  }
+
   test("cosine and brute-force top-k") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
