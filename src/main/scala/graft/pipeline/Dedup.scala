@@ -233,13 +233,19 @@ object Dedup {
       minCosine: Double = 0.95, bits: Int = 8, probes: Int = 6): DataFrame =
     VectorOps.lshNeighborPairs(corpus, idCol, vecCol, bits, minCosine, probes)
 
-  /** Character n-gram Jaccard similarity between given id pairs. */
+  /** Character n-gram Jaccard similarity between given id pairs. The
+    * n-gram table is semi-join-pruned to docs appearing in a pair before
+    * its arrays shuffle — at scale the pair list is tiny next to the
+    * corpus, so only candidate docs' gram arrays move. */
   def charNgramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
+    val candIds = pairs.select(col("a").as("docId"))
+      .union(pairs.select(col("b").as("docId"))).distinct()
     val g2 = fanOut(docs).select(col(idCol).as("docId"),
       array_distinct(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => col(textCol).substr(i, lit(n)))).as("g"))
+      .join(candIds, Seq("docId"), "left_semi")
     pairs
       .join(g2.toDF("a", "gA"), "a")
       .join(g2.toDF("b", "gB"), "b")

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for dataset curation.
@@ -33,4 +34,21 @@ object Sampling {
 
   /** Keep a deterministic ~pct% sample. */
   def sampleHash(id: Column, pct: Int): Column = hashBucket(id, 100) < pct
+
+  /** Deterministic stratified sample: exactly min(k, stratum size) rows
+    * per stratum, chosen by md5-hash order of the id (ties broken by the
+    * id itself, so the selection is total and engine-portable — the
+    * oracle replays it with the same ROW_NUMBER window). One shuffle on
+    * the stratum key; rank-k selection happens within each window
+    * partition, so a giant stratum never concentrates on one reducer
+    * more than its own window sort. For eval-set carving (k per label)
+    * rather than percentage splits. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -212,6 +212,15 @@ object Pipeline {
         .orderBy("split")
     }),
 
+    // Deterministic stratified sampling: exactly k rows per label by
+    // md5-hash order — engine-portable eval-set carving, replayed with
+    // the identical window in DuckDB.
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+          t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+          "label", "vec_id", k = 5)
+        .orderBy("label", "vec_id")),
+
     // Multimodal plumbing: binary payloads through batch feature
     // extraction + frame sampling; byte-length and frame-count invariants
     // are oracle-checked, the stubbed decode features are not.
@@ -518,6 +527,13 @@ object Pipeline {
         |SELECT doc_id, md5(clean) AS clean_hash,
         |  length(clean) AS clean_len, n_urls, n_emails
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT vec_id, label, row_number() OVER (PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
+        |  FROM embeddings) WHERE rk <= 5
+        |ORDER BY label, vec_id""".stripMargin,
 
     "q_sample_split" ->
       """WITH b AS (

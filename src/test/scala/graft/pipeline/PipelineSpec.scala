@@ -88,6 +88,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("stratified sample: exactly k per stratum, deterministic, total") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val s1 = Sampling.stratifiedSample(df, "grp", "id", k = 4)
+      .as[(Long, String)].collect().toSet
+    val s2 = Sampling.stratifiedSample(df, "grp", "id", k = 4)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._2).values.forall(_.size == 4))
+    // small stratum: returns all of it, not an error
+    val tiny = Sampling.stratifiedSample(
+      Seq((1L, "x"), (2L, "x")).toDF("id", "grp"), "grp", "id", k = 5)
+    assert(tiny.count() == 2)
+  }
+
   test("curation pass: cleans, filters language and quality, dedups") {
     val corpus = Seq(
       (1L, "the cat is in the house and it is warm for the winter season today"),
