@@ -233,6 +233,33 @@ object Dedup {
       minCosine: Double = 0.95, bits: Int = 8, probes: Int = 6): DataFrame =
     VectorOps.lshNeighborPairs(corpus, idCol, vecCol, bits, minCosine, probes)
 
+  /** Train/test contamination detection: (trainId, testId) pairs whose
+    * word-shingle overlap reaches `minOverlap` — the standard eval-set
+    * leakage check before training. One shuffle on the shingle key.
+    *
+    * Hot shingles (boilerplate phrases) are the skew hazard at scale:
+    * shingles occurring in more than `maxShingleDf` training docs are
+    * dropped before the join (they carry no discriminative signal and
+    * would fan out quadratically). The document-frequency prune runs as
+    * one aggregation over the exploded train side. */
+  def contaminationPairs(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      minOverlap: Int = 5, maxShingleDf: Int = 1000): DataFrame = {
+    val tr = shingleTable(train, idCol, textCol, shingleSize)
+      .select(col("docId").as("trainId"), explode(col("sh")).as("s"))
+    val te = shingleTable(test, idCol, textCol, shingleSize)
+      .select(col("docId").as("testId"), explode(col("sh")).as("s"))
+    val rare = tr.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("s"))
+    tr.join(rare, Seq("s"), "left_semi")
+      .join(te, Seq("s"))
+      .groupBy(col("trainId"), col("testId"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Character n-gram Jaccard similarity between given id pairs. The
     * n-gram table is semi-join-pruned to docs appearing in a pair before
     * its arrays shuffle — at scale the pair list is tiny next to the

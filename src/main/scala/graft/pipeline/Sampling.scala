@@ -35,6 +35,25 @@ object Sampling {
   /** Keep a deterministic ~pct% sample. */
   def sampleHash(id: Column, pct: Int): Column = hashBucket(id, 100) < pct
 
+  /** Sequence packing for pretraining: assign documents to fixed
+    * token-budget bins. Docs are hash-sharded (so packing parallelizes —
+    * no global sort at 100 TB), then packed contiguously within each
+    * shard in id order: bin = floor(exclusive-prefix-sum(tokens) /
+    * budget). A bin may overrun the budget by at most one document (the
+    * standard streaming-packing contract); every doc lands in exactly
+    * one (shard, bin). Deterministic and engine-portable — the oracle
+    * replays the same windows. */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+      budget: Long, numShards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", hashBucket(col(idCol), numShards))
+      .withColumn("bin",
+        (coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budget)
+          .cast("long"))
+  }
+
   /** Deterministic stratified sample: exactly min(k, stratum size) rows
     * per stratum, chosen by md5-hash order of the id (ties broken by the
     * id itself, so the selection is total and engine-portable — the

@@ -212,6 +212,29 @@ object Pipeline {
         .orderBy("split")
     }),
 
+    // Train/test contamination: plant test docs as prefixes of every
+    // 20th training doc — the leaked pairs (and only those, at 5+ shared
+    // 3-shingles) must surface. Oracle replays the sparse shingle join.
+    "q_decontaminate" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val test = train.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          expr("substr(text, 1, (length(text) * 3) div 5)").as("text"))
+      Dedup.contaminationPairs(train, test, "doc_id", "text",
+          shingleSize = 3, minOverlap = 5)
+        .orderBy("trainId", "testId")
+    }),
+
+    // Sequence packing: hash-shard then contiguous token-budget binning
+    // (exclusive prefix sum div budget) — every doc in exactly one
+    // (shard, bin); oracle replays the same windows.
+    "q_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 4000L, numShards = 32)
+        .select(col("doc_id"), col("shard"), col("bin"))
+        .orderBy("doc_id")),
+
     // Deterministic stratified sampling: exactly k rows per label by
     // md5-hash order — engine-portable eval-set carving, replayed with
     // the identical window in DuckDB.
@@ -527,6 +550,57 @@ object Pipeline {
         |SELECT doc_id, md5(clean) AS clean_hash,
         |  length(clean) AS clean_len, n_urls, n_emails
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Sparse shingle join replay: train shingles (document-frequency
+    // pruned) joined to planted test-prefix shingles, grouped to
+    // overlap counts.
+    "q_decontaminate" ->
+      """WITH train AS (SELECT doc_id, text FROM documents),
+        |test AS (
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    substr(text, 1, (length(text) * 3) // 5) AS text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |shtr AS (
+        |  SELECT doc_id AS trainId,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM train),
+        |shte AS (
+        |  SELECT doc_id AS testId,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM test),
+        |extr AS (SELECT trainId, unnest(g) AS s FROM shtr),
+        |exte AS (SELECT testId, unnest(g) AS s FROM shte),
+        |rare AS (SELECT s FROM extr GROUP BY s HAVING count(*) <= 1000)
+        |SELECT trainId, testId, count(*) AS n_shared
+        |FROM extr JOIN rare USING (s) JOIN exte USING (s)
+        |GROUP BY trainId, testId HAVING count(*) >= 5
+        |ORDER BY trainId, testId""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 32 AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(floor(COALESCE(sum(n_chars) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 4000.0) AS BIGINT) AS bin
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT vec_id, label FROM (

@@ -88,6 +88,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("contamination pairs surface planted leaks and skip clean docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "totally unrelated content here about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // prefix of 1
+      (11L, "fresh unseen evaluation text with no training overlap whatsoever"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(train, test, "doc_id", "text",
+        minOverlap = 3)
+      .select("trainId", "testId").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 10L)), s"got $hits")
+  }
+
+  test("contamination: document-frequency prune drops boilerplate shingles") {
+    // the same boilerplate phrase in every training doc must not create
+    // pairs once its shingles exceed the df cap
+    val boiler = "this content is provided as is without any warranty"
+    val train = (1L to 10L).map(i => (i, s"$boiler unique$i")).toDF("doc_id", "text")
+    val test = Seq((100L, boiler)).toDF("doc_id", "text")
+    val withPrune = Dedup.contaminationPairs(train, test, "doc_id", "text",
+      minOverlap = 3, maxShingleDf = 5).count()
+    val noPrune = Dedup.contaminationPairs(train, test, "doc_id", "text",
+      minOverlap = 3, maxShingleDf = 1000).count()
+    assert(withPrune == 0 && noPrune == 10L)
+  }
+
+  test("sequence packing: every doc in one bin, bins near budget") {
+    val docs = (1L to 200L).map(i => (i, 100L + (i % 7) * 50L))
+      .toDF("doc_id", "n_tok")
+    val packed = Sampling.packSequences(docs, "doc_id", "n_tok",
+      budget = 1000L, numShards = 4)
+    assert(packed.count() == 200)
+    // bin totals: every bin except a shard's last holds >= budget only by
+    // its final overrun doc; exclusive-prefix-sum binning means a bin's
+    // total minus its largest doc is always under budget
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("n_tok").as("t"), max("n_tok").as("m"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bins.forall { case (_, _, t, m) => t - m < 1000L })
+    // deterministic
+    val again = Sampling.packSequences(docs, "doc_id", "n_tok",
+      budget = 1000L, numShards = 4)
+      .select("doc_id", "shard", "bin").as[(Long, Long, Long)].collect().toSet
+    assert(again == packed.select("doc_id", "shard", "bin")
+      .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("stratified sample: exactly k per stratum, deterministic, total") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val s1 = Sampling.stratifiedSample(df, "grp", "id", k = 4)
