@@ -241,19 +241,35 @@ object Dedup {
     * shingles occurring in more than `maxShingleDf` training docs are
     * dropped before the join (they carry no discriminative signal and
     * would fan out quadratically). The document-frequency prune runs as
-    * one aggregation over the exploded train side. */
+    * one aggregation over the exploded train side.
+    *
+    * Caching contract (same as nearDuplicatePairs): the exploded train
+    * shingles feed both the df-prune aggregation and the overlap join,
+    * so they are persisted at `persistLevel`; clear the session cache
+    * after consuming the result, or pass `StorageLevel.NONE`. */
   def contaminationPairs(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
-      minOverlap: Int = 5, maxShingleDf: Int = 1000): DataFrame = {
+      minOverlap: Int = 5, maxShingleDf: Int = 1000,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // shingles travel as xxhash64 longs: every downstream shuffle, sort
+    // and equality runs on 8-byte keys instead of strings. Overlap
+    // counts are identical absent a 64-bit collision (~1e-8 across a
+    // million shingles; the string-based oracle verifies the gate).
     val tr = shingleTable(train, idCol, textCol, shingleSize)
-      .select(col("docId").as("trainId"), explode(col("sh")).as("s"))
+      .select(col("docId").as("trainId"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("s"))
+    val trC = if (persistLevel ==
+        org.apache.spark.storage.StorageLevel.NONE) tr
+      else tr.persist(persistLevel)
     val te = shingleTable(test, idCol, textCol, shingleSize)
-      .select(col("docId").as("testId"), explode(col("sh")).as("s"))
-    val rare = tr.groupBy(col("s"))
+      .select(col("docId").as("testId"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("s"))
+    val rare = trC.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select(col("s"))
-    tr.join(rare, Seq("s"), "left_semi")
+    trC.join(rare, Seq("s"), "left_semi")
       .join(te, Seq("s"))
       .groupBy(col("trainId"), col("testId"))
       .agg(count(lit(1)).as("n_shared"))
