@@ -65,4 +65,56 @@ class PlanSpec extends AnyFunSuite {
     val bf = planOf("q_ann_bruteforce_topk")
     assert(bf.contains("BroadcastNestedLoopJoin"), bf.take(3000))
   }
+
+  test("LSH bucket self-join shuffles ids only, never embedding arrays") {
+    // the Exchange feeding the bucket self-join must carry
+    // (id, probe, bucket) — the vec column re-enters later through the
+    // candidate semi-join, so no exchange input may ship `vec` columns.
+    // Run with persistLevel=NONE so the full lineage (normally hidden
+    // behind InMemoryTableScan) is visible in one plan.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val plan = graft.pipeline.VectorOps.lshNeighborPairs(
+        emb, "vec_id", "embedding", bits = 6, minCosine = 0.9, probes = 2,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // detail section: each "(n) Exchange" block lists "Input [k]: [cols]"
+    val blocks = plan.split("\\n\\n").filter(_.contains(") Exchange"))
+    val joinExchanges = blocks.filter(_.contains("hashpartitioning"))
+    assert(joinExchanges.nonEmpty, plan.take(3000))
+    val offenders = joinExchanges.filter(b =>
+      b.linesIterator.exists(l => l.startsWith("Input") && l.contains("vec#")))
+    assert(offenders.isEmpty,
+      s"exchange ships embedding arrays:\n${offenders.mkString("\n")}")
+  }
+
+  test("contamination join runs on hashed long shingle keys") {
+    val plan = planOf("q_decontaminate")
+    // every shuffle for the shingle joins must partition on the xxhash64
+    // long, not the shingle string
+    assert(plan.contains("xxhash64"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+
+  test("sequence packing plans as windows, no global sort of the corpus") {
+    val plan = planOf("q_pack_sequences")
+    assert(plan.contains("Window"), plan.take(2000))
+    // the only Sort allowed is the per-shard window sort (local after the
+    // hash partition exchange) and the final presentation orderBy — no
+    // Exchange rangepartitioning over the whole corpus BEFORE the window
+    val windowIdx = plan.indexOf("Window")
+    val preWindow = plan.substring(0, windowIdx)
+    assert(!preWindow.contains("rangepartitioning"),
+      "global range sort feeds the packing window: " + preWindow.take(1500))
+  }
+
+  test("curation pass is one aggregation over a scan-fused projection") {
+    val plan = planOf("q_curation_pipeline")
+    // exactly one aggregation boundary (dedup): partial+final pair
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
 }
