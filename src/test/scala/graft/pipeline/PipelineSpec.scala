@@ -217,6 +217,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.payload.length == 16))
   }
 
+  test("signal decoder: real spectral response, not a hash") {
+    // a pure tone at band m's frequency concentrates Goertzel energy in
+    // band m; DC has zero crossing rate 0 and near-zero band energy
+    val dim = 10
+    val m = 3 // bands are k=0..7 at w_k = pi*(k+1)/9; m=3 -> w=4pi/9
+    val w = math.Pi * (m + 1) / (dim - 1).toDouble
+    val tone = Array.tabulate(512)(j => (100.0 * math.cos(w * j)).toByte)
+    val f = Multimodal.decodeSignal(tone, dim)
+    val bands = (2 until dim).map(i => f(i))
+    val others = bands.zipWithIndex.filter(_._2 != m).map(_._1)
+    assert(bands(m) > 3 * others.max,
+      s"tone energy not concentrated: ${bands.mkString(",")}")
+    assert(math.abs(f(0) - 100.0 / math.sqrt(2)) < 5.0, s"rms ${f(0)}")
+
+    val dc = Array.fill(256)(50.toByte)
+    val fdc = Multimodal.decodeSignal(dc, dim)
+    assert(fdc(1) == 0.0f, "DC signal has zero crossings")
+    assert((2 until dim).forall(i => fdc(i) < 5.0f),
+      s"DC leaked into bands: ${fdc.mkString(",")}")
+  }
+
   test("text cleaning masks URLs and emails, collapses whitespace") {
     val r = Seq((1L, "see https://x.io/a?b=1 or mail bob.smith+x@corp.example.com\t now\u0001!"))
       .toDF("doc_id", "text")
