@@ -124,13 +124,21 @@ object Dedup {
     * corpus, so the two array-carrying shuffles move only candidate docs'
     * shingles, not the whole table's (and AQE turns the prune itself into
     * a broadcast semi-join when the id list is small). */
-  private def joinExactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val candIds = pairs.select(col("a").as("docId"))
-      .union(pairs.select(col("b").as("docId"))).distinct()
-    val shCand = sh.join(candIds, Seq("docId"), "left_semi")
+  private def joinExactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
+    joinExactJaccardTwoSided(sh, sh, pairs)
+
+  /** Two-corpus form: pair side `a` resolves against `shA`, side `b`
+    * against `shB` — used by the incremental-ingest dedup where the two
+    * sides come from different tables. Same semi-join pruning contract. */
+  private def joinExactJaccardTwoSided(shLeft: DataFrame, shRight: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val aCand = shLeft.join(pairs.select(col("a").as("docId")).distinct(),
+      Seq("docId"), "left_semi")
+    val bCand = shRight.join(pairs.select(col("b").as("docId")).distinct(),
+      Seq("docId"), "left_semi")
     pairs
-      .join(shCand.toDF("a", "shA"), "a")
-      .join(shCand.toDF("b", "shB"), "b")
+      .join(aCand.toDF("a", "shA"), "a")
+      .join(bCand.toDF("b", "shB"), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB")))).as("jaccard"))
@@ -167,6 +175,68 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct())
     joinExactJaccard(sh, cands).filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental ingest dedup — the daily-batch story: drop new docs
+    * that exactly or nearly duplicate the EXISTING corpus, or an
+    * earlier doc in the same batch. Returns the surviving new doc ids.
+    *
+    * Stages (each the already-proven shape):
+    *  1. exact vs corpus: content-hash anti-join;
+    *  2. exact within batch: keep the lowest id per content hash;
+    *  3. near vs corpus: new-side LSH bands bucket-joined against
+    *     corpus bands (cross-corpus — the corpus NEVER self-joins),
+    *     exact-verified at `threshold`;
+    *  4. near within batch: new-side band self-join, drop the higher id
+    *     of each qualifying pair (independently of whether the lower id
+    *     itself survives — deterministic and replayable).
+    *
+    * At scale the corpus side's shingle/band tables are the natural
+    * precomputed asset: persist them once per corpus version and only
+    * the (small) new batch is sketched per ingest. Caching contract as
+    * in nearDuplicatePairs. */
+  def dedupAgainstCorpus(corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      bands: Int = 32, rowsPerBand: Int = 4,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    def cached(df: DataFrame): DataFrame =
+      if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) df
+      else df.persist(persistLevel)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("docId").asc)
+    val newHashed = newDocs.select(col(idCol).as("docId"),
+      col(textCol).as("text"), md5(col(textCol).cast("binary")).as("h"))
+    val corpusHashes = corpus
+      .select(md5(col(textCol).cast("binary")).as("h")).distinct()
+    val exactSurvivors = cached(newHashed
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("docId"), col("text")))
+    val shNew = cached(shingleTable(exactSurvivors, "docId", "text", shingleSize))
+    val shCorpus = cached(shingleTable(corpus, idCol, textCol, shingleSize))
+    val bNew = cached(lshBandsFromShingles(shNew, bands, rowsPerBand))
+    val bCorpus = lshBandsFromShingles(shCorpus, bands, rowsPerBand)
+    // near vs corpus: every candidate hit disqualifies the new doc
+    val candsX = bNew.toDF("a", "band", "bandHash")
+      .join(bCorpus.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))
+      .select(col("a"), col("b")).distinct()
+    val dropX = joinExactJaccardTwoSided(shNew, shCorpus, candsX)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("docId")).distinct()
+    // near within batch: drop the higher id of each qualifying pair
+    val candsN = bNew.toDF("a", "band", "bandHash")
+      .join(bNew.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val dropN = joinExactJaccardTwoSided(shNew, shNew, candsN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("b").as("docId")).distinct()
+    exactSurvivors
+      .join(dropX.union(dropN).distinct(), Seq("docId"), "left_anti")
+      .select(col("docId"))
   }
 
   /** 64-bit SimHash from a precomputed token-hash array column: per bit,

@@ -212,6 +212,30 @@ object Pipeline {
         .orderBy("split")
     }),
 
+    // Incremental ingest dedup: a planted "daily batch" (exact copies,
+    // truncation near-dups, fresh reversed docs, and an in-batch dup of
+    // each fresh doc) deduped against the documents corpus. 32x4-band
+    // LSH + exact verify is complete at J>=0.8 (miss ~5e-8), so the
+    // survivor set equals DuckDB's sparse-shingle-join replay exactly.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newDocs =
+        d.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 30 === 7)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            expr("substr(text, 1, greatest(length(text) - 30, 10))").as("text")))
+        .unionAll(d.filter(col("doc_id") % 30 === 14)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .unionAll(d.filter(col("doc_id") % 30 === 14)
+          .select((col("doc_id") + 450000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.dedupAgainstCorpus(d, newDocs, "doc_id", "text",
+          threshold = 0.8, shingleSize = 3, bands = 32, rowsPerBand = 4)
+        .orderBy("docId")
+    }),
+
     // Train/test contamination: plant test docs as prefixes of every
     // 20th training doc — the leaked pairs (and only those, at 5+ shared
     // 3-shingles) must surface. Oracle replays the sparse shingle join.
@@ -550,6 +574,78 @@ object Pipeline {
         |SELECT doc_id, md5(clean) AS clean_hash,
         |  length(clean) AS clean_len, n_urls, n_emails
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Incremental dedup replay: md5 anti-join + in-batch keep-min for
+    // the exact stages, then sparse shingle joins (new-vs-corpus and
+    // new-vs-new) for the near stages at the same 0.8 threshold.
+    "q_dedup_incremental" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id + 200000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 30 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 30 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 30 = 14
+        |  UNION ALL
+        |  SELECT doc_id + 450000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 30 = 14),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM documents),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |    FROM newdocs WHERE md5(text) NOT IN (SELECT h FROM ch))
+        |  WHERE rk = 1),
+        |shn AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM ex),
+        |shc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM documents),
+        |exn AS (SELECT doc_id, unnest(g) AS s FROM shn),
+        |exc AS (SELECT doc_id, unnest(g) AS s FROM shc),
+        |szn AS (SELECT doc_id, len(g) AS n FROM shn),
+        |szc AS (SELECT doc_id, len(g) AS n FROM shc),
+        |interx AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM exn x JOIN exc y ON x.s = y.s GROUP BY 1, 2),
+        |dropx AS (
+        |  SELECT DISTINCT a AS doc_id FROM interx
+        |  JOIN szn sa ON interx.a = sa.doc_id
+        |  JOIN szc sb ON interx.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |intern AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM exn x JOIN exn y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |dropn AS (
+        |  SELECT DISTINCT b AS doc_id FROM intern
+        |  JOIN szn sa ON intern.a = sa.doc_id
+        |  JOIN szn sb ON intern.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+        |SELECT doc_id AS docId FROM ex
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
+        |  AND doc_id NOT IN (SELECT doc_id FROM dropn)
+        |ORDER BY docId""".stripMargin,
 
     // Sparse shingle join replay: train shingles (document-frequency
     // pruned) joined to planted test-prefix shingles, grouped to

@@ -88,6 +88,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("incremental dedup: exact/near vs corpus, in-batch, fresh survives") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast today"),
+      (2L, "completely different corpus content about databases and queries here now"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs away fast today"), // exact dup of corpus 1
+      (11L, "the quick brown fox jumps over the lazy dog and runs away fast"),       // near dup of corpus 1
+      (12L, "entirely novel text about mountains rivers and weather patterns today ok"),
+      (13L, "entirely novel text about mountains rivers and weather patterns today ok"), // exact dup of 12 in batch
+      (14L, "entirely novel text about mountains rivers and weather patterns yesterday ok")) // near dup of 12 in batch
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dedupAgainstCorpus(corpus, newDocs, "doc_id", "text",
+      threshold = 0.6).as[Long].collect().toSet
+    assert(survivors == Set(12L), s"got $survivors")
+  }
+
   test("contamination pairs surface planted leaks and skip clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
