@@ -34,5 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Sketches.simhashBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSig].getName,
+        "hyperplane_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Sketches.hyperplaneBuilder(exprs)))
   }
 }

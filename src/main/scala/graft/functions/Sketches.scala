@@ -154,6 +154,22 @@ object Sketches {
     case _ => throw new IllegalArgumentException(
       "simhash_sig expects one array<long> argument")
   }
+
+  /** hyperplane_sig(array<float>, bits-literal[, seed-literal]). */
+  def hyperplaneBuilder(exprs: Seq[Expression]): Expression = {
+    def intLit(e: Expression): Int = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.value.asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_sig expects literal bits/seed arguments")
+    }
+    exprs match {
+      case Seq(a, bits) => HyperplaneSig(a, intLit(bits), 0)
+      case Seq(a, bits, seed) => HyperplaneSig(a, intLit(bits), intLit(seed))
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_sig expects (array<float>, bits literal[, seed literal])")
+    }
+  }
 }
 
 /** MinHash signature: for each of `numHashes` remixed hash functions, the

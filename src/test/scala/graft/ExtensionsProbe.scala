@@ -23,6 +23,11 @@ object ExtensionsProbe {
     // single token: simhash == the token hash's bit pattern
     println(s"[ext-probe] simhash_sig = ${sh.getLong(0)} (expect ${sh.getLong(1)})")
     assert(sh.getLong(0) == sh.getLong(1))
+    val hp = spark.sql(
+      "SELECT hyperplane_sig(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 8) AS s")
+      .head().getLong(0)
+    println(s"[ext-probe] hyperplane_sig via extensions = $hp (8-bit sketch)")
+    assert(hp >= 0 && hp < 256)
     spark.stop()
   }
 }
