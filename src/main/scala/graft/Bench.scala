@@ -17,6 +17,22 @@ object Bench {
     // charged for JVM + codegen + parquet-reader bring-up
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // warm the heavy code paths (sketch expressions, shuffle joins,
+    // window/codegen specializations) on a 64-row slice so the first
+    // LSH/dedup query measures steady-state work, not JIT compilation
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).limit(64)
+      pipeline.Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).limit(64)
+      pipeline.VectorOps.lshNeighborPairs(emb, "vec_id", "embedding",
+        bits = 6, minCosine = 0.9, probes = 2,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
+      spark.catalog.clearCache()
+    }
     // sorted: stable execution order makes per-query timings comparable
     // across rounds (Map hash order reshuffles under query renames)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
