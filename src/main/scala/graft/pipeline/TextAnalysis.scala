@@ -82,6 +82,31 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Fraction of word 2-grams that are repeats of an earlier 2-gram in
+    * the same document (1 - distinct/total) — the standard repetition
+    * signal for filtering degenerate/looping text. 0 for documents with
+    * fewer than two tokens. */
+  def duplicateBigramRatio(textCol: Column): Column = {
+    val toks = Dedup.tokens(textCol)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - lit(2), lit(0))),
+      i => concat_ws(" ", element_at(toks, i + lit(1)), element_at(toks, i + lit(2))))
+    when(size(toks) < 2, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
+  /** Share of tokens taken by the single most frequent token — high
+    * values flag keyword-stuffed or looping documents. O(distinct ×
+    * tokens) per row, fine for natural documents. */
+  def topTokenShare(textCol: Column): Column = {
+    val toks = Dedup.tokens(textCol)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)))).cast("double") / size(toks))
+  }
+
   /** Order-insensitive content fingerprint: xxhash64 over the sorted
     * distinct token set — robust to shuffling/duplication, cheap to
     * compare across a corpus. */

@@ -212,6 +212,17 @@ object Pipeline {
         .orderBy("split")
     }),
 
+    // Repetition quality signals (looping/keyword-stuffed text):
+    // duplicate-bigram ratio and top-token share per document.
+    "q_doc_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.duplicateBigramRatio(col("text")) + 1e-9, 4)
+            .as("dup_bigram_ratio"),
+          round(TextAnalysis.topTokenShare(col("text")) + 1e-9, 4)
+            .as("top_token_share"))
+        .orderBy("doc_id")),
+
     // Incremental ingest dedup: a planted "daily batch" (exact copies,
     // truncation near-dups, fresh reversed docs, and an in-batch dup of
     // each fresh doc) deduped against the documents corpus. 32x4-band
@@ -574,6 +585,28 @@ object Pipeline {
         |SELECT doc_id, md5(clean) AS clean_hash,
         |  length(clean) AS clean_len, n_urls, n_emails
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN NULL
+        |      ELSE list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |        i -> toks[i] || ' ' || toks[i + 1])
+        |    END AS grams
+        |  FROM p)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) < 2 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |    END + 1e-9, 4) AS dup_bigram_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks)
+        |    END + 1e-9, 4) AS top_token_share
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // Incremental dedup replay: md5 anti-join + in-batch keep-min for
     // the exact stages, then sparse shingle joins (new-vs-corpus and

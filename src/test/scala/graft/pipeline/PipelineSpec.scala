@@ -234,6 +234,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.payload.length == 16))
   }
 
+  test("repetition signals: looping text flagged, natural text not") {
+    val r = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "word"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.duplicateBigramRatio(col("text")).as("dup"),
+        TextAnalysis.topTokenShare(col("text")).as("top"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // "buy now" x5: 9 bigrams, 2 distinct -> 7/9; "buy" 5 of 10 tokens
+    assert(math.abs(r(1L)._1 - 7.0 / 9.0) < 1e-9)
+    assert(math.abs(r(1L)._2 - 0.5) < 1e-9)
+    assert(r(2L)._1 == 0.0)                      // all bigrams distinct
+    assert(math.abs(r(2L)._2 - 2.0 / 9.0) < 1e-9) // "the" twice in 9
+    assert(r(3L)._1 == 0.0 && r(3L)._2 == 1.0)   // single token
+  }
+
   test("signal decoder: real spectral response, not a hash") {
     // a pure tone at band m's frequency concentrates Goertzel energy in
     // band m; DC has zero crossing rate 0 and near-zero band energy
