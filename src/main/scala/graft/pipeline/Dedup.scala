@@ -201,6 +201,60 @@ object Dedup {
       bands: Int = 32, rowsPerBand: Int = 4,
       persistLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // corpus shingles feed both the band build and the verify join —
+    // persist once (same contract as nearDuplicatePairs)
+    val shCorpus =
+      if (persistLevel == org.apache.spark.storage.StorageLevel.NONE)
+        shingleTable(corpus, idCol, textCol, shingleSize)
+      else shingleTable(corpus, idCol, textCol, shingleSize).persist(persistLevel)
+    val assets = CorpusSketch(
+      corpus.select(md5(col(textCol).cast("binary")).as("h")).distinct(),
+      shCorpus,
+      lshBandsFromShingles(shCorpus, bands, rowsPerBand))
+    dedupAgainstSketch(assets, newDocs, idCol, textCol, threshold,
+      shingleSize, bands, rowsPerBand, persistLevel)
+  }
+
+  /** The reusable corpus-side dedup asset: content hashes, the shingle
+    * table (docId, sh), and the LSH band table (docId, band, bandHash).
+    * Build once per corpus version with `writeCorpusSketch`; per-ingest
+    * cost is then proportional to the NEW batch only. */
+  final case class CorpusSketch(hashes: DataFrame, shingles: DataFrame,
+      bands: DataFrame)
+
+  /** Materialize the corpus sketch to parquet (three tables under
+    * `path`). The bands table is the bucket-join side, so it is written
+    * bucketable by its join key columns via a plain repartition — at
+    * cluster scale write it as a bucketed table instead. */
+  def writeCorpusSketch(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3,
+      bands: Int = 32, rowsPerBand: Int = 4): Unit = {
+    corpus.select(md5(col(textCol).cast("binary")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes.parquet")
+    val sh = shingleTable(corpus, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("overwrite").parquet(s"$path/shingles.parquet")
+    lshBandsFromShingles(sh, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands.parquet")
+    sh.unpersist()
+  }
+
+  /** Load a sketch previously written by `writeCorpusSketch`. */
+  def readCorpusSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): CorpusSketch =
+    CorpusSketch(
+      spark.read.parquet(s"$path/hashes.parquet"),
+      spark.read.parquet(s"$path/shingles.parquet"),
+      spark.read.parquet(s"$path/bands.parquet"))
+
+  /** `dedupAgainstCorpus` against prepared corpus assets: only the new
+    * batch is hashed/shingled/banded here — the daily-ingest fast path. */
+  def dedupAgainstSketch(assets: CorpusSketch, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      bands: Int = 32, rowsPerBand: Int = 4,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     def cached(df: DataFrame): DataFrame =
       if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) df
       else df.persist(persistLevel)
@@ -208,17 +262,15 @@ object Dedup {
       .partitionBy(col("h")).orderBy(col("docId").asc)
     val newHashed = newDocs.select(col(idCol).as("docId"),
       col(textCol).as("text"), md5(col(textCol).cast("binary")).as("h"))
-    val corpusHashes = corpus
-      .select(md5(col(textCol).cast("binary")).as("h")).distinct()
     val exactSurvivors = cached(newHashed
-      .join(corpusHashes, Seq("h"), "left_anti")
+      .join(assets.hashes, Seq("h"), "left_anti")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("docId"), col("text")))
     val shNew = cached(shingleTable(exactSurvivors, "docId", "text", shingleSize))
-    val shCorpus = cached(shingleTable(corpus, idCol, textCol, shingleSize))
+    val shCorpus = assets.shingles
     val bNew = cached(lshBandsFromShingles(shNew, bands, rowsPerBand))
-    val bCorpus = lshBandsFromShingles(shCorpus, bands, rowsPerBand)
+    val bCorpus = assets.bands
     // near vs corpus: every candidate hit disqualifies the new doc
     val candsX = bNew.toDF("a", "band", "bandHash")
       .join(bCorpus.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))

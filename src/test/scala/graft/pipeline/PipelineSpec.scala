@@ -105,6 +105,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors == Set(12L), s"got $survivors")
   }
 
+  test("persisted corpus sketch gives the same dedup as the direct path") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast today"),
+      (2L, "completely different corpus content about databases and queries here now"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs away fast today"),
+      (11L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (12L, "entirely novel text about mountains rivers and weather patterns today ok"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString
+    Dedup.writeCorpusSketch(corpus, "doc_id", "text", dir)
+    val viaSketch = Dedup.dedupAgainstSketch(
+      Dedup.readCorpusSketch(spark, dir), newDocs, "doc_id", "text",
+      threshold = 0.6).as[Long].collect().toSet
+    val direct = Dedup.dedupAgainstCorpus(corpus, newDocs, "doc_id", "text",
+      threshold = 0.6).as[Long].collect().toSet
+    assert(viaSketch == direct && viaSketch == Set(12L),
+      s"sketch=$viaSketch direct=$direct")
+  }
+
   test("contamination pairs surface planted leaks and skip clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
