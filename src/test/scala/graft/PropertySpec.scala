@@ -95,6 +95,30 @@ object CoreProperties extends Properties("graft.core") {
       val rng = new java.util.SplittableRandom(2L)
       (0 until 100).forall(_ => t.sample(rng) == k / 2)
     }
+
+  private val smallDomainWeights: Gen[List[Long]] =
+    Gen.choose(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 100L)))
+
+  property("LPT split imbalance bounded by the heaviest value") =
+    forAll(smallDomainWeights) { ws =>
+      // classic greedy 2-bin guarantee: |left - right| <= max weight —
+      // exactly the property that makes the small-domain fallback safe
+      import graft.er._
+      import graft.er.model._
+      val idx = new AttributeIndex(0, "a", graft.core.ConstantSimilarity,
+        BetaParams(1.0, 1.0),
+        ws.indices.map(i => f"v$i%03d").toArray, ws.toArray,
+        Array.fill(ws.length)(Array.empty[Int]),
+        Array.fill(ws.length)(Array.empty[Double]))
+      val total = ws.sum
+      val mi = new ModelIndex(IndexedSeq(idx), Map("0" -> total),
+        Map((0, "0") -> total), total)
+      val part = KDTreePartitioner.fit(mi, Seq(0), numLevels = 1)
+      val masses = Array(0L, 0L)
+      ws.indices.foreach(v => masses(part.partitionOf(Array(v))) += ws(v))
+      (masses(0) - masses(1)).abs <= ws.max
+    }
 }
 
 /** Spark-dependent representation properties (round-trips, ARI bounds). */
