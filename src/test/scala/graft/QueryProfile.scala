@@ -25,6 +25,18 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    val jobTrace = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
+    val jobTimes = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    if (jobTrace) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobTimes.put(js.jobId, (System.nanoTime(),
+            Option(js.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobTimes.remove(je.jobId)
+          if (st != null) println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%6.2f s  ${st._2}")
+        }
+      })
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (name <- names; fn = SparkEntry.queries(name)) {
       if (explain) fn(spark, sfDir).explain("formatted")
