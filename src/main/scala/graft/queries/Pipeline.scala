@@ -74,6 +74,20 @@ object Pipeline {
         .orderBy("a", "b")
     }),
 
+    // Near-dup PAIRS -> duplicate CLUSTERS via min-label connected
+    // components — the representative-picking step of a dedup pipeline.
+    // Same complete LSH config as q_dedup_minhash_lsh, so the DuckDB
+    // oracle derives the identical edge set relationally and closes it
+    // with a recursive CTE.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 3, bands = 32, rowsPerBand = 4)
+        .select(col("a"), col("b"))
+      graft.operators.ConnectedComponents.components(pairs)
+        .orderBy("id")
+    }),
+
     // SimHash near-dup detection on the same planted corpus (rows-only).
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
@@ -585,6 +599,45 @@ object Pipeline {
         |SELECT doc_id, md5(clean) AS clean_hash,
         |  length(clean) AS clean_len, n_urls, n_emails
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The minhash pair derivation closed transitively with a recursive
+    // CTE, then min reachable id per node = the component label.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM docs),
+        |sz AS (SELECT doc_id, len(g) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz sa ON inter.a = sa.doc_id
+        |  JOIN sz sb ON inter.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS id, least(a, min(b)) AS comp
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q_doc_repetition" ->
       """WITH p AS (

@@ -30,6 +30,21 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.count(_._1 == 1L) == 1800)
   }
 
+  test("connected components: chain, triangle, and isolated pair") {
+    // path 30-31-32-33-34 exercises multi-hop propagation (diameter 4)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L))
+      .toDF("a", "b")
+    val comp = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
+  }
+
   test("salted join spreads a hot key over multiple buckets") {
     val left = (1 to 400).map(i => (1L, i)).toDF("k", "lv")
     val right = Seq((1L, "x")).toDF("k", "rv")
