@@ -22,8 +22,13 @@ object ConnectedComponents {
   /** (id, component) for every node in `edges` (columns a, b), where
     * component is the minimum node id reachable. */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // cache the edge list first: the undirected union scans it twice,
+    // and upstream edge derivations (e.g. an LSH verify join) are
+    // exactly what should not run per scan
+    val e = edges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = e
+      .union(e.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -50,6 +55,7 @@ object ConnectedComponents {
     require(changed == 0,
       s"connected components did not converge in $maxIter iterations")
     und.unpersist()
+    e.unpersist()
     labels.select(col("id"), col("comp"))
   }
 }
