@@ -149,10 +149,13 @@ object Pipeline {
         .orderBy("qid", "rank")
     }),
 
-    // LSH-bucketed ANN pairs — the 100TB scale path (rows-only). The
-    // corpus gets planted near-duplicates (slightly perturbed copies) so
-    // recall is observable: every planted pair has cosine ≈ 1 and must
-    // land in the same hyperplane bucket.
+    // LSH-bucketed ANN pairs — the 100TB scale path. The corpus gets
+    // planted near-duplicates (slightly perturbed copies): every
+    // planted pair has cosine ≈ 0.99995, where the 10-bit x 2-probe
+    // config misses with p ≈ 1e-3 per pair — verified deterministically
+    // complete at sf0.001/0.01/0.1, so DuckDB's brute-force all-pairs
+    // join is an exact oracle here too (planted pairs are the only ones
+    // at cosine >= 0.9; random pairs top out ~0.5).
     "q_ann_lsh_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -408,6 +411,31 @@ object Pipeline {
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_ann_lsh_pairs" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN (i - 1) % 7 = 0
+        |           THEN CAST(x * CAST(1.02 AS FLOAT) AS FLOAT)
+        |           ELSE x END) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM c),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b, round(
+        |    list_reduce(list_transform(list_zip(x.v, y.v),
+        |      p -> p[1] * p[2]), (s, t) -> s + t) /
+        |    (sqrt(list_reduce(list_transform(x.v, z -> z * z),
+        |       (s, t) -> s + t)) *
+        |     sqrt(list_reduce(list_transform(y.v, z -> z * z),
+        |       (s, t) -> s + t))), 6) AS cosine
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |SELECT a, b, cosine FROM pairs WHERE cosine >= 0.9
+        |ORDER BY a, b""".stripMargin,
 
     // Brute-force ground truth for the full-recall LSH configuration:
     // the planted corpus (two components zeroed — exact in both
