@@ -182,4 +182,33 @@ class EREndToEndSpec extends AnyFunSuite {
       .map(_.sorted.mkString(",")).sorted.toSeq
     assert(clusteringOf(after) == clusteringOf(after2))
   }
+
+  test("LPT-split partitions run the full sampler loop (small skewed domain)") {
+    import spark.implicits._
+    // split attribute with 5 values, one dominant: every KD node takes
+    // the LPT set-split path; the sweep must stay deterministic and keep
+    // every record, with both partitions genuinely populated
+    val regions = Array("north", "north", "north", "south", "east", "west", "mid")
+    val rng = new java.util.SplittableRandom(2718L)
+    val rows = (0 until 80).map { e =>
+      (s"r$e", regions(rng.nextInt(regions.length)),
+        firstNames(rng.nextInt(firstNames.length)))
+    }
+    val df = rows.toDF("rec_id", "region", "fname")
+    val specs = Seq(
+      AttributeSpec("region", ConstantSimilarity, BetaParams(0.5, 50.0)),
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)))
+    def run() = {
+      val init = ERState.initialize(spark, df, "rec_id", None, specs,
+        idx => KDTreePartitioner.fit(idx, Seq(0), 1), seed = 11L)
+      (1 to 4).foldLeft(init)((s, _) => s.step())
+    }
+    val after = run()
+    val sample = after.linkageSample().collect()
+    assert(sample.flatMap(_.linkageStructure.flatten).sorted.toSeq ==
+      rows.map(_._1).sorted)
+    val partIds = sample.map(_.partitionId).toSet
+    assert(partIds == Set(0, 1), s"expected both LPT partitions used: $partIds")
+    assert(after.summary == run().summary)
+  }
 }
