@@ -30,8 +30,12 @@ object ConnectedComponents {
     val und = e
       .union(e.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // initialize with the first propagation round already applied:
+    // comp0 = min(id, neighbors) in one aggregation — node enumeration
+    // comes free from the grouping, and plain pair components (the bulk
+    // of near-dup graphs) converge on the first loop check
+    var labels = und.groupBy(col("a").as("id"))
+      .agg(least(col("a"), min(col("b"))).as("comp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var changed = 1L
