@@ -255,6 +255,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.payload.length == 16))
   }
 
+  test("simhash chunk blocking is complete up to hamming 3 (pigeonhole)") {
+    // 60 pseudo-random docs + mutated copies; ground truth by brute-force
+    // hamming over the signatures — every pair within distance 3 MUST be
+    // found by the 16-bit chunk blocking (4 chunks, <=3 flipped bits ->
+    // one chunk intact), not just statistically likely
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new scala.util.Random(13)
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(12)(words(rng.nextInt(words.length))).mkString(" "))
+    }
+    val mutated = base.filter(_._1 % 4 == 0).map { case (i, t) =>
+      (i + 1000L, t.split(" ").updated(3, "mutant").mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture planted no close pairs")
+    assert(found == truth,
+      s"blocking missed ${truth.diff(found)} / emitted extra ${found.diff(truth)}")
+  }
+
   test("repetition signals: looping text flagged, natural text not") {
     val r = Seq(
       (1L, "buy now buy now buy now buy now buy now"),
