@@ -49,10 +49,20 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the one-line JSON under ~1900 chars for 72
+    // queries, so the driver's 2000-char stdout tail captures the whole
+    // line even when its JSON parse step fails
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "sf" is the NUMERIC scale factor per the driver's contract
+    // ({"sf":0.1}); rounds 1-3 printed the directory path string here and
+    // the driver recorded "parsed": null every round.
+    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(
+      new java.io.File(sfDir).getName).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

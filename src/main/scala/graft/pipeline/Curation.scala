@@ -23,23 +23,29 @@ object Curation {
     * The survivor row is selected atomically via min over a
     * (docId, lang, quality) struct — ids are unique, so this is the
     * min-id row; lang/quality are deterministic functions of the cleaned
-    * text, hence identical across a duplicate group anyway. */
+    * text, hence identical across a duplicate group anyway.
+    *
+    * Stage order: dedup FIRST, filter after the aggregate. Because
+    * lang/quality are functions of the cleaned text, every member of a
+    * clean_hash group passes or fails the filter together, so
+    * filter-then-dedup and dedup-then-filter keep exactly the same rows —
+    * but the post-agg filter cannot be pushed through the projection,
+    * which keeps the whole expensive expression chain (regex cleaning,
+    * tokenize, language/quality scoring) in ONE subexpression-eliminated
+    * projection instead of being re-inlined into a pre-agg filter. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.5): DataFrame = {
-    val cleaned = graft.Tables.fanOut(docs)
-      .select(col(idCol).as("docId"),
-        TextAnalysis.cleanText(col(textCol)).as("clean"))
-      .select(col("docId"), col("clean"),
-        TextAnalysis.detectLanguage(col("clean")).as("lang"),
-        TextAnalysis.qualityScore(col("clean")).as("quality"))
-      .filter(col("lang").isin(keepLangs: _*) &&
-        col("quality") >= minQuality)
-    cleaned
-      .select(md5(col("clean").cast("binary")).as("clean_hash"),
-        struct(col("docId"), col("lang"), col("quality")).as("row"))
+    val clean = TextAnalysis.cleanText(col(textCol))
+    graft.Tables.fanOut(docs)
+      .select(md5(clean.cast("binary")).as("clean_hash"),
+        struct(col(idCol).as("docId"),
+          TextAnalysis.detectLanguage(clean).as("lang"),
+          TextAnalysis.qualityScore(clean).as("quality")).as("row"))
       .groupBy(col("clean_hash"))
       .agg(min(col("row")).as("keep"))
+      .filter(col("keep.lang").isin(keepLangs: _*) &&
+        col("keep.quality") >= minQuality)
       .select(col("keep.docId").as("docId"), col("clean_hash"),
         col("keep.lang").as("lang"), col("keep.quality").as("quality"))
   }

@@ -378,21 +378,28 @@ object Dedup {
     // and equality runs on 8-byte keys instead of strings. Overlap
     // counts are identical absent a 64-bit collision (~1e-8 across a
     // million shingles; the string-based oracle verifies the gate).
+    //
+    // ONE pass over the train corpus: group occurrences by shingle,
+    // carrying the (df-capped) occurrence list — the df prune and the
+    // posting list come out of the same aggregation, replacing the
+    // persist + count + semi-join + join plan that scanned and shuffled
+    // the train shingle table twice. Lists are bounded by maxShingleDf
+    // (~8 KB at the default), so the explode after the test join fans
+    // out at most df x test-occurrences rows — the same rows the
+    // equi-join produced.
+    val _ = persistLevel // retained in the signature; no stage needs a cache
     val tr = shingleTable(train, idCol, textCol, shingleSize)
       .select(col("docId").as("trainId"),
         explode(transform(col("sh"), s => xxhash64(s))).as("s"))
-    val trC = if (persistLevel ==
-        org.apache.spark.storage.StorageLevel.NONE) tr
-      else tr.persist(persistLevel)
     val te = shingleTable(test, idCol, textCol, shingleSize)
       .select(col("docId").as("testId"),
         explode(transform(col("sh"), s => xxhash64(s))).as("s"))
-    val rare = trC.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
+    val postings = tr.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), collect_list(col("trainId")).as("tids"))
       .filter(col("df") <= maxShingleDf)
-      .select(col("s"))
-    trC.join(rare, Seq("s"), "left_semi")
-      .join(te, Seq("s"))
+      .select(col("s"), col("tids"))
+    postings.join(te, Seq("s"))
+      .select(explode(col("tids")).as("trainId"), col("testId"))
       .groupBy(col("trainId"), col("testId"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)

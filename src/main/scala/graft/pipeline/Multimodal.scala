@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of `mapInPandas` — one JVM-side batch loop, arbitrary
   * native calls inside, schema declared up front).
   *
-  * Feature extraction is REAL signal processing: `decodeSignal` treats
-  * the payload as signed 8-bit PCM and computes RMS, zero-crossing rate
-  * and Goertzel spectral-band energies — pure-JVM DSP that responds to
-  * actual signal structure (pure tones concentrate in the matching band;
-  * see the spec). What stays out of scope in this container is
-  * CONTAINER-FORMAT parsing (JPEG/MP4 entropy decode needs a native
-  * codec); `decodeStub` remains as the placeholder for that hop, and the
-  * Spark-side contract — schema, batching, partition sizing, skew
-  * behavior — is identical either way.
+  * Feature extraction is REAL on two modalities:
+  *  - images: `decodeImage`/`extractImageStats`/`resizeImageBytes` run the
+  *    JDK's ImageIO codecs (JPEG/PNG/BMP/GIF/TIFF — java.desktop, pure
+  *    Java, headless-safe). The q_image_decode gate query PNG-encodes a
+  *    deterministic pattern, decodes it back through ImageIO, and
+  *    hash-compares exact integer pixel sums against a DuckDB closed form.
+  *  - audio-style signals: `decodeSignal` treats the payload as signed
+  *    8-bit PCM and computes RMS, zero-crossing rate and Goertzel
+  *    spectral-band energies (pure tones concentrate in the matching
+  *    band; see the spec).
+  * Only container formats the JDK lacks (MP4/WebM video, WebP, …) still
+  * need an FFI codec; `decodeStub` remains as the placeholder for that
+  * hop, and the Spark-side contract — schema, batching, partition sizing,
+  * skew behavior — is identical either way.
   */
 object Multimodal {
 
@@ -67,6 +72,133 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL image codec — javax.imageio ships with the JDK (java.desktop
+  // module): JPEG/PNG/BMP/GIF/TIFF readers and writers, pure-Java, no
+  // native libraries. Only exotic/video container formats (MP4, WebP, …)
+  // still need the FFI hop that `decodeStub` stands in for.
+  // ---------------------------------------------------------------------
+
+  final case class ImageStats(
+      mediaId: Long,
+      width: Int,
+      height: Int,
+      sumLuma: Long)
+
+  /** Decode an image payload with the JDK's ImageIO readers. Returns None
+    * when no registered reader recognises the bytes (e.g. a text payload
+    * riding in a media column). */
+  def decodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None; case _: RuntimeException => None }
+
+  /** Deterministic grayscale test-pattern image (pixel (x,y) has value
+    * `f(x,y) & 0xff`), written through the raster so no colorspace
+    * conversion touches the values. */
+  def grayImage(
+      w: Int, h: Int, f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Lossless PNG encode via ImageIO (the JDK PNG writer). */
+  def encodePng(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image statistics: dimensions plus the EXACT integer sum of
+    * luma samples (first band) — integer-exact, so a lossless
+    * encode→decode roundtrip is hash-comparable across engines. */
+  def imageStats(
+      mediaId: Long, img: java.awt.image.BufferedImage): ImageStats = {
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    ImageStats(mediaId, w, h, sum)
+  }
+
+  /** Image feature vector from a REAL decode: [0]=width, [1]=height,
+    * [2]=mean luma in [0,1], [3..]=normalized luma histogram over
+    * (dim-3) equal bins. None when the payload is not a decodable image. */
+  def decodeImageFeatures(
+      payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeImage(payload).map { img =>
+      val r = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](dim)
+      val bins = math.max(dim - 3, 0)
+      val hist = new Array[Long](math.max(bins, 1))
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = r.getSample(x, y, 0)
+          sum += v
+          if (bins > 0) hist(math.min(v * bins / 256, bins - 1)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      if (dim > 0) out(0) = w.toFloat
+      if (dim > 1) out(1) = h.toFloat
+      if (dim > 2) out(2) = (sum / (255.0 * n)).toFloat
+      var b = 0
+      while (b < bins) { out(b + 3) = (hist(b) / n).toFloat; b += 1 }
+      out
+    }
+
+  /** REAL image resize: decode, area-interpolated rescale through a
+    * Graphics2D transform, re-encode as lossless PNG. Non-image payloads
+    * pass through unchanged (the batch shape is 1→1 either way). */
+  def resizeImageBytes(
+      payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    decodeImage(payload).map { img =>
+      val dst = new java.awt.image.BufferedImage(w, h, img.getType match {
+        case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB
+        case t => t
+      })
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      encodePng(dst)
+    }.getOrElse(payload)
+
+  /** Batch image decode + stats: the real-codec pipeline stage. Rows whose
+    * payload no ImageIO reader recognises are dropped (count the drop rate
+    * upstream if it matters — same contract as a production decode stage
+    * quarantining corrupt files). */
+  def extractImageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m =>
+      decodeImage(m.payload).map(img => imageStats(m.mediaId, img))))
   }
 
   /** Real pure-JVM decoder: the payload as signed 8-bit PCM samples.

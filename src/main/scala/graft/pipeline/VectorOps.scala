@@ -210,12 +210,17 @@ object VectorOps {
       .select(col("a"), col("b")).distinct())
     val candIds = cands.select(col("a").as("id"))
       .union(cands.select(col("b").as("id"))).distinct()
+    // norms computed ONCE per candidate vector here, not once per pair in
+    // the verify join — dot/(na*nb) below is arithmetically identical to
+    // cosine() but does a third of the array folds per pair
     val vCand = vecs.join(candIds, Seq("id"), "left_semi")
+      .withColumn("nrm", l2Norm(col("vec")))
     cands
-      .join(vCand.toDF("a", "va"), "a")
-      .join(vCand.toDF("b", "vb"), "b")
+      .join(vCand.toDF("a", "va", "na"), "a")
+      .join(vCand.toDF("b", "vb", "nb"), "b")
       .select(col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -170,12 +170,15 @@ object Pipeline {
 
     // LSH-ANN with a FULL-RECALL configuration, oracle-checked: plants
     // get two components zeroed (exact in any float arithmetic), giving
-    // pair cosines 0.89-0.999; at bits=6 x 10 probes the per-pair miss
-    // probability is <= 1e-2 (expected misses ~0.04 across all SFs, and
-    // the deterministic hyperplanes make the outcome fixed, verified
-    // complete at sf0.001/0.01/0.1) — so the LSH output EQUALS the
-    // all-pairs answer and DuckDB's brute-force cosine join is an exact
-    // oracle of both the candidate generation and the verify stage.
+    // pair cosines 0.89-0.999; at bits=10 x 40 probes the per-pair miss
+    // probability at cosine 0.90 is (1 - 0.856^10)^40 ~ 8e-5 (expected
+    // misses ~0.02 across all SFs, and the deterministic hyperplanes make
+    // the outcome fixed, verified complete at sf0.001/0.01/0.1) — so the
+    // LSH output EQUALS the all-pairs answer and DuckDB's brute-force
+    // cosine join is an exact oracle of both the candidate generation and
+    // the verify stage. vs the previous bits=6 x 10 config this prunes
+    // ~4x more random-collision candidates (p_rand = 40/2^10 vs 10/2^6)
+    // at a ~100x smaller miss rate — narrower buckets beat fewer probes.
     "q_ann_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -184,7 +187,7 @@ object Pipeline {
             (x, i) => when(i === 7 || i === 39, lit(0.0f)).otherwise(x))
             .as("embedding"))
       VectorOps.lshNeighborPairs(emb.unionAll(planted), "vec_id", "embedding",
-        bits = 6, minCosine = 0.9, probes = 10)
+        bits = 10, minCosine = 0.9, probes = 40)
         .orderBy("a", "b")
     }),
 
@@ -310,10 +313,52 @@ object Pipeline {
           col("byteLen"),
           coalesce(col("n_frames"), lit(0L)).as("n_frames"))
         .orderBy("mediaId")
+    }),
+
+    // REAL image codec, oracle-checked end to end: per document, build a
+    // deterministic grayscale gradient (pixel (x,y) = (7x+13y+id) mod
+    // 256), PNG-encode it with the JDK's ImageIO writer, decode it BACK
+    // with the ImageIO reader, and emit the decoded dimensions plus the
+    // exact integer pixel sum. PNG is lossless, so the decoded sum equals
+    // the closed-form sum DuckDB computes relationally — any codec bug
+    // (stride, color model, filtering, byte order) breaks the hash.
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id / 16) % 8).toInt
+          Multimodal.MediaRow(id, "image",
+            Multimodal.encodePng(Multimodal.grayImage(w, h,
+              (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)), w, h)
+        }
+      Multimodal.extractImageStats(media).toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("width"), col("height"), col("sumLuma").as("sum_luma"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Closed-form replay of the PNG encode→decode roundtrip: the Spark
+    // side goes through the REAL ImageIO codec; DuckDB computes the same
+    // pixel sums relationally. Lossless PNG makes them exactly equal.
+    "q_image_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS INTEGER) AS width,
+        |    CAST(8 + (doc_id // 16) % 8 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    unnest(range(0, width * height)) AS g
+        |  FROM d)
+        |SELECT doc_id, width, height,
+        |  CAST(sum(((g % width) * 7 + (g // width) * 13 + doc_id) % 256)
+        |    AS BIGINT) AS sum_luma
+        |FROM px GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
+
     "q_doc_token_stats" ->
       """SELECT doc_id, n_chars, length(text) AS len,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
