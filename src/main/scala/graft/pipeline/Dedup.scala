@@ -23,6 +23,16 @@ object Dedup {
   def tokens(textCol: Column): Column =
     split(lower(trim(textCol)), "\\s+")
 
+  /** Engine-portable 60-bit string hash: the first 15 hex digits of md5
+    * as a positive BIGINT. DuckDB reproduces it exactly as
+    * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`, which is what
+    * lets sketch pipelines built on it (SimHash, winnowing) be replayed
+    * relationally by the correctness oracle. ~3x the cost of xxhash64 —
+    * production paths keep xxhash64 as their default hash; gates pass
+    * this one in. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Word k-shingles as strings ("a b c" for k=3). Documents shorter than
     * k words yield their full token string as the single shingle. */
   def shingles(textCol: Column, k: Int): Column = {
@@ -313,10 +323,13 @@ object Dedup {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** (id, simhash) for every document — tokenize+hash once, then fold. */
-  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (id, simhash) for every document — tokenize+hash once, then fold.
+    * `hashFn` is the per-token hash: xxhash64 by default, `md5Long` when
+    * the result must be replayable outside Spark (the oracle gate). */
+  def simHashes(docs: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = xxhash64(_)): DataFrame =
     fanOut(docs).select(col(idCol).as("docId"),
-      transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      transform(tokens(col(textCol)), t => hashFn(t)).as("th"))
       .select(col("docId"), simHashFromHashes(col("th")).as("sig"))
 
   /** Convenience single-column form (used in tests/ad-hoc queries). */
@@ -331,8 +344,9 @@ object Dedup {
     * (any pair within Hamming distance 3 shares at least one chunk —
     * pigeonhole), then verify the full distance. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashes(docs, idCol, textCol)
+      maxHamming: Int = 3,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = simHashes(docs, idCol, textCol, hashFn)
     val chunks = sigs.select(col("docId"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))

@@ -107,18 +107,22 @@ object TextAnalysis {
           t => size(filter(toks, x => x === t)))).cast("double") / size(toks))
   }
 
-  /** Order-insensitive content fingerprint: xxhash64 over the sorted
+  /** Order-insensitive content fingerprint: a hash over the sorted
     * distinct token set — robust to shuffling/duplication, cheap to
-    * compare across a corpus. */
-  def contentFingerprint(textCol: Column): Column =
-    xxhash64(array_join(array_sort(array_distinct(Dedup.tokens(textCol))), " "))
+    * compare across a corpus. xxhash64 by default; pass `Dedup.md5Long`
+    * for an engine-portable value (DuckDB-replayable, used by the gate). */
+  def contentFingerprint(textCol: Column,
+      hashFn: Column => Column = xxhash64(_)): Column =
+    hashFn(array_join(array_sort(array_distinct(Dedup.tokens(textCol))), " "))
 
   /** Rolling-hash (winnowing-style) fingerprint set: hashes of word
     * 4-grams, keeping each window's minimum — a compact sketch for
-    * containment/overlap detection. */
-  def winnowedFingerprints(textCol: Column, k: Int = 4, window: Int = 5): Column = {
+    * containment/overlap detection. Same `hashFn` contract as
+    * `contentFingerprint`. */
+  def winnowedFingerprints(textCol: Column, k: Int = 4, window: Int = 5,
+      hashFn: Column => Column = xxhash64(_)): Column = {
     val sh = Dedup.shingles(textCol, k)
-    val hashes = transform(sh, s => xxhash64(s))
+    val hashes = transform(sh, s => hashFn(s))
     array_distinct(transform(
       sequence(lit(0), greatest(size(hashes) - window, lit(0))),
       i => array_min(slice(hashes, i + lit(1), lit(window)))))

@@ -53,11 +53,19 @@ object Pipeline {
         .drop("fingerprint", "n_winnowed")
         .orderBy("doc_id")),
 
-    // Document fingerprints (rows-only: xxhash64 internals have no DuckDB
-    // equivalent).
+    // Document fingerprints — promoted from rows-only to a full oracle
+    // via the md5Long hash: DuckDB re-derives the content fingerprint,
+    // the winnowed min-hash set (order-sensitive windows over the
+    // first-occurrence-ordered distinct shingle sequence) and its size.
     "q_doc_fingerprint" -> ((s, dir) =>
-      TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("fingerprint"), col("n_winnowed"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.contentFingerprint(col("text"), Dedup.md5Long)
+            .as("fingerprint"),
+          sort_array(TextAnalysis.winnowedFingerprints(col("text"),
+            hashFn = Dedup.md5Long)).as("winnowed"),
+          size(TextAnalysis.winnowedFingerprints(col("text"),
+            hashFn = Dedup.md5Long)).as("n_winnowed"))
         .orderBy("doc_id")),
 
     // MinHash+LSH near-dup detection on planted duplicates, then EXACT
@@ -88,10 +96,17 @@ object Pipeline {
         .orderBy("id")
     }),
 
-    // SimHash near-dup detection on the same planted corpus (rows-only).
+    // SimHash near-dup detection on the same planted corpus. Promoted
+    // from rows-only to a full oracle by running the gate on the
+    // engine-portable md5Long token hash: DuckDB re-derives the 60-bit
+    // token hashes, the bit-vote signatures, the 16-bit chunk blocking
+    // AND the Hamming verify — the whole algorithm, not just row counts.
+    // (Production default stays xxhash64; the native SimHashSig kernel is
+    // the same code under both hashes.)
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
-      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6,
+          hashFn = Dedup.md5Long)
         .orderBy("a", "b")
     }),
 
@@ -516,6 +531,89 @@ object Pipeline {
     // a sparse shingle join (pairs sharing no shingle have J = 0 and
     // can't qualify). The Spark side reaches the same answer through
     // MinHash LSH candidates + exact verification.
+    // Full relational replay of the SimHash algorithm on the portable
+    // md5Long hash: 60-bit token hashes, per-bit majority votes, signature
+    // assembly by bit shifts, 16-bit chunk blocking, Hamming verify.
+    "q_dedup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM docs),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM tk),
+        |votes AS (
+        |  SELECT doc_id, u.b AS b,
+        |    sum(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(0, 60) AS u(b)
+        |  GROUP BY doc_id, u.b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+        |             ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, sig, r.c AS c, (sig >> (r.c * 16)) & 65535 AS cv
+        |  FROM sig, range(0, 4) AS r(c)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.sig AS sa, y.sig AS sb
+        |  FROM ch x JOIN ch y
+        |    ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+        |ORDER BY a, b""".stripMargin,
+
+    // Winnowing replay: order-preserving distinct shingles (DuckDB's
+    // list_distinct reorders, so first-occurrence positions filter the
+    // raw shingle list), md5Long hashes, min over each sliding window of
+    // 5, distinct + sort. The content fingerprint hashes the sorted
+    // distinct token set.
+    "q_doc_fingerprint" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id, toks,
+        |    CAST(concat('0x', substr(md5(array_to_string(
+        |      list_sort(list_distinct(toks)), ' ')), 1, 15)) AS BIGINT)
+        |      AS fingerprint
+        |  FROM base),
+        |sh0 AS (
+        |  SELECT doc_id, fingerprint,
+        |    CASE WHEN len(toks) <= 4
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 2),
+        |        i -> array_to_string(toks[i:i+3], ' '))
+        |    END AS gall
+        |  FROM fp),
+        |shd AS (
+        |  SELECT doc_id, fingerprint,
+        |    list_filter(gall, (x, i) -> list_position(gall, x) = i) AS g
+        |  FROM sh0),
+        |hs AS (
+        |  SELECT doc_id, fingerprint,
+        |    list_transform(g, s ->
+        |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+        |  FROM shd),
+        |wins AS (
+        |  SELECT doc_id, fingerprint,
+        |    list_transform(range(1, greatest(len(h) - 5, 0) + 2),
+        |      i -> list_min(h[i:i+4])) AS mins
+        |  FROM hs)
+        |SELECT doc_id, fingerprint,
+        |  list_sort(list_distinct(mins)) AS winnowed,
+        |  CAST(len(list_distinct(mins)) AS INTEGER) AS n_winnowed
+        |FROM wins ORDER BY doc_id""".stripMargin,
+
     "q_dedup_minhash_lsh" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
