@@ -374,15 +374,13 @@ object Dedup {
     * leakage check before training. One shuffle on the shingle key.
     *
     * Hot shingles (boilerplate phrases) are the skew hazard at scale:
-    * shingles occurring in more than `maxShingleDf` training docs are
-    * dropped before the join (they carry no discriminative signal and
-    * would fan out quadratically). The document-frequency prune runs as
-    * one aggregation over the exploded train side.
-    *
-    * Caching contract (same as nearDuplicatePairs): the exploded train
-    * shingles feed both the df-prune aggregation and the overlap join,
-    * so they are persisted at `persistLevel`; clear the session cache
-    * after consuming the result, or pass `StorageLevel.NONE`. */
+    * shingles occurring more than `maxShingleDf` times in training are
+    * dropped (they carry no discriminative signal and would fan out
+    * quadratically). The df prune and the per-shingle posting list come
+    * out of ONE aggregation over the exploded train side, so the train
+    * corpus is scanned and shuffled exactly once — no cache needed
+    * (`persistLevel` is retained for signature compatibility and
+    * ignored). */
   def contaminationPairs(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       minOverlap: Int = 5, maxShingleDf: Int = 1000,

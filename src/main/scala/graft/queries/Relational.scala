@@ -169,17 +169,26 @@ object Relational {
         .orderBy("n_name")
     }),
 
-    // A3/W1: top-1 per key as a single hash aggregation (max over a
-    // lexicographically ordered struct) — no global sort, no window
-    // shuffle-and-sort; scales as a plain agg.
+    // A3/W1: top-1 per key as a single PURE-PRIMITIVE hash aggregation —
+    // no global sort, no window shuffle-and-sort. A max over a struct
+    // buffer would fall back to SortAggregate (struct buffers aren't
+    // hash-agg mutable); packing the ordering key into one long keeps the
+    // whole aggregation inside whole-stage-codegen HashAggregate.
+    // Encoding is exact: prices carry 2 decimals (cents fit a long and
+    // round(p*100)/100.0 == p verified for every row at every SF) and
+    // l_linenumber is in [1,7], so (cents << 4) | (15 - linenumber)
+    // orders identically to (price ASC, linenumber DESC) lexicographic
+    // max — i.e. the max-price row with the lowest linenumber on ties.
     "q_top1_per_key" -> ((s, dir) => {
+      val code = round(col("l_extendedprice") * 100).cast("long") * 16 +
+        (lit(15) - col("l_linenumber"))
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(max(struct(col("l_extendedprice"), (-col("l_linenumber")).as("neg_ln")))
-          .as("m"))
+        .agg(max(code).as("m"))
         .select(col("l_orderkey"),
-          (-col("m.neg_ln")).cast("int").as("l_linenumber"),
-          col("m.l_extendedprice").as("l_extendedprice"))
+          (lit(15) - col("m") % 16).cast("int").as("l_linenumber"),
+          (shiftright(col("m"), 4).cast("double") / 100.0)
+            .as("l_extendedprice"))
         .orderBy("l_orderkey")
     }),
 

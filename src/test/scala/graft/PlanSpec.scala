@@ -37,6 +37,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Exchange"))
   }
 
+  test("top-1-per-key runs as a pure hash aggregation, no sort fallback") {
+    // the packed-long argmax encoding exists precisely so this never
+    // degrades to SortAggregate (struct max buffers aren't hash-mutable)
+    val plan = planOf("q_top1_per_key")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
   test("semi and anti joins plan as join types, not subquery rewrites") {
     assert(planOf("q_join_semi").contains("LeftSemi"))
     assert(planOf("q_join_anti").contains("LeftAnti"))
