@@ -201,24 +201,122 @@ object Multimodal {
       decodeImage(m.payload).map(img => imageStats(m.mediaId, img))))
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio codec — javax.sound.sampled (java.desktop ships WAV/AIFF/
+  // AU container parsers and PCM converters, pure Java). The
+  // q_audio_decode gate WAV-encodes a deterministic PCM16 waveform,
+  // decodes it back through AudioSystem, and hash-compares exact integer
+  // sample sums against a DuckDB closed form.
+  // ---------------------------------------------------------------------
+
+  final case class AudioStats(
+      mediaId: Long,
+      nFrames: Long,
+      sampleRate: Int,
+      sumPcm: Long)
+
+  /** Encode signed 16-bit little-endian mono PCM as a WAV container. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode an audio container (WAV/AIFF/AU) to interleaved signed 16-bit
+    * samples plus the declared sample rate. Non-PCM16 encodings are
+    * converted through AudioSystem's format conversion; None when no
+    * registered reader recognises the payload. */
+  def decodeAudio(payload: Array[Byte]): Option[(Float, Array[Short])] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = raw.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+        f.getSampleRate, false)
+      val in =
+        if (f.matches(target)) raw
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+      val bytes = in.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some((f.getSampleRate, out))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Audio decode + exact integer stats (the q_audio_decode gate shape). */
+  def audioStats(mediaId: Long, payload: Array[Byte]): Option[AudioStats] =
+    decodeAudio(payload).map { case (rate, samples) =>
+      var sum = 0L
+      var i = 0
+      while (i < samples.length) { sum += samples(i); i += 1 }
+      AudioStats(mediaId, samples.length.toLong, rate.toInt, sum)
+    }
+
+  /** Batch audio decode + stats over a media Dataset; undecodable rows
+    * are dropped (same quarantine contract as extractImageStats). */
+  def extractAudioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => audioStats(m.mediaId, m.payload)))
+  }
+
+  /** DSP features over REAL decoded audio: RMS, zero-crossing rate and
+    * Goertzel band magnitudes on the [-1,1]-normalized samples — the same
+    * spectral kernel as `decodeSignal`, fed by an actual container
+    * decode instead of raw payload bytes. */
+  def audioFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeAudio(payload).map { case (_, samples) =>
+      val x = new Array[Double](samples.length)
+      var i = 0
+      while (i < samples.length) { x(i) = samples(i) / 32768.0; i += 1 }
+      signalFeatures(x, dim)
+    }
+
   /** Real pure-JVM decoder: the payload as signed 8-bit PCM samples.
     * features(0) = RMS amplitude; features(1) = zero-crossing rate;
     * features(2..dim-1) = Goertzel magnitudes at dim-2 equally spaced
     * normalized frequencies w_k = pi*(k+1)/(dim-1) — a coarse spectrum.
     * Deterministic, allocation-light (one output array), O(dim * n). */
   private[pipeline] def decodeSignal(payload: Array[Byte], dim: Int): Array[Float] = {
-    val n = payload.length
+    val x = new Array[Double](payload.length)
+    var i = 0
+    while (i < payload.length) { x(i) = payload(i).toDouble; i += 1 }
+    signalFeatures(x, dim)
+  }
+
+  /** The shared DSP kernel behind `decodeSignal` (signed-8-bit payload
+    * view) and `audioFeatures` (real container decode). */
+  private[pipeline] def signalFeatures(x: Array[Double], dim: Int): Array[Float] = {
+    val n = x.length
     val out = new Array[Float](dim)
     if (n == 0 || dim == 0) return out
-    var prev = payload(0).toDouble
+    var prev = x(0)
     var sumSq = prev * prev
     var zc = 0
     var i = 1
     while (i < n) {
-      val x = payload(i).toDouble
-      sumSq += x * x
-      if ((x >= 0) != (prev >= 0)) zc += 1
-      prev = x
+      val v = x(i)
+      sumSq += v * v
+      if ((v >= 0) != (prev >= 0)) zc += 1
+      prev = v
       i += 1
     }
     out(0) = math.sqrt(sumSq / n).toFloat
@@ -230,7 +328,7 @@ object Multimodal {
       var s2 = 0.0
       var j = 0
       while (j < n) {
-        val s0 = payload(j).toDouble + coeff * s1 - s2
+        val s0 = x(j) + coeff * s1 - s2
         s2 = s1
         s1 = s0
         j += 1

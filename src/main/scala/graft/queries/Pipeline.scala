@@ -351,6 +351,30 @@ object Pipeline {
         .select(col("mediaId").as("doc_id"),
           col("width"), col("height"), col("sumLuma").as("sum_luma"))
         .orderBy("doc_id")
+    }),
+
+    // REAL audio codec, oracle-checked end to end: per document, build a
+    // deterministic PCM16 waveform (sample i = (997i + 131*id) mod 65536
+    // - 32768), WAV-encode it with javax.sound.sampled, decode it BACK
+    // through AudioSystem (container header parse + PCM read), and emit
+    // the decoded frame count, sample rate and exact integer sample sum —
+    // equal to DuckDB's closed form iff the codec roundtrip is perfect.
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (50 + id % 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i * 997L + id * 131L) % 65536L) - 32768L).toShort)
+          Multimodal.MediaRow(id, "audio",
+            Multimodal.encodeWavPcm16(samples, 8000f), 0, 0)
+        }
+      Multimodal.extractAudioStats(media).toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("nFrames").as("n_frames"),
+          col("sampleRate").as("sample_rate"),
+          col("sumPcm").as("sum_pcm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -531,6 +555,21 @@ object Pipeline {
     // a sparse shingle join (pairs sharing no shingle have J = 0 and
     // can't qualify). The Spark side reaches the same answer through
     // MinHash LSH candidates + exact verification.
+    // Closed-form replay of the WAV encode→decode roundtrip (see
+    // q_image_decode for the pattern; PCM is lossless so sums are exact).
+    "q_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(50 + doc_id % 50 AS BIGINT) AS n
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS i
+        |  FROM d)
+        |SELECT doc_id, n AS n_frames, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(sum((i * 997 + doc_id * 131) % 65536 - 32768) AS BIGINT)
+        |    AS sum_pcm
+        |FROM px GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
+
     // Full relational replay of the SimHash algorithm on the portable
     // md5Long hash: 60-bit token hashes, per-bit majority votes, signature
     // assembly by bit shifts, 16-bit chunk blocking, Hamming verify.
