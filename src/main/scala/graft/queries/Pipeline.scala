@@ -375,6 +375,32 @@ object Pipeline {
           col("sampleRate").as("sample_rate"),
           col("sumPcm").as("sum_pcm"))
         .orderBy("doc_id")
+    }),
+
+    // REAL video container codec, oracle-checked end to end: per
+    // document, build an uncompressed-DIB AVI (gradient frames), parse
+    // the RIFF container back, sample 2 evenly spaced REAL frames, and
+    // emit decoded frame count, dimensions and the exact pixel sum over
+    // the sampled frames — equal to DuckDB's closed form iff the
+    // container writer, parser, bottom-up row order and stride padding
+    // all roundtrip perfectly.
+    "q_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (3 + id % 4).toInt
+          val w = (8 + id % 8).toInt
+          val h = (6 + (id / 8) % 6).toInt
+          Multimodal.MediaRow(id, "video",
+            Multimodal.encodeAviDib(w, h, nf,
+              (f, x, y) => ((x * 3 + y * 5 + f * 7 + id) % 256).toInt), w, h)
+        }
+      Multimodal.extractVideoStats(media, n = 2).toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("nFrames").as("n_frames"),
+          col("width"), col("height"),
+          col("sumSampled").as("sum_sampled"))
+        .orderBy("doc_id")
     })
   )
 
@@ -555,6 +581,27 @@ object Pipeline {
     // a sparse shingle join (pairs sharing no shingle have J = 0 and
     // can't qualify). The Spark side reaches the same answer through
     // MinHash LSH candidates + exact verification.
+    // Closed-form replay of the AVI encode→parse→frame-sample roundtrip:
+    // sampled frame indices are floor(nf*i/2) for i in {0,1}, i.e. frame
+    // 0 and frame nf//2 (nf >= 3, so always distinct).
+    "q_video_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS nf,
+        |    CAST(8 + doc_id % 8 AS INTEGER) AS w,
+        |    CAST(6 + (doc_id // 8) % 6 AS INTEGER) AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, nf, w, h, unnest([0, nf // 2]) AS f FROM d),
+        |px AS (
+        |  SELECT doc_id, nf, w, h, f, unnest(range(0, w * h)) AS g
+        |  FROM fr)
+        |SELECT doc_id, nf AS n_frames, w AS width, h AS height,
+        |  CAST(sum(((g % w) * 3 + (g // w) * 5 + f * 7 + doc_id) % 256)
+        |    AS BIGINT) AS sum_sampled
+        |FROM px GROUP BY doc_id, nf, w, h
+        |ORDER BY doc_id""".stripMargin,
+
     // Closed-form replay of the WAV encode→decode roundtrip (see
     // q_image_decode for the pattern; PCM is lossless so sums are exact).
     "q_audio_decode" ->

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The REAL video container path: minimal RIFF/AVI with uncompressed DIB
+  * frames, written and parsed in pure JVM. Exercises container structure
+  * (nested LISTs, even-padding), bottom-up row order, stride padding and
+  * the frame-sampling arithmetic against pixel values we control exactly.
+  */
+class VideoCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def px(f: Int, x: Int, y: Int): Int = (x * 3 + y * 5 + f * 7) % 256
+
+  test("AVI roundtrip: container magic, frame count, exact pixels") {
+    val (w, h, nf) = (10, 7, 4) // w*3=30 -> stride 32: padding exercised
+    val avi = Multimodal.encodeAviDib(w, h, nf, px)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val (dw, dh, frames) = Multimodal.decodeAviDib(avi).get
+    assert(dw == w && dh == h && frames.length == nf)
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+      assert(Multimodal.dibPixel(frames(f), w, h, x, y) == px(f, x, y),
+        s"pixel mismatch at f=$f x=$x y=$y")
+  }
+
+  test("odd-width frames honor 4-byte stride and odd-size RIFF padding") {
+    val (w, h, nf) = (3, 3, 3) // 3*3=9 bytes/row -> stride 12; odd sizes
+    val avi = Multimodal.encodeAviDib(w, h, nf, px)
+    val (dw, dh, frames) = Multimodal.decodeAviDib(avi).get
+    assert(dw == w && dh == h && frames.length == nf)
+    assert(Multimodal.dibPixel(frames(2), w, h, 2, 2) == px(2, 2, 2))
+  }
+
+  test("non-AVI payloads return None") {
+    assert(Multimodal.decodeAviDib("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeAviDib("garbage".getBytes).isEmpty)
+    assert(Multimodal.decodeAviDib(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeAviDib(
+      Multimodal.encodeWavPcm16(Array.fill(16)(0.toShort), 8000f)).isEmpty)
+  }
+
+  test("videoStats samples the evenly spaced frame indices exactly") {
+    val (w, h, nf) = (4, 4, 5)
+    val avi = Multimodal.encodeAviDib(w, h, nf, px)
+    val st = Multimodal.videoStats(9L, avi, n = 2).get
+    // sampled indices: floor(5*0/2)=0, floor(5*1/2)=2
+    val expected = (for {
+      f <- Seq(0, 2); y <- 0 until h; x <- 0 until w
+    } yield px(f, x, y).toLong).sum
+    assert(st == Multimodal.VideoStats(9L, nf, w, h, expected))
+  }
+
+  test("extractVideoStats runs distributed and drops undecodable rows") {
+    import spark.implicits._
+    val rows = (0L until 10L).map { id =>
+      if (id % 5 == 2)
+        Multimodal.MediaRow(id, "video", s"corrupt-$id".getBytes, 0, 0)
+      else Multimodal.MediaRow(id, "video",
+        Multimodal.encodeAviDib(6, 4, 3, (f, x, y) => (f + x + y + id.toInt) % 256),
+        6, 4)
+    }
+    val out = Multimodal.extractVideoStats(
+      spark.createDataset(rows).repartition(3), n = 2)
+      .collect().sortBy(_.mediaId)
+    assert(out.length == 8)
+    assert(out.forall(s => s.nFrames == 3 && s.width == 6 && s.height == 4))
+  }
+}
