@@ -20,10 +20,9 @@ object Curation {
     * keeping the lowest id per content. Returns
     * (docId, clean_hash, lang, quality), one row per surviving document.
     *
-    * The survivor row is selected atomically via min over a
-    * (docId, lang, quality) struct — ids are unique, so this is the
-    * min-id row; lang/quality are deterministic functions of the cleaned
-    * text, hence identical across a duplicate group anyway.
+    * The survivor per content group is the min-id row; lang/quality are
+    * deterministic functions of the cleaned text, hence identical across
+    * a duplicate group.
     *
     * Stage order: dedup FIRST, filter after the aggregate. Because
     * lang/quality are functions of the cleaned text, every member of a
@@ -37,16 +36,21 @@ object Curation {
       keepLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.5): DataFrame = {
     val clean = TextAnalysis.cleanText(col(textCol))
+    // lang/quality are deterministic functions of the cleaned text, so
+    // they are CONSTANT within a clean_hash group — making them grouping
+    // keys (instead of carrying them in a min(struct) buffer) yields the
+    // same groups while keeping the aggregation a pure-primitive
+    // min(docId) HashAggregate; a struct-min buffer would fall back to
+    // SortAggregate.
     graft.Tables.fanOut(docs)
       .select(md5(clean.cast("binary")).as("clean_hash"),
-        struct(col(idCol).as("docId"),
-          TextAnalysis.detectLanguage(clean).as("lang"),
-          TextAnalysis.qualityScore(clean).as("quality")).as("row"))
-      .groupBy(col("clean_hash"))
-      .agg(min(col("row")).as("keep"))
-      .filter(col("keep.lang").isin(keepLangs: _*) &&
-        col("keep.quality") >= minQuality)
-      .select(col("keep.docId").as("docId"), col("clean_hash"),
-        col("keep.lang").as("lang"), col("keep.quality").as("quality"))
+        col(idCol).as("docId"),
+        TextAnalysis.detectLanguage(clean).as("lang"),
+        TextAnalysis.qualityScore(clean).as("quality"))
+      .groupBy(col("clean_hash"), col("lang"), col("quality"))
+      .agg(min(col("docId")).as("docId"))
+      .filter(col("lang").isin(keepLangs: _*) &&
+        col("quality") >= minQuality)
+      .select(col("docId"), col("clean_hash"), col("lang"), col("quality"))
   }
 }
