@@ -31,6 +31,15 @@ object Bench {
       pipeline.VectorOps.lshNeighborPairs(emb, "vec_id", "embedding",
         bits = 6, minCosine = 0.9, probes = 2,
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
+      // codec warm-up: ImageIO and AudioSystem scan their plugin
+      // registries on first use — initialize them here so the first
+      // decode gate query measures decoding, not service discovery
+      pipeline.Multimodal.decodeImage(pipeline.Multimodal.encodePng(
+        pipeline.Multimodal.grayImage(4, 4, (x, y) => x + y)))
+      pipeline.Multimodal.decodeAudio(pipeline.Multimodal.encodeWavPcm16(
+        Array.fill(16)(0.toShort), 8000f))
+      pipeline.Multimodal.decodeAviDib(pipeline.Multimodal.encodeAviDib(
+        4, 4, 2, (f, x, y) => f + x + y))
       spark.catalog.clearCache()
     }
     // sorted: stable execution order makes per-query timings comparable
