@@ -542,6 +542,33 @@ object Multimodal {
     }
   }
 
+  /** Modality-aware batch feature extraction: dispatch per row on the
+    * declared `kind`, falling back to the raw-payload signal view when
+    * the real codec rejects the payload (corrupt file, wrong label) —
+    * rows are never dropped here, so the output stays 1:1 with the
+    * input, and `checksum` still fingerprints the original bytes. */
+  def extractFeaturesAuto(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val feats = m.kind match {
+        case "image" => decodeImageFeatures(m.payload, dim)
+        case "audio" => audioFeatures(m.payload, dim)
+        case "video" => videoStats(m.mediaId, m.payload, n = 2).map { st =>
+          val out = new Array[Float](dim)
+          if (dim > 0) out(0) = st.width.toFloat
+          if (dim > 1) out(1) = st.height.toFloat
+          if (dim > 2) out(2) = st.nFrames.toFloat
+          if (dim > 3) out(3) =
+            (st.sumSampled / (255.0 * st.width * st.height * 2)).toFloat
+          out
+        }
+        case _ => None
+      }
+      MediaFeatures(m.mediaId, m.kind, m.payload.length, checksum(m.payload),
+        feats.getOrElse(decodeSignal(m.payload, dim)))
+    })
+  }
+
   /** Frame sampling: emit `n` evenly spaced "frames" (byte slices) per
     * payload — the video-pipeline shape (1→many explode inside the
     * partition, no shuffle). */

@@ -164,3 +164,45 @@ object AnalysisProperties extends Properties("graft.er.analysis") {
       }
     }
 }
+
+/** Codec roundtrip laws: for any dimensions, frame counts and pixel/
+  * sample content, the pure-JVM encoders and decoders are exact
+  * inverses — the property behind the q_image/audio/video_decode gates'
+  * closed-form oracles. */
+object CodecProperties extends Properties("graft.codecs") {
+  import graft.pipeline.Multimodal
+
+  private val dims: Gen[(Int, Int)] =
+    for { w <- Gen.choose(1, 24); h <- Gen.choose(1, 20) } yield (w, h)
+
+  property("PNG raster roundtrip is pixel-exact") =
+    forAll(dims, Gen.long) { case ((w, h), seed) =>
+      def px(x: Int, y: Int): Int =
+        (x * 31 + y * 17 + (seed & 0xff).toInt) & 0xff
+      val back = Multimodal.decodeImage(
+        Multimodal.encodePng(Multimodal.grayImage(w, h, px))).get
+      back.getWidth == w && back.getHeight == h &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          (back.getRaster.getSample(x, y, 0) & 0xff) == px(x, y)))
+    }
+
+  property("WAV PCM16 roundtrip is sample-exact") =
+    forAll(Gen.choose(1, 400), Gen.long) { (n, seed) =>
+      val rng = new java.util.SplittableRandom(seed)
+      val samples = Array.fill(n)(rng.nextInt(65536).toShort)
+      val (rate, back) = Multimodal.decodeAudio(
+        Multimodal.encodeWavPcm16(samples, 8000f)).get
+      rate == 8000f && back.sameElements(samples)
+    }
+
+  property("AVI DIB roundtrip is frame- and pixel-exact") =
+    forAll(dims, Gen.choose(1, 6), Gen.long) { case ((w, h), nf, seed) =>
+      def px(f: Int, x: Int, y: Int): Int =
+        (x * 7 + y * 13 + f * 29 + (seed & 0xff).toInt) & 0xff
+      val (dw, dh, frames) = Multimodal.decodeAviDib(
+        Multimodal.encodeAviDib(w, h, nf, px)).get
+      dw == w && dh == h && frames.length == nf &&
+        (0 until nf).forall(f => (0 until h).forall(y => (0 until w).forall(x =>
+          Multimodal.dibPixel(frames(f), w, h, x, y) == px(f, x, y))))
+    }
+}

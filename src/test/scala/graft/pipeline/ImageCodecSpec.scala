@@ -68,6 +68,27 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.resizeImageBytes(raw, 4, 4).sameElements(raw))
   }
 
+  test("extractFeaturesAuto dispatches per modality, falls back on corrupt") {
+    import spark.implicits._
+    val img = Multimodal.MediaRow(1L, "image",
+      Multimodal.encodePng(gradient(12, 8)), 12, 8)
+    val aud = Multimodal.MediaRow(2L, "audio",
+      Multimodal.encodeWavPcm16(Array.fill(64)(1000.toShort), 8000f), 0, 0)
+    val vid = Multimodal.MediaRow(3L, "video",
+      Multimodal.encodeAviDib(6, 4, 3, (f, x, y) => f + x + y), 6, 4)
+    val bad = Multimodal.MediaRow(4L, "image", "not an image".getBytes, 0, 0)
+    val out = Multimodal.extractFeaturesAuto(
+        spark.createDataset(Seq(img, aud, vid, bad)), dim = 8)
+      .collect().map(f => f.mediaId -> f).toMap
+    assert(out.size == 4)                        // fallback keeps 1:1
+    assert(out(1L).features(0) == 12f && out(1L).features(1) == 8f)
+    assert(math.abs(out(2L).features(0) - 1000 / 32768.0) < 1e-4) // audio RMS
+    assert(out(3L).features(0) == 6f && out(3L).features(2) == 3f)
+    // corrupt image fell back to the signal view of the raw bytes
+    assert(out(4L).features.sameElements(
+      Multimodal.decodeSignal("not an image".getBytes, 8)))
+  }
+
   test("extractImageStats runs distributed and drops undecodable rows") {
     import spark.implicits._
     val rows = (0L until 20L).map { id =>
