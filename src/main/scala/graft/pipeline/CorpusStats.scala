@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation statistics for training-data pipelines:
+  * exact substring-span dedup (the shared-n-gram detector popularized by
+  * "Deduplicating Training Data Makes Language Models Better", Lee et al.
+  * 2022 — re-expressed as a distributed gram-posting join rather than a
+  * single-node suffix array), boilerplate line removal (CCNet/RefinedWeb
+  * style: a line that appears in a large fraction of documents is
+  * template chrome, not content), TF-IDF term scoring, and corpus
+  * vocabulary coverage.
+  *
+  * Scale notes (100 TB): every operator here is one hash-aggregate over
+  * an exploded token/line/gram view plus at most one join back — all
+  * shuffle keys are either short strings or 8-byte hashes (`hashFn`),
+  * all aggregates are partial-aggregation-friendly (map-side combine
+  * shrinks the exploded view back to vocabulary/line-df size before the
+  * shuffle). Posting lists are df-capped so a pathological gram shared
+  * by millions of documents cannot produce a quadratic pair explosion.
+  */
+object CorpusStats {
+
+  /** Lowercased whitespace tokens (same tokenizer as [[Dedup.tokens]]). */
+  private def toks(textCol: Column): Column = Dedup.tokens(textCol)
+
+  /** Document pairs sharing at least one exact run of `spanTokens`
+    * consecutive tokens, with the number of distinct shared spans.
+    *
+    * Dataflow: per document, the distinct set of `spanTokens`-grams
+    * (overlapping windows — a doc of T tokens has T-spanTokens+1 grams);
+    * explode to (gram, doc) postings; group by gram; emit intra-posting
+    * pairs. Postings larger than `maxPostings` are dropped — an
+    * extremely common span is boilerplate, not duplication, and would
+    * otherwise cost O(df²) pairs (the same guard the decontamination
+    * pass uses). Output: (a, b, n_shared_spans), a < b.
+    *
+    * `hashGrams=true` shuffles 8-byte md5-derived gram hashes instead of
+    * the gram strings — the shape to use at scale; collisions at 60 bits
+    * are ~n²/2⁶¹ and only ever merge a pair's span *count*, never create
+    * a false pair, because pairs still require a shared posting.
+    */
+  def duplicateSpanPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      maxPostings: Int = 64,
+      hashGrams: Boolean = false): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val t = toks(col(textCol))
+    val gramStr = transform(
+      sequence(lit(1), greatest(size(t) - (spanTokens - 1), lit(0))),
+      i => concat_ws(" ", slice(t, i, lit(spanTokens))))
+    val gram = if (hashGrams) {
+      transform(array_distinct(gramStr), g => Dedup.md5Long(g))
+    } else array_distinct(gramStr)
+
+    val postings = docs
+      .filter(size(t) >= spanTokens)
+      .select(col(idCol).as("__doc"), explode(gram).as("__gram"))
+      .groupBy("__gram")
+      .agg(collect_set("__doc").as("__ids"))
+      .filter(size(col("__ids")).between(2, maxPostings))
+
+    postings
+      .select(explode(col("__ids")).as("a"), col("__ids"))
+      .select(col("a"), explode(col("__ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
+  /** Per-line document frequency across the corpus: (line, df). Lines
+    * are `\n`-split verbatim (no trimming — trailing-whitespace variants
+    * are distinct lines); empty lines are excluded. */
+  def lineDocFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("__doc"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy("line")
+      .agg(countDistinct("__doc").as("df"))
+
+  /** Strip boilerplate lines: any line appearing in more than
+    * `maxDocFrac` of all documents is dropped; survivors are reassembled
+    * in original order. Output: (id, clean_text, n_kept, n_dropped).
+    * Documents whose every line is boilerplate still appear, with an
+    * empty `clean_text` — dropping them is the caller's policy decision.
+    *
+    * Two shuffles: the line-df aggregate (map-side combined to distinct
+    * lines per partition) and the per-document regroup. The df table is
+    * only as large as the distinct-line universe and joins back by line.
+    */
+  def stripBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFrac: Double = 0.2): DataFrame = {
+    val nDocs = docs.select(countDistinct(col(idCol)).as("__n"))
+    val df = lineDocFrequency(docs, idCol, textCol)
+
+    val lines = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+
+    val flagged = lines
+      .join(df, "line")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__keep", col("df") <= col("__n") * maxDocFrac)
+
+    flagged
+      .groupBy(col("__doc").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** Top-`k` TF-IDF terms per document: (id, rank, term, tfidf) with
+    * tfidf = tf · ln(N/df), ranked per document by (score desc, term
+    * asc). The per-document window partitions by document id, so the
+    * rank never global-sorts the corpus. */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val tokenized = docs.select(col(idCol).as("__doc"),
+      explode(toks(col(textCol))).as("term"))
+
+    val tf = tokenized.groupBy("__doc", "term").agg(count(lit(1)).as("tf"))
+    // df from the tf table: one row per (doc, term) already, so a plain
+    // count per term IS the document frequency — no second distinct.
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("__n"))
+
+    // rank on the ROUNDED score: equal (tf, df) pairs tie exactly in any
+    // engine, and rounding absorbs last-ulp ln() differences so the
+    // (score desc, term asc) order is identical cross-engine
+    val scored = tf.join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__score",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+
+    val w = Window.partitionBy("__doc")
+      .orderBy(col("__score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__doc").as(idCol), col("rank"), col("term"),
+        col("__score").as("tfidf"))
+  }
+
+  /** Corpus vocabulary coverage: the top-`k` tokens by frequency with
+    * the running fraction of all token occurrences they cover. The
+    * global window runs over the *aggregated* vocabulary (one row per
+    * distinct token), not the corpus, so its single-partition sort is
+    * bounded by vocabulary size at any corpus scale. */
+  def vocabularyCoverage(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val counts = docs
+      .select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+
+    val total = counts.select(sum("cnt").as("__total"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        round(col("__cum").cast("double") / col("__total"), 6).as("cum_share"))
+  }
+}

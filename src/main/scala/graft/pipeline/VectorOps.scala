@@ -223,4 +223,44 @@ object VectorOps {
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Per-dimension min-max int8 scalar quantization of an embedding
+    * column, reporting reconstruction quality per vector: (id, code_sum,
+    * rmse) where code_sum checksums the 0..255 codes and rmse is the
+    * dequantization error √(mean((x − x̂)²)).
+    *
+    * Dataflow: one posexplode → per-dimension (min,max) hash aggregate
+    * (map-side combine collapses each partition to `dim` rows before the
+    * shuffle, so the aggregate shuffles partitions·dim rows, not n·dim),
+    * broadcast the dim-sized stats table back onto the exploded values,
+    * one per-vector regroup. A production sink would emit the packed
+    * `code` arrays; the gate keeps the per-vector summary so the oracle
+    * can replay the arithmetic relationally.
+    *
+    * Cross-engine determinism: values promote float→double before any
+    * arithmetic, codes use floor(z·255 + 0.5) (explicit half-up — engine
+    * `round()` tie rules differ), and a constant dimension (min == max)
+    * maps to code 0 / exact reconstruction. */
+  def quantizeInt8Stats(
+      embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vals = graft.Tables.fanOut(embeddings)
+      .select(col(idCol).as("id"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))))
+      .toDF("id", "dim", "x")
+    val stats = vals.groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    val q = vals.join(broadcast(stats), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(greatest(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5),
+            lit(0.0)), lit(255.0)).cast("long")))
+      .withColumn("xq",
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("code") / 255.0 * (col("mx") - col("mn")) + col("mn")))
+    q.groupBy(col("id").as(idCol))
+      .agg(sum("code").as("code_sum"),
+        round(sqrt(avg((col("x") - col("xq")) * (col("x") - col("xq")))), 6)
+          .as("rmse"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Curation, Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
+import graft.pipeline.{CorpusStats, Curation, Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
 
 /** LLM-training-data pipeline operators over the documents/embeddings
   * tables: dedup family, text analysis, similarity search, multimodal
@@ -401,7 +401,55 @@ object Pipeline {
           col("width"), col("height"),
           col("sumSampled").as("sum_sampled"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Exact substring-span dedup (Lee et al. 2022, re-shaped from a
+    // single-node suffix array into a distributed gram-posting join):
+    // doc pairs sharing >= 1 exact run of 8 consecutive tokens, with the
+    // count of distinct shared spans. Planted truncated copies guarantee
+    // hits; the oracle replays the token windows and posting join
+    // relationally, so the pair set AND span counts are hash-checked.
+    "q_substring_dedup" -> ((s, dir) =>
+      CorpusStats.duplicateSpanPairs(docsWithPlantedDups(s, dir),
+          "doc_id", "text", spanTokens = 8)
+        .orderBy("a", "b")),
+
+    // Boilerplate line removal (CCNet/RefinedWeb style): plant a header
+    // line on every doc and a shared footer on every third, strip lines
+    // whose corpus document-frequency exceeds 20%, reassemble survivors
+    // in original order. Oracle re-derives df, the keep set and the
+    // reassembled text.
+    "q_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("graft corpus shared header"),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("graft shared footer block"))
+            .otherwise(concat(lit("footer "), col("doc_id")))).as("text"))
+      CorpusStats.stripBoilerplateLines(d, "doc_id", "text", maxDocFrac = 0.2)
+        .orderBy("doc_id")
+    }),
+
+    // Top-3 TF-IDF terms per document (tf·ln(N/df), rounded-score rank,
+    // term-asc ties) — the classic relevance profile over the corpus.
+    "q_tfidf_topterms" -> ((s, dir) =>
+      CorpusStats.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // Corpus vocabulary heavy hitters: top-50 tokens by occurrence count
+    // with the cumulative fraction of all tokens they cover.
+    "q_vocab_coverage" -> ((s, dir) =>
+      CorpusStats.vocabularyCoverage(t(s, dir, "documents"), "text", k = 50)
+        .orderBy("rank")),
+
+    // Int8 min-max scalar quantization of the embedding table with
+    // per-vector code checksum + reconstruction RMSE; the oracle replays
+    // the per-dimension stats and the quantize/dequantize arithmetic.
+    "q_embedding_quantize" -> ((s, dir) =>
+      VectorOps.quantizeInt8Stats(t(s, dir, "embeddings"), "vec_id",
+          "embedding")
+        .orderBy("vec_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1066,6 +1114,108 @@ object Pipeline {
       """SELECT doc_id AS mediaId, CAST(strlen(text) AS INTEGER) AS byteLen,
         |  CASE WHEN strlen(text) = 0 THEN 0
         |       ELSE CAST(4 AS BIGINT) END AS n_frames
-        |FROM documents ORDER BY mediaId""".stripMargin
+        |FROM documents ORDER BY mediaId""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tk AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM base),
+        |sp AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |       FROM tk WHERE len(toks) >= 8),
+        |grams AS (SELECT DISTINCT doc_id,
+        |  array_to_string(toks[i:i+7], ' ') AS gram FROM sp),
+        |ok AS (SELECT gram FROM grams GROUP BY gram
+        |       HAVING count(*) BETWEEN 2 AND 64)
+        |SELECT ga.doc_id AS a, gb.doc_id AS b,
+        |  count(*) AS n_shared_spans
+        |FROM grams ga JOIN grams gb USING (gram) JOIN ok USING (gram)
+        |WHERE ga.doc_id < gb.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    concat('graft corpus shared header', chr(10), text, chr(10),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'graft shared footer block'
+        |           ELSE concat('footer ', doc_id) END) AS text
+        |  FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs2),
+        |lv AS (SELECT doc_id, text,
+        |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM docs2),
+        |lines AS (SELECT doc_id, pos,
+        |  string_split(text, chr(10))[pos] AS line FROM lv
+        |  WHERE length(string_split(text, chr(10))[pos]) > 0),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df
+        |       FROM lines GROUP BY line),
+        |flags AS (SELECT l.doc_id, l.pos, l.line,
+        |  (d.df <= 0.2 * n.n_docs) AS keep
+        |  FROM lines l JOIN df d USING (line), n)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |    ORDER BY pos), '') AS clean_text,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN dfx USING (term), n),
+        |r AS (SELECT doc_id, term, score, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+        |  score AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tk AS (SELECT
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT token, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum
+        |  FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
+        |  round(cum / total, 6) AS cum_share
+        |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |vals AS (SELECT vec_id, i, v[i] AS x FROM d),
+        |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM vals GROUP BY i),
+        |q AS (SELECT vec_id, x, mn, mx,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE CAST(least(greatest(
+        |         floor((x - mn) / (mx - mn) * 255 + 0.5), 0), 255)
+        |         AS BIGINT) END AS code
+        |  FROM vals JOIN st USING (i)),
+        |deq AS (SELECT vec_id, code, x,
+        |  CASE WHEN mx = mn THEN mn
+        |       ELSE code / 255.0 * (mx - mn) + mn END AS xq
+        |  FROM q)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |  round(sqrt(avg((x - xq) * (x - xq))), 6) AS rmse
+        |FROM deq GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

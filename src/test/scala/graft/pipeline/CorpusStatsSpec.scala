@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Corpus-level curation operators: exact substring-span dedup,
+  * boilerplate line stripping, TF-IDF, vocabulary coverage, and int8
+  * embedding quantization. Semantic checks on hand-built fixtures —
+  * the DuckDB oracles (q_substring_dedup, q_line_dedup, q_tfidf_topterms,
+  * q_vocab_coverage, q_embedding_quantize) hash-check the full dataflow.
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("duplicateSpanPairs finds exactly the docs sharing an 8-token run") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),       // shares 8-run with 2
+      (2L, "z z a b c d e f g h"),       // overlap: "a b c d e f g h"
+      (3L, "p q r s t u v w x y"),       // no shared runs
+      (4L, "a b c d e f g q q q")        // only a 7-run with 1/2 — no hit
+    ).toDF("id", "text")
+    val pairs = CorpusStats.duplicateSpanPairs(docs, "id", "text",
+      spanTokens = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // doc1 grams: [a..h],[b..i],[c..j]; doc2 grams: [z z a..f],[z a..g],[a..h]
+    assert(pairs.head.getLong(2) == 1L)
+  }
+
+  test("duplicateSpanPairs hashGrams variant returns the same pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h w"),
+      (3L, "m n o p q r s t u v")
+    ).toDF("id", "text")
+    val plain = CorpusStats.duplicateSpanPairs(docs, "id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashed = CorpusStats.duplicateSpanPairs(docs, "id", "text", 8,
+      hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain == hashed && plain == Set((1L, 2L, 1L)))
+  }
+
+  test("duplicateSpanPairs caps pathological postings") {
+    // 80 docs all sharing one 8-token span: df=80 > maxPostings=64 →
+    // the span is boilerplate, no quadratic pair explosion
+    val docs = (1 to 80).map(i => (i.toLong, s"a b c d e f g h tail$i"))
+      .toDF("id", "text")
+    assert(CorpusStats.duplicateSpanPairs(docs, "id", "text", 8).isEmpty)
+  }
+
+  test("stripBoilerplateLines drops high-df lines, keeps order, counts") {
+    val docs = Seq(
+      (1L, "HEADER\nbody one\nmore one\nFOOTER"),
+      (2L, "HEADER\nbody two\nFOOTER"),
+      (3L, "HEADER\nbody three\nFOOTER"),
+      (4L, "HEADER\nbody four\nFOOTER"),
+      (5L, "HEADER\nbody five\nFOOTER"))
+      .toDF("id", "text")
+    val out = CorpusStats.stripBoilerplateLines(docs, "id", "text",
+      maxDocFrac = 0.5).orderBy("id").collect()
+    assert(out.length == 5)
+    val r1 = out.head
+    assert(r1.getString(1) == "body one\nmore one")
+    assert(r1.getLong(2) == 2L && r1.getLong(3) == 2L)
+    assert(out(1).getString(1) == "body two")
+  }
+
+  test("stripBoilerplateLines keeps a fully-boilerplate doc with empty text") {
+    val docs = Seq(
+      (1L, "SAME"), (2L, "SAME"), (3L, "SAME"), (4L, "unique line"))
+      .toDF("id", "text")
+    val out = CorpusStats.stripBoilerplateLines(docs, "id", "text", 0.5)
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    assert(out.take(3).forall(r => r.getString(1) == "" && r.getLong(2) == 0L))
+    assert(out(3).getString(1) == "unique line")
+  }
+
+  test("tfIdfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common rare3 rare3"))
+      .toDF("id", "text")
+    val out = CorpusStats.tfIdfTopTerms(docs, "id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+    // 'common' has df=3=N → idf ln(1)=0; the doc-unique terms win rank 1
+    assert(out.filter(_.getInt(1) == 1).map(_.getString(2)).toSeq ==
+      Seq("rare1", "rare2", "rare3"))
+    val rare3 = out.find(r => r.getLong(0) == 3L && r.getInt(1) == 1).get
+    assert(math.abs(rare3.getDouble(3) - 2.0 * math.log(3.0)) < 1e-6)
+    assert(out.filter(_.getString(2) == "common").forall(_.getDouble(3) == 0.0))
+  }
+
+  test("vocabularyCoverage ranks by count and accumulates to 1") {
+    val docs = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val out = CorpusStats.vocabularyCoverage(docs, "text", k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
+    assert(math.abs(out.last.getDouble(3) - 1.0) < 1e-9)
+    val shares = out.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("quantizeInt8Stats: error bounded by half a step; constant dim exact") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 5.0f, 1.0f)),
+      (2L, Array(10.0f, 5.0f, 2.0f)),
+      (3L, Array(2.5f, 5.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.quantizeInt8Stats(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(out.length == 3)
+    // max per-dim error = step/2 = (max-min)/255/2; dims span 10, 0, 2
+    val maxRmse = (10.0 / 255 / 2) // worst dim bounds the rmse from above
+    assert(out.forall(_.getDouble(2) <= maxRmse + 1e-9))
+    // endpoints land exactly on codes 0/255 → vec1 dim1=min, vec2 dim1=max
+    val v1 = out.head
+    assert(v1.getLong(1) == 0L + 0L + 0L) // all three dims at their minimum
+  }
+
+  test("quantizeInt8Stats roundtrips exactly at the 0/255 endpoints") {
+    val vecs = Seq(
+      (1L, Array(0.0f, -1.0f)),
+      (2L, Array(255.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.quantizeInt8Stats(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // both vectors sit exactly on min/max per dim → zero reconstruction error
+    assert(out.forall(_.getDouble(2) == 0.0))
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 510L))
+  }
+}
