@@ -70,4 +70,35 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Per-group quota capping: keep at most `k` rows per group, the ones
+    * ranking highest by `scoreCol` (ties broken by `idCol` ascending, so
+    * selection is total and engine-portable). The canonical curation use
+    * is a per-domain document cap — no single crawl domain may dominate
+    * the training mix. Same scaling shape as [[stratifiedSample]]: one
+    * shuffle on the group key, rank-k inside each window partition. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("quota_rank", row_number().over(w))
+      .filter(col("quota_rank") <= k)
+  }
+
+  /** Deterministic weighted mixture sampling: keep each row with its
+    * group's probability, by hash threshold — row survives iff
+    * `hashBucket(id, 10000) < weight·10000`. Reproducible across
+    * engines/runs (no `rand()`), join-stable, and exactly replayable by
+    * a downstream consumer who knows the weight table. Groups absent
+    * from `weights` get `defaultWeight`. Pure row-local filter — fuses
+    * into the scan, no shuffle at any scale. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "mixture weights must be in [0, 1]")
+    val wcol = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 10000) < (wcol * 10000).cast("long"))
+  }
 }

@@ -443,6 +443,32 @@ object Pipeline {
       CorpusStats.vocabularyCoverage(t(s, dir, "documents"), "text", k = 50)
         .orderBy("rank")),
 
+    // Per-source quota capping: at most 10 docs per source, highest
+    // n_chars first (doc_id-asc ties) — the "no domain dominates the
+    // mix" curation step, as one windowed rank.
+    "q_source_quota" -> ((s, dir) =>
+      Sampling.quotaPerGroup(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", k = 10)
+        .select(col("source"), col("quota_rank"), col("doc_id"),
+          col("n_chars"))
+        .orderBy("source", "quota_rank")),
+
+    // Weighted mixture construction: per-source keep probabilities
+    // applied as deterministic md5-hash thresholds (no rand(), exactly
+    // replayable by any engine). Aggregated per source to keep the gate
+    // row set stable.
+    "q_mixture_sample" -> ((s, dir) => {
+      val weights = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5,
+        "src3" -> 0.5, "src4" -> 0.25)
+      Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+          weights, defaultWeight = 0.1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Int8 min-max scalar quantization of the embedding table with
     // per-vector code checksum + reconstruction RMSE; the oracle replays
     // the per-dimension stats and the quantize/dequantize arithmetic.
@@ -1196,6 +1222,31 @@ object Pipeline {
         |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
         |  round(cum / total, 6) AS cum_share
         |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_source_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars, row_number() OVER
+        |    (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+        |    AS quota_rank
+        |  FROM documents)
+        |SELECT source, CAST(quota_rank AS INTEGER) AS quota_rank,
+        |  doc_id, n_chars
+        |FROM r WHERE quota_rank <= 10
+        |ORDER BY source, quota_rank""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.5
+        |                WHEN 'src4' THEN 0.25 ELSE 0.1 END AS wt,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS bk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM w WHERE bk < CAST(wt * 10000 AS BIGINT)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_embedding_quantize" ->
       """WITH e AS (SELECT vec_id,

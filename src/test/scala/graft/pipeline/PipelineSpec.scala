@@ -190,6 +190,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 2)
   }
 
+  test("quotaPerGroup keeps top-k by score, id-asc ties, small groups whole") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 1L))
+      .toDF("id", "grp", "score")
+    val out = Sampling.quotaPerGroup(df, "grp", "id", "score", k = 2)
+      .orderBy("grp", "quota_rank")
+      .as[(Long, String, Long, Int)].collect().toSeq
+    // score 30 twice: id 2 before id 4; id 4 fills the quota; 20/10 cut
+    assert(out == Seq((2L, "a", 30L, 1), (4L, "a", 30L, 2), (5L, "b", 1L, 1)))
+  }
+
+  test("mixtureSample: weight 1 keeps all, 0 none, rates track weights") {
+    val df = (1L to 2000L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    val kept = Sampling.mixtureSample(df, "grp", "id",
+      Map("g0" -> 1.0, "g1" -> 0.25)).groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("g0") == 1000L) // weight 1.0 is a no-op filter
+    assert(kept("g1") > 150 && kept("g1") < 350) // ~250 expected
+    val none = Sampling.mixtureSample(df, "grp", "id",
+      Map("g0" -> 0.0, "g1" -> 0.0))
+    assert(none.isEmpty)
+    // deterministic: same rows both times
+    val a = Sampling.mixtureSample(df, "grp", "id", Map("g1" -> 0.5))
+      .as[(Long, String)].collect().toSet
+    val b = Sampling.mixtureSample(df, "grp", "id", Map("g1" -> 0.5))
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("curation pass: cleans, filters language and quality, dedups") {
     val corpus = Seq(
       (1L, "the cat is in the house and it is warm for the winter season today"),
