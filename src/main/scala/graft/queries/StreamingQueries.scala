@@ -50,6 +50,21 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Streaming near-duplicate detection: the signature-only stateful
+    // SimHash matcher (flatMapGroupsWithState keyed by 16-bit signature
+    // chunk). The distinct emitted pair set must equal the batch
+    // simHashPairs answer — and therefore the same full DuckDB replay
+    // of the SimHash pipeline that gates q_dedup_simhash.
+    "q_stream_simhash_dedup" -> ((s, dir) => {
+      val name = s"stream_simhash_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.DocStreams.runStreamingSimHashDedupOnce(
+        s, dir, name)
+      q.awaitTermination(300000)
+      s.table(name)
+        .select(col("a"), col("b"), col("hamming")).distinct()
+        .orderBy("a", "b")
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -64,6 +79,10 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same relational replay as the batch SimHash gate — the streaming
+    // matcher must converge to the identical pair set
+    "q_stream_simhash_dedup" -> Pipeline.oracles("q_dedup_simhash"),
+
     "q_stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.pipeline.Dedup
+
+/** Streaming near-duplicate detection over a document stream — the
+  * stateful counterpart of the batch SimHash path (`Dedup.simHashPairs`).
+  *
+  * Design: signature-only state. Each document is reduced to a 64-bit
+  * SimHash as a column expression BEFORE the stateful stage, and the
+  * per-bucket state holds (docId, sig) pairs only — the stream's text
+  * never enters state, so state size is 16 bytes per document per chunk
+  * regardless of document size. Buckets are the four 16-bit signature
+  * chunks (pigeonhole: any pair within Hamming distance 3 shares at
+  * least one chunk), so an arriving document is compared only against
+  * its bucket's members, never the whole history — the same
+  * candidate-generate + verify shape as the batch operator, re-expressed
+  * as `flatMapGroupsWithState`.
+  *
+  * A pair colliding in several chunks is emitted once per colliding
+  * chunk; consumers take the distinct pair set (the drain-once runner's
+  * gate query does exactly that). At scale, state eviction follows the
+  * same watermark policy as `dedupWithinWatermark` — a corpus-lifetime
+  * dedup instead keeps the bucket map in a compacted store and this
+  * operator handles the within-horizon stream.
+  */
+object DocStreams {
+
+  final case class ChunkRow(docId: Long, sig: Long, chunk: Int, chunkVal: Long)
+  final case class SimHashHit(a: Long, b: Long, hamming: Int)
+
+  /** SimHash signature + 16-bit chunk explosion as column algebra —
+    * usable on a streaming DataFrame (stateless projection, fuses into
+    * the scan). Same hash pipeline as the batch `Dedup.simHashes`. */
+  def simHashChunks(docs: DataFrame, idCol: String, textCol: String,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): Dataset[ChunkRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.simHashFromHashes(
+          transform(Dedup.tokens(col(textCol)), t => hashFn(t))).as("sig"))
+      .select(col("docId"), col("sig"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("docId", "sig", "chunk", "chunkVal")
+      .as[ChunkRow]
+  }
+
+  /** The stateful matcher: per (chunk, chunkVal) bucket, compare each
+    * arriving signature against the bucket's remembered signatures (and
+    * the rest of the arriving micro-batch), emit pairs within
+    * `maxHamming`, then fold the arrivals into state. Works identically
+    * on streaming and batch Datasets (Spark runs the same kernel). */
+  def simHashMatcher(chunks: Dataset[ChunkRow],
+      maxHamming: Int): Dataset[SimHashHit] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(r => (r.chunk, r.chunkVal))
+      .flatMapGroupsWithState[List[(Long, Long)], SimHashHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val incoming = rows.map(r => (r.docId, r.sig)).toList
+            .distinct.sortBy(_._1)
+          def hits(x: (Long, Long), y: (Long, Long)): Option[SimHashHit] = {
+            val h = java.lang.Long.bitCount(x._2 ^ y._2)
+            if (x._1 != y._1 && h <= maxHamming)
+              Some(SimHashHit(math.min(x._1, y._1), math.max(x._1, y._1), h))
+            else None
+          }
+          val withinBatch = for {
+            i <- incoming.indices.iterator
+            j <- (i + 1) until incoming.size
+            hit <- hits(incoming(i), incoming(j))
+          } yield hit
+          val againstState = for {
+            n <- incoming.iterator
+            o <- seen.iterator
+            hit <- hits(n, o)
+          } yield hit
+          state.update(seen ++ incoming)
+          withinBatch ++ againstState
+      }
+  }
+
+  /** Drain-once runner: stream the documents table (with the same
+    * planted near-duplicates the batch gate uses), match, and land hits
+    * in an in-memory table. The gate query reads the distinct pair set,
+    * which must equal the batch `simHashPairs` answer — and therefore
+    * the DuckDB relational replay of the whole SimHash pipeline. */
+  def runStreamingSimHashDedupOnce(spark: SparkSession, sfDir: String,
+      queryName: String, maxHamming: Int = 6): StreamingQuery = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val base = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), col("text"))
+    val mutated = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(10))).as("text"))
+    val chunks = simHashChunks(base.unionAll(mutated), "doc_id", "text",
+      hashFn = Dedup.md5Long)
+    simHashMatcher(chunks, maxHamming).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.pipeline.Dedup
+
+/** Streaming SimHash near-dup: cross-batch state, parity with the batch
+  * operator, and signature-only state semantics. */
+class DocStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("matcher finds pairs across micro-batches via bucket state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val chunks = DocStreams.simHashChunks(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = DocStreams.simHashMatcher(chunks, maxHamming = 6).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simhash_stream_test").start()
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      // batch 1: two unrelated docs — no pairs yet
+      mem.addData((1L, text), (2L, "completely different words here nothing alike at all"))
+      q.processAllAvailable()
+      assert(spark.table("simhash_stream_test").isEmpty)
+      // batch 2: a near-copy of doc 1 arrives LATER — only bucket state
+      // can pair it with doc 1
+      mem.addData((3L, text + " tail"))
+      q.processAllAvailable()
+      val out = spark.table("simhash_stream_test")
+        .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+      assert(out.contains((1L, 3L)), s"cross-batch pair missing: $out")
+      assert(!out.exists(p => p._1 == 2L || p._2 == 2L), s"false pair: $out")
+    } finally q.stop()
+  }
+
+  test("drain-once runner equals the batch simHashPairs answer") {
+    val dir = "/root/testdata/sf0.001"
+    val q = DocStreams.runStreamingSimHashDedupOnce(spark, dir,
+      "simhash_stream_parity")
+    q.awaitTermination(120000)
+    val streamed = spark.table("simhash_stream_parity")
+      .select("a", "b", "hamming").distinct()
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(10))).as("text")))
+    val batch = Dedup.simHashPairs(planted, "doc_id", "text",
+      maxHamming = 6, hashFn = Dedup.md5Long)
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+}
