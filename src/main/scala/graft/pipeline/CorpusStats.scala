@@ -125,6 +125,68 @@ object CorpusStats {
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
   }
 
+  /** Intra-document line dedup: drop repeated lines WITHIN each
+    * document (keep the first occurrence, preserve order) — the
+    * looping-generation / templated-page cleanup that complements the
+    * corpus-level [[stripBoilerplateLines]]. Output: (id, clean_text,
+    * n_kept, n_dupes_removed).
+    *
+    * One shuffle (the per-document regroup); first-occurrence selection
+    * is a window over (doc, line) which shares the same hash partition
+    * as the regroup, so at scale this is one exchange + two local
+    * passes. */
+  def dedupLinesWithinDoc(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+    val w = Window.partitionBy(col("__doc"), col("line"))
+      .orderBy(col("pos").asc)
+    lines
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("__doc").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") === 1, 0L).otherwise(1L)).as("n_dupes_removed"))
+  }
+
+  /** Split documents into overlapping fixed-token-window chunks — the
+    * context-window preparation step before tokenization/packing.
+    * Chunk i covers tokens [i·(chunkTokens−overlap),
+    * i·(chunkTokens−overlap)+chunkTokens); the last chunk may be short.
+    * Output: (id, chunk_id, n_tokens, chunk_text). Pure column algebra
+    * (sequence + slice + posexplode) — stateless, fuses into the scan,
+    * no shuffle. Tokens are whitespace words, case preserved. */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val step = chunkTokens - overlap
+    val t = split(trim(col(textCol)), "\\s+")
+    val n = size(t)
+    // integer ceil((n - chunkTokens)/step) + 1, exact through doubles
+    // for any document below ~2^50 tokens
+    val nChunks = when(n <= chunkTokens, lit(1)).otherwise(
+      floor((n - chunkTokens + (step - 1)).cast("double") / step)
+        .cast("int") + 1)
+    docs
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => slice(t, i * step + 1, lit(chunkTokens))))
+        .as(Seq("chunk_id", "__toks")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__toks")).as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("chunk_text"))
+  }
+
   /** Top-`k` TF-IDF terms per document: (id, rank, term, tfidf) with
     * tfidf = tf · ln(N/df), ranked per document by (score desc, term
     * asc). The per-document window partitions by document id, so the

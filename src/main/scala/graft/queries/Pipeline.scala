@@ -443,6 +443,28 @@ object Pipeline {
       CorpusStats.vocabularyCoverage(t(s, dir, "documents"), "text", k = 50)
         .orderBy("rank")),
 
+    // Intra-document line dedup: repeated lines inside one document
+    // (looping generations, templated pages) dropped, first occurrence
+    // kept in order. Fixture plants a thrice-repeated line per doc.
+    "q_doc_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          col("text").substr(1, 40),
+          lit("repeat me"),
+          col("text").substr(41, 40),
+          lit("repeat me"),
+          lit("repeat me")).as("text"))
+      CorpusStats.dedupLinesWithinDoc(d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Overlapping fixed-token-window chunking (context-window prep):
+    // 32-token chunks, 8-token overlap — stateless column algebra.
+    "q_doc_chunks" -> ((s, dir) =>
+      CorpusStats.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // Per-source quota capping: at most 10 docs per source, highest
     // n_chars first (doc_id-asc ties) — the "no domain dominates the
     // mix" curation step, as one windowed rank.
@@ -1222,6 +1244,48 @@ object Pipeline {
         |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
         |  round(cum / total, 6) AS cum_share
         |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_doc_line_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, concat(
+        |    substr(text, 1, 40), chr(10),
+        |    'repeat me', chr(10),
+        |    substr(text, 41, 40), chr(10),
+        |    'repeat me', chr(10),
+        |    'repeat me') AS text
+        |  FROM documents),
+        |lv AS (SELECT doc_id, text,
+        |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM docs2),
+        |lines AS (SELECT doc_id, pos,
+        |  string_split(text, chr(10))[pos] AS line FROM lv
+        |  WHERE length(string_split(text, chr(10))[pos]) > 0),
+        |rn AS (SELECT doc_id, pos, line, row_number() OVER
+        |  (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM lines)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |    ORDER BY pos), '') AS clean_text,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dupes_removed
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH tk AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+        |nc AS (SELECT doc_id, toks,
+        |  CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END
+        |    AS n_chunks
+        |  FROM nn),
+        |ex AS (SELECT doc_id, toks,
+        |  unnest(range(0, n_chunks)) AS chunk_id FROM nc),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ct FROM ex)
+        |SELECT doc_id, chunk_id, CAST(len(ct) AS INTEGER) AS n_tokens,
+        |  array_to_string(ct, ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_source_quota" ->
       """WITH r AS (

@@ -79,6 +79,40 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3).getString(1) == "unique line")
   }
 
+  test("dedupLinesWithinDoc drops intra-doc repeats, keeps first in order") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta\nalpha"),
+      (2L, "only\nunique\nlines"))
+      .toDF("id", "text")
+    val out = CorpusStats.dedupLinesWithinDoc(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "alpha\nbeta\ngamma")
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 3L)
+    assert(out(1).getString(1) == "only\nunique\nlines")
+    assert(out(1).getLong(3) == 0L)
+  }
+
+  test("chunkDocuments: coverage, overlap, short-tail and tiny-doc cases") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b c")).toDF("id", "text")
+    val out = CorpusStats.chunkDocuments(docs, "id", "text",
+      chunkTokens = 32, overlap = 8).orderBy("id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // 100 tokens, step 24: chunks start at 0,24,48,72 → ceil((100-32)/24)+1 = 4
+    assert(d1.length == 4)
+    assert(d1.take(3).forall(_.getInt(2) == 32))
+    assert(d1.last.getInt(2) == 100 - 72) // short tail, not padded
+    // overlap: chunk 1 starts at token 25 (w25); chunk 0 ends at w32
+    assert(d1(1).getString(3).startsWith("w25 "))
+    assert(d1(0).getString(3).endsWith(" w32"))
+    // every token appears in some chunk
+    val covered = d1.flatMap(_.getString(3).split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"w$i").toSet)
+    // doc smaller than one chunk → exactly one whole chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(3) == "a b c")
+  }
+
   test("tfIdfTopTerms: corpus-wide terms score zero, rare terms rank first") {
     val docs = Seq(
       (1L, "common rare1 common common"),
