@@ -37,10 +37,18 @@ object CorpusStats {
     * otherwise cost O(df²) pairs (the same guard the decontamination
     * pass uses). Output: (a, b, n_shared_spans), a < b.
     *
-    * `hashGrams=true` shuffles 8-byte md5-derived gram hashes instead of
-    * the gram strings — the shape to use at scale; collisions at 60 bits
-    * are ~n²/2⁶¹ and only ever merge a pair's span *count*, never create
-    * a false pair, because pairs still require a shared posting.
+    * `hashGrams=true` shuffles 8-byte gram hashes (xxhash64 of the
+    * 8-token hash window) instead of the gram strings — the shape to use
+    * at scale. A 64-bit collision can in principle land two unrelated
+    * docs in one posting (expect ~G²/2⁶⁵ collisions over G total grams
+    * — irrelevant below ~10⁹ docs); use the string path when pairs must
+    * be exact rather than near-certain.
+    *
+    * The token/hash array is projected to a column BEFORE the per-gram
+    * lambda slices it: Spark does not eliminate common subexpressions
+    * inside higher-order-function lambdas, so slicing the `split(...)`
+    * expression directly would re-split the whole document once per gram
+    * — O(tokens²) per document.
     */
   def duplicateSpanPairs(
       docs: DataFrame,
@@ -50,17 +58,40 @@ object CorpusStats {
       maxPostings: Int = 64,
       hashGrams: Boolean = false): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    val t = toks(col(textCol))
-    val gramStr = transform(
-      sequence(lit(1), greatest(size(t) - (spanTokens - 1), lit(0))),
-      i => concat_ws(" ", slice(t, i, lit(spanTokens))))
-    val gram = if (hashGrams) {
-      transform(array_distinct(gramStr), g => Dedup.md5Long(g))
-    } else array_distinct(gramStr)
+    // fan the raw text out to every core first: a single-file scan would
+    // otherwise run the whole gram build on one or two tasks
+    val base = graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__doc"), toks(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= spanTokens)
+    // the sequence stop is clamped to >= 1 so the expression is TOTAL:
+    // Catalyst infers `size(__grams) > 0` from the explode below and
+    // pushes the whole gram expression into the scan-side filter, where
+    // it can be evaluated on short documents before the size filter —
+    // an unguarded sequence(1, n-k+1) would run descending into
+    // slice(start = 0) and throw. Short docs produce one harmless
+    // truncated gram here and are still dropped by the size filter.
+    def gramStops(arr: Column): Column =
+      sequence(lit(1), greatest(size(arr) - (spanTokens - 1), lit(1)))
+    // the unused non-deterministic column is a predicate-pushdown
+    // barrier: without it, the `size(__grams) > 0` filter Catalyst
+    // infers from the explode is substituted through this projection
+    // down to the scan, evaluating the ENTIRE gram expression a second
+    // time on every row (including rows the size filter discards)
+    val grams = (if (hashGrams) {
+      base.select(col("__doc"),
+          transform(col("__toks"), w => xxhash64(w)).as("__th"))
+        .select(col("__doc"), transform(
+          gramStops(col("__th")),
+          i => xxhash64(slice(col("__th"), i, lit(spanTokens)))).as("__grams"))
+    } else {
+      base.select(col("__doc"), transform(
+        gramStops(col("__toks")),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(spanTokens))))
+        .as("__grams"))
+    }).withColumn("__nd", monotonically_increasing_id())
 
-    val postings = docs
-      .filter(size(t) >= spanTokens)
-      .select(col(idCol).as("__doc"), explode(gram).as("__gram"))
+    val postings = grams
+      .select(col("__doc"), explode(col("__grams")).as("__gram"))
       .groupBy("__gram")
       .agg(collect_set("__doc").as("__ids"))
       .filter(size(col("__ids")).between(2, maxPostings))
@@ -170,17 +201,20 @@ object CorpusStats {
     require(chunkTokens > overlap && overlap >= 0,
       s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
     val step = chunkTokens - overlap
-    val t = split(trim(col(textCol)), "\\s+")
-    val n = size(t)
+    // project the token array to a column first — a lambda slicing the
+    // split(...) expression directly would re-split the text per chunk
+    // (no CSE inside higher-order-function lambdas)
+    val n = size(col("__t"))
     // integer ceil((n - chunkTokens)/step) + 1, exact through doubles
     // for any document below ~2^50 tokens
     val nChunks = when(n <= chunkTokens, lit(1)).otherwise(
       floor((n - chunkTokens + (step - 1)).cast("double") / step)
         .cast("int") + 1)
     docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__t"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), nChunks - 1),
-        i => slice(t, i * step + 1, lit(chunkTokens))))
+        i => slice(col("__t"), i * step + 1, lit(chunkTokens))))
         .as(Seq("chunk_id", "__toks")))
       .select(col(idCol), col("chunk_id"),
         size(col("__toks")).as("n_tokens"),

@@ -411,7 +411,7 @@ object Pipeline {
     // relationally, so the pair set AND span counts are hash-checked.
     "q_substring_dedup" -> ((s, dir) =>
       CorpusStats.duplicateSpanPairs(docsWithPlantedDups(s, dir),
-          "doc_id", "text", spanTokens = 8)
+          "doc_id", "text", spanTokens = 8, hashGrams = true)
         .orderBy("a", "b")),
 
     // Boilerplate line removal (CCNet/RefinedWeb style): plant a header
