@@ -145,6 +145,33 @@ object TextAnalysis {
   def matchCount(textCol: Column, pattern: String): Column =
     size(regexp_extract_all(textCol, lit(pattern), lit(0)))
 
+  /** PII redaction for training corpora: masks emails, phone numbers,
+    * IPv4 addresses and long digit runs (account/card numbers) with
+    * typed placeholders. All patterns are in the Java∩RE2 regex subset
+    * (no lookarounds/backrefs), so the exact masking is replayable by
+    * any RE2-based engine — DuckDB included, which is what the gate
+    * oracle does. Order matters: emails before phones (an email's
+    * digits must not be phone-masked), IPv4 before digit runs. */
+  def maskPii(textCol: Column): Column = {
+    val noEmail = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noIp = regexp_replace(noEmail,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    val noPhone = regexp_replace(noIp,
+      "\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}([-. ]\\d{1,4})?\\b", "<PHONE>")
+    regexp_replace(noPhone, "\\b\\d{9,18}\\b", "<ID>")
+  }
+
+  /** Per-document PII hit counts (email/ip/phone/id), for audit stats
+    * before and after masking. */
+  def piiCounts(textCol: Column): Column =
+    struct(
+      matchCount(textCol, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+        .as("emails"),
+      matchCount(textCol, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+        .as("ips"),
+      matchCount(textCol, "\\b\\d{9,18}\\b").as("long_ids"))
+
   /** One-call document profile used by the pipeline queries. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -443,6 +443,31 @@ object Pipeline {
       CorpusStats.vocabularyCoverage(t(s, dir, "documents"), "text", k = 50)
         .orderBy("rank")),
 
+    // PII redaction: emails / IPv4 / phones / long digit runs masked
+    // with typed placeholders, all in the Java∩RE2 regex subset so the
+    // byte-exact masking (md5-checked) replays in DuckDB. The fixture
+    // plants one of each PII kind per document, derived from doc_id.
+    "q_doc_pii_mask" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@corp.example org"),
+          lit(" tel +1 555 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 acct 9"),
+          lpad(col("doc_id").cast("string"), 10, "0")).as("text"))
+      d.select(col("doc_id"),
+          md5(TextAnalysis.maskPii(col("text")).cast("binary"))
+            .as("masked_hash"),
+          TextAnalysis.piiCounts(col("text")).getField("emails")
+            .as("n_emails"),
+          TextAnalysis.piiCounts(col("text")).getField("ips").as("n_ips"),
+          TextAnalysis.piiCounts(col("text")).getField("long_ids")
+            .as("n_long_ids"))
+        .orderBy("doc_id")
+    }),
+
     // Intra-document line dedup: repeated lines inside one document
     // (looping generations, templated pages) dropped, first occurrence
     // kept in order. Fixture plants a thrice-repeated line per doc.
@@ -1244,6 +1269,35 @@ object Pipeline {
         |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
         |  round(cum / total, 6) AS cum_share
         |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_doc_pii_mask" ->
+      """WITH d AS (
+        |  SELECT doc_id, concat(text,
+        |    ' contact u', doc_id, '@corp.example org',
+        |    ' tel +1 555 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+        |    ' host 10.0.', doc_id % 256,
+        |    '.7 acct 9', lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}([-. ]\d{1,4})?\b',
+        |      '<PHONE>', 'g'),
+        |      '\b\d{9,18}\b', '<ID>', 'g') AS masked
+        |  FROM d)
+        |SELECT doc_id, md5(masked) AS masked_hash,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER)
+        |    AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{9,18}\b')) AS INTEGER)
+        |    AS n_long_ids
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_doc_line_dedup" ->
       """WITH docs2 AS (

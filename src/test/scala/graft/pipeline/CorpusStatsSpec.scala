@@ -129,6 +129,18 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.filter(_.getString(2) == "common").forall(_.getDouble(3) == 0.0))
   }
 
+  test("maskPii masks each PII kind with its placeholder, ordered safely") {
+    val docs = Seq((1L,
+      "mail bob.smith+x@corp.example.com call +1 555 0117 " +
+        "from 192.168.1.254 acct 123456789012 normal text 42 stays"))
+      .toDF("id", "text")
+    val out = docs.select(TextAnalysis.maskPii(col("text"))).head.getString(0)
+    assert(out == "mail <EMAIL> call <PHONE> from <IP> acct <ID> " +
+      "normal text 42 stays", out)
+    // email digits must not be phone-masked; short numbers untouched
+    assert(!out.contains("555") && out.contains("42"))
+  }
+
   test("vocabularyCoverage ranks by count and accumulates to 1") {
     val docs = Seq((1L, "a a a b b c")).toDF("id", "text")
     val out = CorpusStats.vocabularyCoverage(docs, "text", k = 10)
