@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Sketches.simhashBuilder(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[graft.functions.SpanHashes].getName,
+        "span_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Sketches.spanHashesBuilder(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[graft.functions.HyperplaneSig].getName,
         "hyperplane_sig"),

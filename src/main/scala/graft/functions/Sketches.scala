@@ -115,6 +115,46 @@ object Sketches {
     sig
   }
 
+  /** Sliding-window hashes for substring-span dedup: out[w] =
+    * xxhash64 over elements [w, w+span) of the input array<long>,
+    * reproducing `xxhash64(slice(arr, w+1, span))` exactly (Spark's
+    * XxHash64 folds array elements left-to-right from seed 42). Arrays
+    * shorter than one span yield a single hash over all elements —
+    * mirroring the clamped-sequence column form — and an empty array
+    * yields [42] (the fold seed), like xxhash64 of an empty slice. One
+    * pass, no per-window slice allocation. */
+  def spanHashesKernel(arr: ArrayData, span: Int): ArrayData = {
+    val n = arr.numElements()
+    val windows = math.max(n - span + 1, 1)
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var h = 42L
+      var j = w
+      val end = math.min(w + span, n)
+      while (j < end) {
+        h = XXH64.hashLong(arr.getLong(j), h)
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def span_hashes(tokenHashes: Column, span: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      SpanHashes(org.apache.spark.sql.GraftExpressionBridge
+        .expression(tokenHashes), span))
+
+  /** span_hashes(array<long>, span-literal). */
+  def spanHashesBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, s: org.apache.spark.sql.catalyst.expressions.Literal) =>
+      SpanHashes(a, s.value.asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "span_hashes expects (array<long>, span literal)")
+  }
+
   def hyperplane_sig(vec: Column, bits: Int, seed: Int): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       HyperplaneSig(org.apache.spark.sql.GraftExpressionBridge
@@ -250,6 +290,33 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.Sketches.simhashSigKernel($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sliding-window span hashes over an array<long> of token hashes —
+  * the gram generator for exact substring-span dedup
+  * (CorpusStats.duplicateSpanPairs). Bitwise-equal to
+  * `transform(sequence(1, greatest(n - span + 1, 1)),
+  *   i => xxhash64(slice(arr, i, span)))`
+  * without the per-window slice allocation. */
+case class SpanHashes(child: Expression, span: Int)
+    extends UnaryExpression {
+
+  require(span >= 1, "span must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireArrayOf(prettyName, child, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.spanHashesKernel(input.asInstanceOf[ArrayData], span)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Sketches.spanHashesKernel($a, $span);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

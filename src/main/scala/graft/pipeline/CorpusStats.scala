@@ -78,11 +78,14 @@ object CorpusStats {
     // down to the scan, evaluating the ENTIRE gram expression a second
     // time on every row (including rows the size filter discards)
     val grams = (if (hashGrams) {
+      // native one-pass sliding-window hash (SpanHashes); bitwise-equal
+      // to transform(gramStops, i => xxhash64(slice(__th, i, span)))
+      // without allocating a slice per window
       base.select(col("__doc"),
           transform(col("__toks"), w => xxhash64(w)).as("__th"))
-        .select(col("__doc"), transform(
-          gramStops(col("__th")),
-          i => xxhash64(slice(col("__th"), i, lit(spanTokens)))).as("__grams"))
+        .select(col("__doc"),
+          graft.functions.Sketches.span_hashes(col("__th"), spanTokens)
+            .as("__grams"))
     } else {
       base.select(col("__doc"), transform(
         gramStops(col("__toks")),

@@ -388,6 +388,23 @@ class PipelineSpec extends AnyFunSuite {
       VectorOps.hyperplaneSketchAlgebra(col("embedding"), 12, 1).as("slow"))
       .collect()
     hcmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    // SpanHashes vs the clamped-sequence slice algebra, incl. docs
+    // shorter than one span (single clamped window)
+    val scmp = hashed.select(
+      graft.functions.Sketches.span_hashes(col("th"), 8).as("fast"),
+      transform(
+        sequence(lit(1), greatest(size(col("th")) - 7, lit(1))),
+        i => xxhash64(slice(col("th"), i, lit(8)))).as("slow"))
+      .collect()
+    scmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(transform(Dedup.tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(
+        graft.functions.Sketches.span_hashes(col("th"), 8).as("fast"),
+        xxhash64(col("th")).as("whole"))
+      .head()
+    assert(tiny.getSeq[Long](0) == Seq(tiny.getLong(1)))
   }
 
   test("sketch expressions reject mistyped input at analysis time") {
