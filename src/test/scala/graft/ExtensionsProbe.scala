@@ -28,6 +28,12 @@ object ExtensionsProbe {
       .head().getLong(0)
     println(s"[ext-probe] hyperplane_sig via extensions = $hp (8-bit sketch)")
     assert(hp >= 0 && hp < 256)
+    val sp = spark.sql(
+      "SELECT span_hashes(array(xxhash64('a'), xxhash64('b'), xxhash64('c')), 2) AS s, " +
+        "xxhash64(array(xxhash64('a'), xxhash64('b'))) AS w1, " +
+        "xxhash64(array(xxhash64('b'), xxhash64('c'))) AS w2").head()
+    println(s"[ext-probe] span_hashes = ${sp.getSeq[Long](0)}")
+    assert(sp.getSeq[Long](0) == Seq(sp.getLong(1), sp.getLong(2)))
     spark.stop()
   }
 }

@@ -169,6 +169,27 @@ object AnalysisProperties extends Properties("graft.er.analysis") {
   * sample content, the pure-JVM encoders and decoders are exact
   * inverses — the property behind the q_image/audio/video_decode gates'
   * closed-form oracles. */
+object SketchProperties extends Properties("graft.sketches") {
+
+  /** SpanHashes kernel == per-window left fold of XXH64 from seed 42
+    * (the exact contract of xxhash64(slice(arr, w+1, span))), for any
+    * array length (incl. empty and sub-span) and span. */
+  property("span hashes equal per-window xxhash folds") =
+    forAll(Gen.listOf(Gen.long), Gen.choose(1, 10)) { (xs, span) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.toArray)
+      val out = graft.functions.Sketches.spanHashesKernel(arr, span)
+        .toLongArray().toSeq
+      val n = xs.length
+      val windows = math.max(n - span + 1, 1)
+      val expect = (0 until windows).map { w =>
+        xs.slice(w, math.min(w + span, n)).foldLeft(42L)((h, e) =>
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(e, h))
+      }
+      out == expect
+    }
+}
+
 object CodecProperties extends Properties("graft.codecs") {
   import graft.pipeline.Multimodal
 
