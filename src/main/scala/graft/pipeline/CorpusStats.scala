@@ -57,46 +57,9 @@ object CorpusStats {
       spanTokens: Int = 8,
       maxPostings: Int = 64,
       hashGrams: Boolean = false): DataFrame = {
-    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    // fan the raw text out to every core first: a single-file scan would
-    // otherwise run the whole gram build on one or two tasks
-    val base = graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("__doc"), toks(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= spanTokens)
-    // the sequence stop is clamped to >= 1 so the expression is TOTAL:
-    // Catalyst infers `size(__grams) > 0` from the explode below and
-    // pushes the whole gram expression into the scan-side filter, where
-    // it can be evaluated on short documents before the size filter —
-    // an unguarded sequence(1, n-k+1) would run descending into
-    // slice(start = 0) and throw. Short docs produce one harmless
-    // truncated gram here and are still dropped by the size filter.
-    def gramStops(arr: Column): Column =
-      sequence(lit(1), greatest(size(arr) - (spanTokens - 1), lit(1)))
-    // the unused non-deterministic column is a predicate-pushdown
-    // barrier: without it, the `size(__grams) > 0` filter Catalyst
-    // infers from the explode is substituted through this projection
-    // down to the scan, evaluating the ENTIRE gram expression a second
-    // time on every row (including rows the size filter discards)
-    val grams = (if (hashGrams) {
-      // native one-pass sliding-window hash (SpanHashes); bitwise-equal
-      // to transform(gramStops, i => xxhash64(slice(__th, i, span)))
-      // without allocating a slice per window
-      base.select(col("__doc"),
-          transform(col("__toks"), w => xxhash64(w)).as("__th"))
-        .select(col("__doc"),
-          graft.functions.Sketches.span_hashes(col("__th"), spanTokens)
-            .as("__grams"))
-    } else {
-      base.select(col("__doc"), transform(
-        gramStops(col("__toks")),
-        i => concat_ws(" ", slice(col("__toks"), i, lit(spanTokens))))
-        .as("__grams"))
-    }).withColumn("__nd", monotonically_increasing_id())
-
-    val postings = grams
-      .select(col("__doc"), explode(col("__grams")).as("__gram"))
-      .groupBy("__gram")
-      .agg(collect_set("__doc").as("__ids"))
+    val postings = spanGramTable(docs, idCol, textCol, spanTokens, hashGrams)
+      .groupBy("gram")
+      .agg(collect_set("doc").as("__ids"))
       .filter(size(col("__ids")).between(2, maxPostings))
 
     postings
@@ -105,6 +68,80 @@ object CorpusStats {
       .filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
+  /** The (doc, gram) table behind span dedup: one row per distinct
+    * `spanTokens`-gram per document. Grams are SpanHashes longs when
+    * `hashGrams` (the scale path) or the literal token-window strings.
+    * This is the persistable corpus asset for incremental ingest —
+    * write it once per corpus version ([[writeSpanIndex]]); each new
+    * batch then joins against it without re-scanning the corpus. */
+  def spanGramTable(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val base = graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"), toks(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= spanTokens)
+    // per-doc array_distinct is local (no shuffle) and keeps the
+    // (doc, gram) table exactly set-semantied for downstream counting
+    val grams = (if (hashGrams) {
+      base.select(col("doc"),
+          transform(col("__toks"), w => xxhash64(w)).as("__th"))
+        .select(col("doc"), array_distinct(
+          graft.functions.Sketches.span_hashes(col("__th"), spanTokens))
+          .as("__grams"))
+    } else {
+      // clamped stop makes the expression TOTAL: Catalyst's
+      // InferFiltersFromGenerate pushes the gram expression into the
+      // scan-side filter where it runs on sub-span docs BEFORE the size
+      // guard — an unguarded sequence(1, n-k+1) turns descending there
+      // and feeds slice() a zero start. (SpanHashes clamps internally.)
+      def stops(arr: Column): Column =
+        sequence(lit(1), greatest(size(arr) - (spanTokens - 1), lit(1)))
+      base.select(col("doc"), array_distinct(transform(
+        stops(col("__toks")),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(spanTokens)))))
+        .as("__grams"))
+      // the unused non-deterministic column blocks predicate pushdown:
+      // without it the inferred size(__grams) > 0 filter re-evaluates
+      // the whole gram expression at the scan on every row
+    }).withColumn("__nd", monotonically_increasing_id())
+    grams.select(col("doc"), explode(col("__grams")).as("gram"))
+  }
+
+  /** Persist / reload the corpus span index (plain parquet: two columns,
+    * engine-portable). */
+  def writeSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, spanTokens: Int = 8): Unit =
+    spanGramTable(corpus, idCol, textCol, spanTokens)
+      .write.mode("overwrite").parquet(path)
+
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Incremental substring-span dedup: batch documents sharing at least
+    * `minShared` exact `spanTokens`-token runs with corpus documents,
+    * given the corpus as a prebuilt (doc, gram) index. Same df-capped
+    * posting-list join as [[duplicateSpanPairs]] and the decontamination
+    * pass: ONE aggregation over the index yields both the df prune and
+    * the posting lists, then the (small) batch gram table joins against
+    * it — per-ingest cost tracks the new batch, never the corpus.
+    * Output: (corpus_id, batch_id, n_shared_spans). */
+  def crossCorpusSpanPairs(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, spanTokens: Int = 8,
+      maxPostings: Int = 64, minShared: Long = 1L,
+      hashGrams: Boolean = true): DataFrame = {
+    val bg = spanGramTable(batch, idCol, textCol, spanTokens, hashGrams)
+      .select(col("doc").as("batch_id"), col("gram"))
+    val postings = index.groupBy("gram")
+      .agg(count(lit(1)).as("__df"), collect_list(col("doc")).as("__ids"))
+      .filter(col("__df") <= maxPostings)
+      .select(col("gram"), col("__ids"))
+    postings.join(bg, Seq("gram"))
+      .select(explode(col("__ids")).as("corpus_id"), col("batch_id"))
+      .groupBy("corpus_id", "batch_id")
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= minShared)
   }
 
   /** Per-line document frequency across the corpus: (line, df). Lines

@@ -443,6 +443,21 @@ object Pipeline {
       CorpusStats.vocabularyCoverage(t(s, dir, "documents"), "text", k = 50)
         .orderBy("rank")),
 
+    // Incremental substring-span dedup: a new ingest batch (truncated
+    // copies) against the corpus span index — per-ingest cost tracks
+    // the batch, never the corpus. Oracle replays the two-table gram
+    // join with the same df cap.
+    "q_substring_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 30, lit(10))).as("text"))
+      val index = CorpusStats.spanGramTable(d, "doc_id", "text")
+      CorpusStats.crossCorpusSpanPairs(index, batch, "doc_id", "text")
+        .orderBy("corpus_id", "batch_id")
+    }),
+
     // PII redaction: emails / IPv4 / phones / long digit runs masked
     // with typed placeholders, all in the Java∩RE2 regex subset so the
     // byte-exact masking (md5-checked) replays in DuckDB. The fixture
@@ -1269,6 +1284,36 @@ object Pipeline {
         |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
         |  round(cum / total, 6) AS cum_share
         |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_substring_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |          unnest(range(1, greatest(
+        |            len(string_split_regex(lower(trim(text)), '\s+')) - 6,
+        |            2))) AS i
+        |        FROM corpus
+        |        WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 8)),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |          unnest(range(1, greatest(
+        |            len(string_split_regex(lower(trim(text)), '\s+')) - 6,
+        |            2))) AS i
+        |        FROM batch
+        |        WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 8)),
+        |ok AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 64)
+        |SELECT cg.doc_id AS corpus_id, bg.doc_id AS batch_id,
+        |  count(*) AS n_shared_spans
+        |FROM cg JOIN ok USING (gram) JOIN bg USING (gram)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_doc_pii_mask" ->
       """WITH d AS (

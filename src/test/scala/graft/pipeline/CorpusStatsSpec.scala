@@ -51,6 +51,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(CorpusStats.duplicateSpanPairs(docs, "id", "text", 8).isEmpty)
   }
 
+  test("crossCorpusSpanPairs: batch matches corpus via a persisted index") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "m n o p q r s t u v w x"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "z z a b c d e f g h"),   // shares one 8-run with corpus doc 1
+      (11L, "nothing in common here at all right now"))
+      .toDF("id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("spanidx").toString
+    CorpusStats.writeSpanIndex(corpus, "id", "text", s"$tmp/idx")
+    val idx = CorpusStats.readSpanIndex(spark, s"$tmp/idx")
+    val out = CorpusStats.crossCorpusSpanPairs(idx, batch, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 10L, 1L)))
+    // roundtripped index equals the direct gram table
+    val direct = CorpusStats.spanGramTable(corpus, "id", "text")
+    assert(idx.exceptAll(direct).isEmpty && direct.exceptAll(idx).isEmpty)
+  }
+
   test("stripBoilerplateLines drops high-df lines, keeps order, counts") {
     val docs = Seq(
       (1L, "HEADER\nbody one\nmore one\nFOOTER"),
