@@ -53,4 +53,40 @@ object Curation {
         col("quality") >= minQuality)
       .select(col("docId"), col("clean_hash"), col("lang"), col("quality"))
   }
+
+  /** Per-group score cutoffs that keep (at least) the top `keepFrac`
+    * fraction of each group: cutoff = the ⌊keepFrac·n⌋-th largest score
+    * (an order statistic, NOT an interpolated quantile — value-based,
+    * so it is exact and tie-stable across engines: permuting equal
+    * scores never changes the k-th largest VALUE). Rows with
+    * score == cutoff all survive, so ties can keep slightly more than
+    * the target fraction — the deterministic choice.
+    * Returns (group, n_total, cutoff). */
+  def groupScoreCutoffs(docs: DataFrame, groupCol: String,
+      scoreCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1], got $keepFrac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    docs
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col(scoreCol).desc)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") ===
+        greatest(floor(col("__n") * keepFrac).cast("long"), lit(1L)))
+      .select(col(groupCol), col("__n").as("n_total"),
+        col(scoreCol).as("cutoff"))
+  }
+
+  /** Calibrated per-group filtering: keep rows whose score reaches their
+    * group's [[groupScoreCutoffs]] cutoff — "keep the best keepFrac of
+    * every language/domain" without a global threshold that would let a
+    * high-quality group crowd out the rest. The cutoff table is
+    * group-cardinality-sized and broadcast. */
+  def keepTopFraction(docs: DataFrame, groupCol: String, scoreCol: String,
+      keepFrac: Double): DataFrame =
+    docs.join(
+        broadcast(groupScoreCutoffs(docs, groupCol, scoreCol, keepFrac)
+          .select(col(groupCol), col("cutoff"))),
+        groupCol)
+      .filter(col(scoreCol) >= col("cutoff"))
 }

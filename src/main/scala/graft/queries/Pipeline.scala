@@ -443,6 +443,19 @@ object Pipeline {
       CorpusStats.vocabularyCoverage(t(s, dir, "documents"), "text", k = 50)
         .orderBy("rank")),
 
+    // Per-language quality calibration: keep the top 25% of each
+    // language by n_chars via an exact order-statistic cutoff (no
+    // interpolation — tie-stable across engines).
+    "q_quality_calibrate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      Curation.keepTopFraction(d, "lang", "n_chars", keepFrac = 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min("n_chars").as("min_kept_chars"),
+          sum("n_chars").as("sum_kept_chars"))
+        .orderBy("lang")
+    }),
+
     // Incremental substring-span dedup: a new ingest batch (truncated
     // copies) against the corpus span index — per-ingest cost tracks
     // the batch, never the corpus. Oracle replays the two-table gram
@@ -1284,6 +1297,22 @@ object Pipeline {
         |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
         |  round(cum / total, 6) AS cum_share
         |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_quality_calibrate" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |c AS (SELECT lang, n_chars AS cutoff FROM r
+        |      WHERE rn = greatest(CAST(floor(n * 0.25) AS BIGINT), 1))
+        |SELECT d.lang, count(*) AS n_kept,
+        |  min(d.n_chars) AS min_kept_chars,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars
+        |FROM documents d JOIN c USING (lang)
+        |WHERE d.n_chars >= c.cutoff
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_substring_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -220,6 +220,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("keepTopFraction: exact order-statistic cutoff, ties survive, min 1") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 9), ("a", 3L, 8), ("a", 4L, 8),
+      ("a", 5L, 7), ("a", 6L, 6), ("a", 7L, 5), ("a", 8L, 4),
+      ("b", 9L, 100))
+      .toDF("grp", "id", "score")
+    // group a: n=8, keep 25% → cutoff = 2nd largest = 9 → ids 1,2
+    // group b: n=1, floor(0.25)=0 → clamped to rank 1 → keeps its row
+    val kept = Curation.keepTopFraction(df, "grp", "score", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 9L))
+    // ties at the cutoff all survive: keep 50% of a → cutoff = 4th
+    // largest = 8, which ties with rank 3 → 4 rows
+    val half = Curation.keepTopFraction(df.filter(col("grp") === "a"),
+      "grp", "score", 0.5).count()
+    assert(half == 4L)
+  }
+
   test("curation pass: cleans, filters language and quality, dedups") {
     val corpus = Seq(
       (1L, "the cat is in the house and it is warm for the winter season today"),
