@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Sketches.spanHashesBuilder(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("z_order2"),
+      new ExpressionInfo(classOf[graft.functions.ZOrder2].getName,
+        "z_order2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ZOrder.builder(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[graft.functions.HyperplaneSig].getName,
         "hyperplane_sig"),

@@ -443,6 +443,19 @@ object Pipeline {
       CorpusStats.vocabularyCoverage(t(s, dir, "documents"), "text", k = 50)
         .orderBy("rank")),
 
+    // Z-order (Morton) codes for multi-dim layout: interleave two
+    // 10-bit bucket columns; the oracle replays the bit interleave as
+    // a relational bit-sum. (Layout.zOrdered uses this code to cluster
+    // parquet for two-dimensional min/max pruning.)
+    "q_zorder_code" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.ZOrder.z_order2(
+            col("l_orderkey") % 1024, col("l_suppkey") % 1024)
+            .as("morton"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Per-language quality calibration: keep the top 25% of each
     // language by n_chars via an exact order-statistic cutoff (no
     // interpolation — tie-stable across engines).
@@ -1297,6 +1310,17 @@ object Pipeline {
         |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
         |  round(cum / total, 6) AS cum_share
         |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_zorder_code" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_orderkey % 1024 AS xb, l_suppkey % 1024 AS yb
+        |  FROM lineitem WHERE l_orderkey < 2000)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((xb >> i) & 1) << (2 * i)) +
+        |    (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS morton
+        |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_quality_calibrate" ->
       """WITH r AS (

@@ -174,6 +174,19 @@ object SketchProperties extends Properties("graft.sketches") {
   /** SpanHashes kernel == per-window left fold of XXH64 from seed 42
     * (the exact contract of xxhash64(slice(arr, w+1, span))), for any
     * array length (incl. empty and sub-span) and span. */
+  /** Morton interleave/deinterleave are mutually inverse on 32-bit
+    * inputs, and the code is monotone under quadrant refinement (the
+    * property range pruning relies on). */
+  property("z-order interleave roundtrips and nests quadrants") =
+    forAll(Gen.choose(0L, 0xffffffffL), Gen.choose(0L, 0xffffffffL)) {
+      (x, y) =>
+        val z = graft.functions.ZOrder.interleave(x, y)
+        val back = graft.functions.ZOrder.deinterleave(z)
+        back == ((x, y)) &&
+          // same high bits => codes share the quadrant prefix
+          (graft.functions.ZOrder.interleave(x >> 16, y >> 16) == (z >>> 32))
+    }
+
   property("span hashes equal per-window xxhash folds") =
     forAll(Gen.listOf(Gen.long), Gen.choose(1, 10)) { (xs, span) =>
       val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(

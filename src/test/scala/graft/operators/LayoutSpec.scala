@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.ZOrder
+
+/** Z-order layout: Morton kernel correctness and the clustering payoff
+  * (a two-dimensional range filter touches few partitions). */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("interleave places x on even bits, y on odd; deinterleave inverts") {
+    assert(ZOrder.interleave(0L, 0L) == 0L)
+    assert(ZOrder.interleave(1L, 0L) == 1L)
+    assert(ZOrder.interleave(0L, 1L) == 2L)
+    assert(ZOrder.interleave(3L, 3L) == 15L)
+    assert(ZOrder.interleave(0xffffffffL, 0L) == 0x5555555555555555L)
+    val zs = Seq((5L, 9L), (1023L, 0L), (123456L, 654321L))
+    zs.foreach { case (x, y) =>
+      assert(ZOrder.deinterleave(ZOrder.interleave(x, y)) == ((x, y)))
+    }
+  }
+
+  test("zOrdered: partition Morton ranges are disjoint; 2-D box is local") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+    val laid = Layout.zOrdered(li, "l_extendedprice", "l_quantity",
+      numPartitions = 8, bits = 8)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    try {
+      // range repartition => per-partition code ranges must not overlap
+      val ranges = laid.groupBy("__pid")
+        .agg(min("__z").as("lo"), max("__z").as("hi"))
+        .orderBy("lo").collect()
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+          s"overlapping Morton ranges: $a / $b")
+        case _ =>
+      }
+      // a box selective in BOTH dimensions lands in a few partitions,
+      // not spread across all of them — the pruning payoff
+      val stats = li.agg(
+        expr("percentile(l_extendedprice, 0.40)"),
+        expr("percentile(l_extendedprice, 0.45)"),
+        expr("percentile(l_quantity, 0.40)"),
+        expr("percentile(l_quantity, 0.45)")).head()
+      val hit = laid.filter(
+        col("l_extendedprice").between(stats.getDouble(0), stats.getDouble(1)) &&
+          col("l_quantity").between(stats.getDouble(2), stats.getDouble(3)))
+      assert(hit.count() > 0)
+      val touched = hit.select("__pid").distinct().count()
+      assert(touched <= 4, s"2-D box touched $touched of 8 partitions")
+    } finally laid.unpersist()
+  }
+}
