@@ -350,6 +350,24 @@ object Relational {
         .orderBy("hour", "event_type")
     }),
 
+    // Semi-structured column extraction: events.props is a JSON string;
+    // from_json with an explicit schema (the codegen-friendly typed
+    // path — no per-row schema inference) projects the field, then a
+    // plain aggregate. Oracle replays with DuckDB's JSON functions.
+    "q_events_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
     // Skew-mitigated aggregation: event_type has a handful of hot keys —
     // salted two-stage agg spreads them across reducers; result must equal
     // the plain GROUP BY.
@@ -598,6 +616,17 @@ object Relational {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY hour, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  count(DISTINCT k) AS n_distinct_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
