@@ -133,6 +133,16 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(d2.length == 1 && d2.head.getString(3) == "a b c")
   }
 
+  test("chunkDocuments with zero overlap reassembles the exact token stream") {
+    val text = (1 to 97).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val chunks = CorpusStats.chunkDocuments(docs, "id", "text",
+      chunkTokens = 16, overlap = 0).orderBy("chunk_id").collect()
+    val reassembled = chunks.map(_.getString(3)).mkString(" ")
+    assert(reassembled == text)
+    assert(chunks.map(_.getInt(2)).sum == 97)
+  }
+
   test("tfIdfTopTerms: corpus-wide terms score zero, rare terms rank first") {
     val docs = Seq(
       (1L, "common rare1 common common"),
