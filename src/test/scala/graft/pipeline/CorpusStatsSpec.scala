@@ -159,6 +159,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.filter(_.getString(2) == "common").forall(_.getDouble(3) == 0.0))
   }
 
+  test("null text rows drop out of every corpus operator, never throw") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, null)).toDF("id", "text")
+    assert(CorpusStats.duplicateSpanPairs(docs, "id", "text").count() == 0)
+    assert(CorpusStats.spanGramTable(docs, "id", "text").select("doc")
+      .distinct().count() == 1)
+    assert(CorpusStats.stripBoilerplateLines(docs, "id", "text").count() == 1)
+    assert(CorpusStats.dedupLinesWithinDoc(docs, "id", "text").count() == 1)
+    assert(CorpusStats.chunkDocuments(docs, "id", "text").count() == 1)
+    assert(CorpusStats.tfIdfTopTerms(docs, "id", "text", 2)
+      .select("id").distinct().count() == 1)
+    assert(CorpusStats.vocabularyCoverage(docs, "text").count() == 8)
+  }
+
   test("maskPii masks each PII kind with its placeholder, ordered safely") {
     val docs = Seq((1L,
       "mail bob.smith+x@corp.example.com call +1 555 0117 " +
