@@ -127,3 +127,27 @@ object PipelineProject {
     df
   }
 }
+
+/** CLI entry point:
+  * spark-submit --class graft.pipeline.RunPipeline <jar> curation.json */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: RunPipeline <curation.json>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+    // spark-submit supplies spark.master; fall back to local otherwise
+    // so the same entry point runs under plain `sbt runMain`
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[$cpus]")).getOrCreate()
+    try {
+      val conf = PipelineProject.loadConf(args(0))
+      val n = PipelineProject.run(spark, conf).count()
+      println(s"[pipeline] ${conf.inputPath} -> " +
+        s"${if (conf.outputPath.isEmpty) "(unwritten)" else conf.outputPath}" +
+        s": $n surviving documents")
+    } finally spark.stop()
+  }
+}
