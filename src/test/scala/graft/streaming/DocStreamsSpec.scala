@@ -35,6 +35,15 @@ class DocStreamsSpec extends AnyFunSuite {
         .select("a", "b").distinct().as[(Long, Long)].collect().toSet
       assert(out.contains((1L, 3L)), s"cross-batch pair missing: $out")
       assert(!out.exists(p => p._1 == 2L || p._2 == 2L), s"false pair: $out")
+      // batch 3: a signature-twin of doc 3 (same text) — state has
+      // accumulated both earlier docs, so it must pair with doc 3
+      // (Hamming 0) AND doc 1 (same distance doc 3 had)
+      mem.addData((4L, text + " tail"))
+      q.processAllAvailable()
+      val out2 = spark.table("simhash_stream_test")
+        .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+      assert(out2.contains((1L, 4L)) && out2.contains((3L, 4L)),
+        s"third arrival must pair with all remembered members: $out2")
     } finally q.stop()
   }
 
