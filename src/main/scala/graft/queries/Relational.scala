@@ -350,6 +350,37 @@ object Relational {
         .orderBy("hour", "event_type")
     }),
 
+    // Unpivot (melt): wide per-row measures to long (measure, value)
+    // rows — the inverse of pivot, as the native unpivot operator.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
+    // RANGE-frame window: per-user running 1-hour event-time sum — the
+    // frame is bounded by VALUE distance (epoch seconds), not row
+    // count, so irregular event spacing is handled exactly.
+    "q_window_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"))
+        .rangeBetween(-3599L, 0L)
+      t(s, dir, "events")
+        .filter(col("user_id") < 200)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("value"))
+        .withColumn("hour_sum", round(sum(col("value")).over(w) + 1e-9, 2))
+        .select(col("event_id"), col("user_id"), col("hour_sum"))
+        .orderBy("event_id")
+    }),
+
     // Semi-structured column extraction: events.props is a JSON string;
     // from_json with an explicit schema (the codegen-friendly typed
     // path — no per-row schema inference) projects the field, then a
@@ -616,6 +647,26 @@ object Relational {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY hour, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |UNPIVOT (value FOR measure IN
+        |  (l_quantity, l_extendedprice, l_discount))
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q_window_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(ts) AS BIGINT) AS sec, value
+        |  FROM events WHERE user_id < 200)
+        |SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) + 1e-9, 2)
+        |    AS hour_sum
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q_events_props" ->
       """WITH e AS (
