@@ -223,6 +223,21 @@ object Relational {
       val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
       c.except(sup).orderBy("nationkey")
     }),
+    // Bag-semantics set ops: multiplicities preserved (min for
+    // INTERSECT ALL, difference for EXCEPT ALL) — the variants the
+    // DISTINCT forms above cannot express.
+    "q_intersect_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersectAll(sup).groupBy("nationkey")
+        .agg(count(lit(1)).as("multiplicity")).orderBy("nationkey")
+    }),
+    "q_except_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(sup).groupBy("nationkey")
+        .agg(count(lit(1)).as("multiplicity")).orderBy("nationkey")
+    }),
 
     // G1: cluster → C(n,2) pairs, expressed as a self-equi-join with a
     // strict ordering predicate (shuffles once on the cluster key; never
@@ -569,6 +584,20 @@ object Relational {
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH i AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, count(*) AS multiplicity
+        |FROM i GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_except_all" ->
+      """WITH x AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, count(*) AS multiplicity
+        |FROM x GROUP BY nationkey ORDER BY nationkey""".stripMargin,
 
     "q_pairs_within_group" ->
       """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln1,

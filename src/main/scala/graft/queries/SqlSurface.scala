@@ -54,6 +54,18 @@ object SqlSurface {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    // CUBE grouping sets with GROUPING() disambiguation (a NULL flag vs
+    // a NULL data value) — complements the ROLLUP gate above
+    "q_sql_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     // CASE + HAVING + grouped expression
     "q_sql_order_buckets" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
