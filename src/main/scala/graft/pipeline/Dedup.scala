@@ -170,6 +170,7 @@ object Dedup {
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 4096,
       persistLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     def cached(df: DataFrame): DataFrame =
@@ -177,11 +178,21 @@ object Dedup {
       else df.persist(persistLevel)
     val sh = cached(shingleTable(docs, idCol, textCol, shingleSize))
     val b = cached(lshBandsFromShingles(sh, bands, rowsPerBand))
-    // cands is consumed three times downstream (the pair join itself plus
-    // the two branches of the semi-join id list) — cache the tiny id-pair
-    // table so the bucket self-join runs once
-    val cands = cached(b.toDF("a", "band", "bandHash")
-      .join(b.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))
+    // candidates via df-capped posting lists, NOT an uncapped bucket
+    // self-join: a bucket holding B docs costs B² pairs, and on a
+    // template-heavy corpus (many near-identical band signatures) a hot
+    // bucket turns the candidate stage quadratic. A bucket larger than
+    // `maxBucket` carries no discriminative signal — its members are
+    // boilerplate-degree similar and any TRUE near-dup pair in it also
+    // collides in other, smaller buckets — so it is dropped, bounding
+    // the worst case at maxBucket × bucket count. cands is consumed
+    // three times downstream (pair join + both semi-join branches).
+    val cands = cached(b
+      .groupBy("band", "bandHash")
+      .agg(collect_set(col("docId")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(col("__ids")).as("a"), col("__ids"))
+      .select(col("a"), explode(col("__ids")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct())
     joinExactJaccard(sh, cands).filter(col("jaccard") >= threshold)
@@ -222,7 +233,7 @@ object Dedup {
       shCorpus,
       lshBandsFromShingles(shCorpus, bands, rowsPerBand))
     dedupAgainstSketch(assets, newDocs, idCol, textCol, threshold,
-      shingleSize, bands, rowsPerBand, persistLevel)
+      shingleSize, bands, rowsPerBand, persistLevel = persistLevel)
   }
 
   /** The reusable corpus-side dedup asset: content hashes, the shingle
@@ -263,6 +274,7 @@ object Dedup {
       idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       bands: Int = 32, rowsPerBand: Int = 4,
+      maxBucket: Int = 4096,
       persistLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     def cached(df: DataFrame): DataFrame =
@@ -281,16 +293,28 @@ object Dedup {
     val shCorpus = assets.shingles
     val bNew = cached(lshBandsFromShingles(shNew, bands, rowsPerBand))
     val bCorpus = assets.bands
-    // near vs corpus: every candidate hit disqualifies the new doc
+    // near vs corpus: every candidate hit disqualifies the new doc.
+    // Corpus-side buckets arrive as df-capped posting lists (same
+    // rationale as nearDuplicatePairs: an over-popular bucket is
+    // boilerplate-degree similarity, and its true near-dups also
+    // collide in smaller buckets), bounding a hot corpus bucket's
+    // fan-out per new doc at maxBucket.
+    val corpusPostings = bCorpus.groupBy("band", "bandHash")
+      .agg(collect_set(col("docId")).as("__cids"))
+      .filter(size(col("__cids")) <= maxBucket)
     val candsX = bNew.toDF("a", "band", "bandHash")
-      .join(bCorpus.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))
-      .select(col("a"), col("b")).distinct()
+      .join(corpusPostings, Seq("band", "bandHash"))
+      .select(col("a"), explode(col("__cids")).as("b")).distinct()
     val dropX = joinExactJaccardTwoSided(shNew, shCorpus, candsX)
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("docId")).distinct()
     // near within batch: drop the higher id of each qualifying pair
-    val candsN = bNew.toDF("a", "band", "bandHash")
-      .join(bNew.toDF("b", "band", "bandHash"), Seq("band", "bandHash"))
+    // (capped posting lists, not an uncapped band self-join)
+    val candsN = bNew.groupBy("band", "bandHash")
+      .agg(collect_set(col("docId")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(col("__ids")).as("a"), col("__ids"))
+      .select(col("a"), explode(col("__ids")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val dropN = joinExactJaccardTwoSided(shNew, shNew, candsN)

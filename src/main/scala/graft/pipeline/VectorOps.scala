@@ -188,6 +188,7 @@ object VectorOps {
   def lshNeighborPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int = 12, minCosine: Double = 0.8, probes: Int = 2,
+      maxBucket: Int = 8192,
       persistLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     def cached(df: DataFrame): DataFrame =
@@ -204,8 +205,17 @@ object VectorOps {
           hyperplaneSketch(col("vec"), bits, seed)): _*)))
       .withColumnRenamed("pos", "probe")
       .withColumnRenamed("col", "bucket"))
-    val cands = cached(sketches.toDF("a", "probe", "bucket")
-      .join(sketches.toDF("b", "probe", "bucket"), Seq("probe", "bucket"))
+    // df-capped posting lists instead of an uncapped bucket self-join:
+    // with few bits (coarse buckets) or clustered embeddings a hot
+    // bucket costs B² pairs; beyond `maxBucket` a bucket is dropped —
+    // its members are crowd-similar and pairs that matter also collide
+    // in other probes' buckets
+    val cands = cached(sketches
+      .groupBy("probe", "bucket")
+      .agg(collect_set(col("id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(col("__ids")).as("a"), col("__ids"))
+      .select(col("a"), explode(col("__ids")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct())
     val candIds = cands.select(col("a").as("id"))
