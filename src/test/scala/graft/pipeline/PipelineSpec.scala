@@ -39,6 +39,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxBucket caps hot-bucket fan-out; sub-cap pairs unaffected") {
+    // 60 identical docs (one hot bucket per band) + one distinct
+    // near-dup pair elsewhere in id space
+    val hot = (1L to 60L).map(i =>
+      (i, "the same exact template text repeated over and over again " +
+        "with enough words to shingle"))
+    val pairDocs = Seq(
+      (100L, "completely different content one two three four five six"),
+      (101L, "completely different content one two three four five seven"))
+    val docs = (hot ++ pairDocs).toDF("doc_id", "text")
+    // cap below the hot bucket size: the template group is dropped
+    // (exact dedup's job), the independent near-dup pair survives
+    val capped = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = 50,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // default cap: the hot bucket is under it → all C(60,2) pairs back
+    val uncapped = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.5,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE)
+    assert(uncapped.count() == 60L * 59 / 2 + 1)
+  }
+
   test("simhash: identical docs distance 0, similar small, unrelated large") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
