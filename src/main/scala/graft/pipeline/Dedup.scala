@@ -231,7 +231,7 @@ object Dedup {
     val assets = CorpusSketch(
       corpus.select(md5(col(textCol).cast("binary")).as("h")).distinct(),
       shCorpus,
-      lshBandsFromShingles(shCorpus, bands, rowsPerBand))
+      bandPostingsOf(lshBandsFromShingles(shCorpus, bands, rowsPerBand)))
     dedupAgainstSketch(assets, newDocs, idCol, textCol, threshold,
       shingleSize, bands, rowsPerBand, persistLevel = persistLevel)
   }
@@ -241,12 +241,22 @@ object Dedup {
     * Build once per corpus version with `writeCorpusSketch`; per-ingest
     * cost is then proportional to the NEW batch only. */
   final case class CorpusSketch(hashes: DataFrame, shingles: DataFrame,
-      bands: DataFrame)
+      bandPostings: DataFrame)
+
+  /** Aggregate a (docId, band, bandHash) table into per-bucket posting
+    * lists (band, bandHash, cids). Stored UNCAPPED in the sketch; the
+    * ingest-time `maxBucket` filter is applied per query so one sketch
+    * serves any cap. */
+  private def bandPostingsOf(bandTable: DataFrame): DataFrame =
+    bandTable.groupBy("band", "bandHash")
+      .agg(collect_set(col("docId")).as("cids"))
 
   /** Materialize the corpus sketch to parquet (three tables under
-    * `path`). The bands table is the bucket-join side, so it is written
-    * bucketable by its join key columns via a plain repartition — at
-    * cluster scale write it as a bucketed table instead. */
+    * `path`). Bands are stored as per-bucket POSTING LISTS, aggregated
+    * once here — so per-ingest cost genuinely tracks the new batch (an
+    * ingest never re-aggregates or re-shuffles the corpus side; it
+    * equi-joins the batch's few thousand band rows against the posting
+    * table and explodes the capped lists). */
   def writeCorpusSketch(corpus: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3,
       bands: Int = 32, rowsPerBand: Int = 4): Unit = {
@@ -255,7 +265,7 @@ object Dedup {
     val sh = shingleTable(corpus, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.write.mode("overwrite").parquet(s"$path/shingles.parquet")
-    lshBandsFromShingles(sh, bands, rowsPerBand)
+    bandPostingsOf(lshBandsFromShingles(sh, bands, rowsPerBand))
       .write.mode("overwrite").parquet(s"$path/bands.parquet")
     sh.unpersist()
   }
@@ -292,19 +302,18 @@ object Dedup {
     val shNew = cached(shingleTable(exactSurvivors, "docId", "text", shingleSize))
     val shCorpus = assets.shingles
     val bNew = cached(lshBandsFromShingles(shNew, bands, rowsPerBand))
-    val bCorpus = assets.bands
     // near vs corpus: every candidate hit disqualifies the new doc.
-    // Corpus-side buckets arrive as df-capped posting lists (same
-    // rationale as nearDuplicatePairs: an over-popular bucket is
-    // boilerplate-degree similarity, and its true near-dups also
+    // Corpus buckets come PRE-AGGREGATED from the sketch as posting
+    // lists; the maxBucket filter drops over-popular buckets (they are
+    // boilerplate-degree similarity, and their true near-dups also
     // collide in smaller buckets), bounding a hot corpus bucket's
-    // fan-out per new doc at maxBucket.
-    val corpusPostings = bCorpus.groupBy("band", "bandHash")
-      .agg(collect_set(col("docId")).as("__cids"))
-      .filter(size(col("__cids")) <= maxBucket)
+    // fan-out per new doc at maxBucket — and the corpus side is never
+    // re-shuffled at ingest time.
+    val corpusPostings = assets.bandPostings
+      .filter(size(col("cids")) <= maxBucket)
     val candsX = bNew.toDF("a", "band", "bandHash")
       .join(corpusPostings, Seq("band", "bandHash"))
-      .select(col("a"), explode(col("__cids")).as("b")).distinct()
+      .select(col("a"), explode(col("cids")).as("b")).distinct()
     val dropX = joinExactJaccardTwoSided(shNew, shCorpus, candsX)
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("docId")).distinct()
