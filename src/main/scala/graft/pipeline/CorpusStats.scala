@@ -111,9 +111,19 @@ object CorpusStats {
 
   /** Persist / reload the corpus span index (plain parquet: two columns,
     * engine-portable). */
+  /** Aggregate a (doc, gram) table into per-gram posting lists
+    * (gram, cids). Stored UNCAPPED in the index; the ingest-time
+    * `maxPostings` filter is applied per query so one index serves any
+    * cap. */
+  def spanPostings(gramTable: DataFrame): DataFrame =
+    gramTable.groupBy("gram").agg(collect_list(col("doc")).as("cids"))
+
+  /** The index is persisted as POSTING LISTS, aggregated once here —
+    * per-ingest cost then genuinely tracks the new batch (an ingest
+    * never re-aggregates or re-shuffles the corpus side). */
   def writeSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, spanTokens: Int = 8): Unit =
-    spanGramTable(corpus, idCol, textCol, spanTokens)
+    spanPostings(spanGramTable(corpus, idCol, textCol, spanTokens))
       .write.mode("overwrite").parquet(path)
 
   def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
@@ -121,24 +131,21 @@ object CorpusStats {
 
   /** Incremental substring-span dedup: batch documents sharing at least
     * `minShared` exact `spanTokens`-token runs with corpus documents,
-    * given the corpus as a prebuilt (doc, gram) index. Same df-capped
+    * given the corpus as a prebuilt posting-list index
+    * ([[spanPostings]] / [[readSpanIndex]]). Same df-capped
     * posting-list join as [[duplicateSpanPairs]] and the decontamination
-    * pass: ONE aggregation over the index yields both the df prune and
-    * the posting lists, then the (small) batch gram table joins against
-    * it — per-ingest cost tracks the new batch, never the corpus.
-    * Output: (corpus_id, batch_id, n_shared_spans). */
+    * pass; the (small) batch gram table equi-joins the postings and
+    * explodes the capped lists — per-ingest cost tracks the new batch,
+    * never the corpus. Output: (corpus_id, batch_id, n_shared_spans). */
   def crossCorpusSpanPairs(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, spanTokens: Int = 8,
       maxPostings: Int = 64, minShared: Long = 1L,
       hashGrams: Boolean = true): DataFrame = {
     val bg = spanGramTable(batch, idCol, textCol, spanTokens, hashGrams)
       .select(col("doc").as("batch_id"), col("gram"))
-    val postings = index.groupBy("gram")
-      .agg(count(lit(1)).as("__df"), collect_list(col("doc")).as("__ids"))
-      .filter(col("__df") <= maxPostings)
-      .select(col("gram"), col("__ids"))
-    postings.join(bg, Seq("gram"))
-      .select(explode(col("__ids")).as("corpus_id"), col("batch_id"))
+    index.filter(size(col("cids")) <= maxPostings)
+      .join(bg, Seq("gram"))
+      .select(explode(col("cids")).as("corpus_id"), col("batch_id"))
       .groupBy("corpus_id", "batch_id")
       .agg(count(lit(1)).as("n_shared_spans"))
       .filter(col("n_shared_spans") >= minShared)

@@ -479,7 +479,8 @@ object Pipeline {
         .select((col("doc_id") + 100000).as("doc_id"),
           col("text").substr(lit(1),
             greatest(length(col("text")) - 30, lit(10))).as("text"))
-      val index = CorpusStats.spanGramTable(d, "doc_id", "text")
+      val index = CorpusStats.spanPostings(
+        CorpusStats.spanGramTable(d, "doc_id", "text"))
       CorpusStats.crossCorpusSpanPairs(index, batch, "doc_id", "text")
         .orderBy("corpus_id", "batch_id")
     }),

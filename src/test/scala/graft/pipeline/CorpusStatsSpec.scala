@@ -66,9 +66,15 @@ class CorpusStatsSpec extends AnyFunSuite {
     val out = CorpusStats.crossCorpusSpanPairs(idx, batch, "id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 10L, 1L)))
-    // roundtripped index equals the direct gram table
-    val direct = CorpusStats.spanGramTable(corpus, "id", "text")
-    assert(idx.exceptAll(direct).isEmpty && direct.exceptAll(idx).isEmpty)
+    // roundtripped posting index equals the directly-aggregated one
+    // (sort lists: collect_list order is partitioning-dependent)
+    import org.apache.spark.sql.functions.{col, sort_array}
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("gram"), sort_array(col("cids")).as("cids"))
+    val direct = canon(CorpusStats.spanPostings(
+      CorpusStats.spanGramTable(corpus, "id", "text")))
+    assert(canon(idx).exceptAll(direct).isEmpty &&
+      direct.exceptAll(canon(idx)).isEmpty)
   }
 
   test("stripBoilerplateLines drops high-df lines, keeps order, counts") {
