@@ -65,6 +65,22 @@ object StreamingQueries {
         .orderBy("a", "b")
     }),
 
+    // Streaming heavy hitters: sharded SpaceSaving sketches over the
+    // event stream (bounded state per shard). Capacity exceeds every
+    // shard's distinct-key load at gate scale, so the sketch is exact
+    // and the drained top-20 hash-matches batch GROUP BY counts.
+    "q_stream_topk_users" -> ((s, dir) => {
+      val name = s"stream_topk_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.Frequency.runStreamingTopUsersOnce(
+        s, dir, name)
+      q.awaitTermination(300000)
+      s.table(name)
+        .groupBy(col("key").as("user_id"))
+        .agg(max(col("n")).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(20)
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -82,6 +98,11 @@ object StreamingQueries {
     // same relational replay as the batch SimHash gate — the streaming
     // matcher must converge to the identical pair set
     "q_stream_simhash_dedup" -> Pipeline.oracles("q_dedup_simhash"),
+
+    "q_stream_topk_users" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id ASC
+        |LIMIT 20""".stripMargin,
 
     "q_stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
