@@ -147,6 +147,70 @@ class EREndToEndSpec extends AnyFunSuite {
     assert(after.theta.probs.values.forall(p => p >= 0.0 && p <= 1.0))
   }
 
+  test("two-file record linkage recovers cross-file entity links") {
+    import spark.implicits._
+    // the reference's linkage-proper use case (vs dedup): every entity
+    // has one record in file A; half ALSO appear in file B with at most
+    // one distorted attribute — the sampler must link across files
+    val rng = new java.util.SplittableRandom(99991L)
+    val nEntities = 60
+    val rows = (0 until nEntities).flatMap { e =>
+      val fn = firstNames(rng.nextInt(firstNames.length))
+      val ln = lastNames(rng.nextInt(lastNames.length))
+      val by = (1940 + rng.nextInt(50)).toString
+      val bm = (1 + rng.nextInt(12)).toString
+      val bd = (1 + rng.nextInt(28)).toString
+      val a = (s"A-$e", "fileA", e.toString, fn, ln, by, bm, bd)
+      if (e % 2 == 0) {
+        // same distortion mix as the dedup fixture above: 2-in-5
+        // duplicates carry one substituted character
+        val b = rng.nextInt(5) match {
+          case 0 =>
+            (s"B-$e", "fileB", e.toString, distort(fn, rng), ln, by, bm, bd)
+          case 1 =>
+            (s"B-$e", "fileB", e.toString, fn, distort(ln, rng), by, bm, bd)
+          case _ => (s"B-$e", "fileB", e.toString, fn, ln, by, bm, bd)
+        }
+        Seq(a, b)
+      } else Seq(a)
+    }
+    val df = rows.toDF("rec_id", "src", "ent_id", "fname", "lname",
+      "by", "bm", "bd")
+    val prior = BetaParams(0.5, 50.0)
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("lname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("by", ConstantSimilarity, prior),
+      AttributeSpec("bm", ConstantSimilarity, prior),
+      AttributeSpec("bd", ConstantSimilarity, prior))
+
+    val init = ERState.initialize(spark, df, "rec_id", Some("src"), specs,
+      _ => SinglePartition, seed = 12L)
+    // linkage needs more mixing than the dedup fixture: recall climbs
+    // steeply between sweeps 100 and 300 (same trajectory as the rl10k
+    // study in BASELINE.md)
+    val result = Sampler.run(init, numSweeps = 280, burnIn = 120, thin = 8)
+    val chain = result.chain.get.cache()
+
+    val smpc = Analysis.sharedMostProbableClusters(chain)
+    val pred = Analysis.membershipFromClusters(smpc.select("records"), "records")
+    val truth = df.select($"rec_id".as("recordId"), $"ent_id".as("clusterId"))
+    val m = Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId").head()
+    val (precision, recall, f1) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    info(s"cross-file precision=$precision recall=$recall f1=$f1")
+    assert(f1 > 0.65, s"f1=$f1 — cross-file links not recovered")
+
+    // every TRUE pair is cross-file by construction; verify the
+    // recovered links actually span the two files
+    val clusters = smpc.select("records").as[Seq[String]].collect()
+    val linked = clusters.filter(_.size > 1)
+    assert(linked.nonEmpty)
+    assert(linked.forall(c =>
+      c.exists(_.startsWith("A-")) && c.exists(_.startsWith("B-"))),
+      s"non-cross-file cluster found: ${linked.find(c =>
+        !(c.exists(_.startsWith("A-")) && c.exists(_.startsWith("B-"))))}")
+  }
+
   test("multi-partition run keeps all records and is run-to-run deterministic") {
     import spark.implicits._
     val rng = new java.util.SplittableRandom(314159L)
