@@ -66,6 +66,29 @@ object SqlSurface {
         |ORDER BY g_rf, g_ls,
         |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    // NTILE bucketing over a total order (unique tie-break key makes
+    // the quartile assignment deterministic in both engines)
+    "q_sql_ntile" ->
+      """WITH q AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT quartile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    // correlated EXISTS / NOT EXISTS subqueries
+    "q_sql_exists" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey
+        |                AND l.l_quantity >= 50)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_suppkey = s.s_suppkey
+        |                    AND l2.l_tax > 0.07 AND l2.l_quantity < 2)
+        |ORDER BY s_suppkey""".stripMargin,
+
     // CASE + HAVING + grouped expression
     "q_sql_order_buckets" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
