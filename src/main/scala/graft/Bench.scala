@@ -72,6 +72,17 @@ object Bench {
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(
       new java.io.File(sfDir).getName).map(_.group(1)).getOrElse("0")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    // The driver captures only the LAST 2000 chars of stdout; the full
+    // per-query line above outgrew that at ~98 queries, so every round's
+    // BENCH json recorded "parsed": null. Emit a final COMPACT line —
+    // totals + the 10 slowest queries — guaranteed to fit in the tail.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n":${results.size},"queries":$slowest}"""
+    require(compact.length < 1500, s"compact bench line too long: ${compact.length}")
+    println(compact)
     spark.stop()
   }
 }

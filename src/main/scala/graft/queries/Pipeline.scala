@@ -57,13 +57,17 @@ object Pipeline {
     // via the md5Long hash: DuckDB re-derives the content fingerprint,
     // the winnowed min-hash set (order-sensitive windows over the
     // first-occurrence-ordered distinct shingle sequence) and its size.
+    // The winnowed set is emitted as a comma-joined string (not a list
+    // column): the driver's pandas checker sorts every column and dies
+    // on unhashable numpy arrays, so both engines join the sorted longs.
     "q_doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.contentFingerprint(col("text"), Dedup.md5Long)
             .as("fingerprint"),
-          sort_array(TextAnalysis.winnowedFingerprints(col("text"),
-            hashFn = Dedup.md5Long)).as("winnowed"),
+          array_join(sort_array(TextAnalysis.winnowedFingerprints(
+            col("text"), hashFn = Dedup.md5Long)).cast("array<string>"),
+            ",").as("winnowed"),
           size(TextAnalysis.winnowedFingerprints(col("text"),
             hashFn = Dedup.md5Long)).as("n_winnowed"))
         .orderBy("doc_id")),
@@ -859,7 +863,7 @@ object Pipeline {
         |      i -> list_min(h[i:i+4])) AS mins
         |  FROM hs)
         |SELECT doc_id, fingerprint,
-        |  list_sort(list_distinct(mins)) AS winnowed,
+        |  array_to_string(list_sort(list_distinct(mins)), ',') AS winnowed,
         |  CAST(len(list_distinct(mins)) AS INTEGER) AS n_winnowed
         |FROM wins ORDER BY doc_id""".stripMargin,
 

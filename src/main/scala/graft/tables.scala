@@ -36,8 +36,17 @@ object Tables {
     * expensive per-row projection. Small compressed scans are often a
     * single parquet row group (one split), which would serialize the
     * downstream compute onto one task; the round-robin shuffle costs far
-    * less than the work it parallelizes, at any cluster size (AQE
-    * coalesces when the input is already wide). */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * less than the work it parallelizes.
+    *
+    * Gated on the input's CURRENT partition count: a corpus that already
+    * arrives in >= defaultParallelism splits (the normal case at
+    * warehouse scale — thousands of files) is returned untouched, so
+    * this never forces a full-corpus round-robin shuffle in front of
+    * every sketch stage. Only narrow inputs (local fixtures, single
+    * row-group files, post-coalesce frames) pay the spread. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 }

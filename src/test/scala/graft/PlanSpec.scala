@@ -125,4 +125,21 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(plan).size >= 2, plan.take(2000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
+
+  test("fanOut is a no-op on inputs already at cluster parallelism") {
+    // at warehouse scale the corpus arrives in thousands of splits;
+    // fanOut must NOT inject a full round-robin shuffle in front of
+    // every sketch stage then — only spread genuinely narrow inputs
+    val par = spark.sparkContext.defaultParallelism
+    import spark.implicits._
+    val wide = spark.range(0, 1000, 1, par).toDF("id")
+    val fannedWide = Tables.fanOut(wide)
+    assert(fannedWide.queryExecution.executedPlan.toString
+      .linesIterator.forall(!_.contains("Exchange")),
+      "fanOut shuffled an already-wide input")
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    val fannedNarrow = Tables.fanOut(narrow)
+    assert(fannedNarrow.rdd.getNumPartitions == par,
+      "fanOut failed to spread a single-split input")
+  }
 }
