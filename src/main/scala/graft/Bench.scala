@@ -26,10 +26,20 @@ object Bench {
         .select(col("doc_id"), col("text")).limit(64)
       pipeline.Dedup.nearDuplicatePairs(docs, "doc_id", "text",
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
+      pipeline.Dedup.dedupAgainstCorpus(docs, docs.limit(8), "doc_id", "text",
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
       val emb = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding")).limit(64)
+      // warm BOTH gate configurations: generated code is shape-specific
+      // (the probe-sketch array length and bit count are baked into the
+      // codegen source), so a bits=6/probes=2 warm-up leaves the
+      // bits=10/probes=40 recall gate paying its JIT on the clock —
+      // that was most of q_ann_lsh_recall's 9.65 s driver-vs-clean gap
       pipeline.VectorOps.lshNeighborPairs(emb, "vec_id", "embedding",
-        bits = 6, minCosine = 0.9, probes = 2,
+        bits = 10, minCosine = 0.9, probes = 40,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
+      pipeline.VectorOps.lshNeighborPairs(emb, "vec_id", "embedding",
+        bits = 10, minCosine = 0.9, probes = 2,
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
       // codec warm-up: ImageIO and AudioSystem scan their plugin
       // registries on first use — initialize them here so the first

@@ -228,12 +228,26 @@ object Dedup {
       if (persistLevel == org.apache.spark.storage.StorageLevel.NONE)
         shingleTable(corpus, idCol, textCol, shingleSize)
       else shingleTable(corpus, idCol, textCol, shingleSize).persist(persistLevel)
-    val assets = CorpusSketch(
-      corpus.select(md5(col(textCol).cast("binary")).as("h")).distinct(),
-      shCorpus,
-      bandPostingsOf(lshBandsFromShingles(shCorpus, bands, rowsPerBand)))
-    dedupAgainstSketch(assets, newDocs, idCol, textCol, threshold,
-      shingleSize, bands, rowsPerBand, persistLevel = persistLevel)
+    val rawBands = lshBandsFromShingles(shCorpus, bands, rowsPerBand)
+    dedupCore(
+      corpusHashes = corpus.select(md5(col(textCol).cast("binary")).as("h")).distinct(),
+      shCorpus = shCorpus,
+      // Inline path: do NOT aggregate the full corpus band table into
+      // posting lists (a 32xN-row shuffle + collect_set that the r4
+      // sketch refactor accidentally put on this query's critical path —
+      // 2.9 s -> 5.5 s in the driver bench). Semi-prune the corpus bands
+      // by the batch's few thousand bucket keys first (broadcast), then
+      // aggregate only the surviving rows. Surviving buckets keep ALL
+      // their members, so size(cids) — and the maxBucket cap — is
+      // identical to the unpruned aggregation.
+      corpusPostingsFor = batchKeys =>
+        bandPostingsOf(rawBands.join(
+          org.apache.spark.sql.functions.broadcast(batchKeys),
+          Seq("band", "bandHash"), "left_semi")),
+      newDocs = newDocs, idCol = idCol, textCol = textCol,
+      threshold = threshold, shingleSize = shingleSize,
+      bands = bands, rowsPerBand = rowsPerBand,
+      persistLevel = persistLevel)
   }
 
   /** The reusable corpus-side dedup asset: content hashes, the shingle
@@ -270,13 +284,25 @@ object Dedup {
     sh.unpersist()
   }
 
-  /** Load a sketch previously written by `writeCorpusSketch`. */
+  /** Load a sketch previously written by `writeCorpusSketch`.
+    *
+    * Fails fast with a rebuild message when `bands.parquet` predates the
+    * posting-list format (per-row docId/band/bandHash, written before the
+    * r4 sketch change) — otherwise a stale sketch surfaces much later as
+    * an opaque unresolved-column error on `cids`. */
   def readCorpusSketch(spark: org.apache.spark.sql.SparkSession,
-      path: String): CorpusSketch =
+      path: String): CorpusSketch = {
+    val bandsDf = spark.read.parquet(s"$path/bands.parquet")
+    require(bandsDf.columns.contains("cids"),
+      s"$path/bands.parquet has columns [${bandsDf.columns.mkString(", ")}] " +
+        "but the posting-list sketch format requires (band, bandHash, cids); " +
+        "this sketch was written by an older version — rebuild it with " +
+        "writeCorpusSketch")
     CorpusSketch(
       spark.read.parquet(s"$path/hashes.parquet"),
       spark.read.parquet(s"$path/shingles.parquet"),
-      spark.read.parquet(s"$path/bands.parquet"))
+      bandsDf)
+  }
 
   /** `dedupAgainstCorpus` against prepared corpus assets: only the new
     * batch is hashed/shingled/banded here — the daily-ingest fast path. */
@@ -284,6 +310,22 @@ object Dedup {
       idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       bands: Int = 32, rowsPerBand: Int = 4,
+      maxBucket: Int = 4096,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    dedupCore(assets.hashes, assets.shingles, _ => assets.bandPostings,
+      newDocs, idCol, textCol, threshold, shingleSize, bands, rowsPerBand,
+      maxBucket, persistLevel)
+
+  /** Shared ingest-dedup core. `corpusPostingsFor` supplies the corpus
+    * posting lists given the batch's distinct (band, bandHash) keys —
+    * pre-aggregated from a sketch on the fast path, or a pruned inline
+    * aggregation when no sketch exists. */
+  private def dedupCore(corpusHashes: DataFrame, shCorpus: DataFrame,
+      corpusPostingsFor: DataFrame => DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int,
+      bands: Int, rowsPerBand: Int,
       maxBucket: Int = 4096,
       persistLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
@@ -295,21 +337,20 @@ object Dedup {
     val newHashed = newDocs.select(col(idCol).as("docId"),
       col(textCol).as("text"), md5(col(textCol).cast("binary")).as("h"))
     val exactSurvivors = cached(newHashed
-      .join(assets.hashes, Seq("h"), "left_anti")
+      .join(corpusHashes, Seq("h"), "left_anti")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("docId"), col("text")))
     val shNew = cached(shingleTable(exactSurvivors, "docId", "text", shingleSize))
-    val shCorpus = assets.shingles
     val bNew = cached(lshBandsFromShingles(shNew, bands, rowsPerBand))
     // near vs corpus: every candidate hit disqualifies the new doc.
-    // Corpus buckets come PRE-AGGREGATED from the sketch as posting
-    // lists; the maxBucket filter drops over-popular buckets (they are
-    // boilerplate-degree similarity, and their true near-dups also
-    // collide in smaller buckets), bounding a hot corpus bucket's
-    // fan-out per new doc at maxBucket — and the corpus side is never
-    // re-shuffled at ingest time.
-    val corpusPostings = assets.bandPostings
+    // Corpus buckets arrive as posting lists; the maxBucket filter drops
+    // over-popular buckets (they are boilerplate-degree similarity, and
+    // their true near-dups also collide in smaller buckets), bounding a
+    // hot corpus bucket's fan-out per new doc at maxBucket — and the
+    // corpus side is never re-shuffled at ingest time.
+    val corpusPostings = corpusPostingsFor(
+        bNew.select(col("band"), col("bandHash")).distinct())
       .filter(size(col("cids")) <= maxBucket)
     val candsX = bNew.toDF("a", "band", "bandHash")
       .join(corpusPostings, Seq("band", "bandHash"))

@@ -150,6 +150,19 @@ class PipelineSpec extends AnyFunSuite {
       s"sketch=$viaSketch direct=$direct")
   }
 
+  test("reading a pre-posting-list sketch fails fast with a rebuild message") {
+    val dir = java.nio.file.Files.createTempDirectory("stalesketch").toString
+    val corpus = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    Dedup.writeCorpusSketch(corpus, "doc_id", "text", dir)
+    // overwrite bands with the old per-row (docId, band, bandHash) layout
+    Seq((1L, 0, 42L)).toDF("docId", "band", "bandHash")
+      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readCorpusSketch(spark, dir)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("contamination pairs surface planted leaks and skip clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
