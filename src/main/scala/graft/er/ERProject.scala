@@ -50,7 +50,14 @@ object ERProject {
       sweepsPerJob: Int = 0,
       resume: Boolean = false,
       outputPath: String,
-      steps: Seq[String] = Seq("sample", "summarize", "evaluate"))
+      steps: Seq[String] = Seq("sample", "summarize", "evaluate"),
+      // copy-files step (reference capability: ProjectStep.scala:157-179,
+      // ProjectSteps.scala:53-84): copy named outputs (files OR parquet
+      // directories) from outputPath to a destination filesystem
+      copyFiles: Seq[String] = Seq.empty,
+      copyDestination: String = "",
+      copyOverwrite: Boolean = true,
+      copyDeleteSource: Boolean = false)
 
   private val mapper = {
     val m = new ObjectMapper()
@@ -160,7 +167,34 @@ object ERProject {
         Files.writeString(Paths.get(s"$out/evaluation-results.txt"), text)
       }
     }
+
+    if (conf.steps.contains("copy-files")) copyFilesStep(spark, conf)
+
     smpc
+  }
+
+  /** The copy-files step: copy each named output (plain file or parquet
+    * directory) from `outputPath` to `copyDestination`, skipping names
+    * that don't exist — via the Hadoop FileSystem API so source and
+    * destination may live on different filesystems (local, HDFS, object
+    * store) exactly as on a real cluster. */
+  def copyFilesStep(spark: SparkSession, conf: Conf): Unit = {
+    require(conf.copyDestination.nonEmpty,
+      "copy-files step requires copyDestination")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcParent = new org.apache.hadoop.fs.Path(conf.outputPath)
+    val srcFs = srcParent.getFileSystem(hconf)
+    val dstParent = new org.apache.hadoop.fs.Path(conf.copyDestination)
+    val dstFs = dstParent.getFileSystem(hconf)
+    dstFs.mkdirs(dstParent)
+    conf.copyFiles
+      .map(n => new org.apache.hadoop.fs.Path(srcParent, n))
+      .filter(srcFs.exists)
+      .foreach { src =>
+        val dst = new org.apache.hadoop.fs.Path(dstParent, src.getName)
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst,
+          conf.copyDeleteSource, conf.copyOverwrite, hconf)
+      }
   }
 }
 

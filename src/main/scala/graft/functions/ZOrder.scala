@@ -57,6 +57,26 @@ object ZOrder {
         org.apache.spark.sql.GraftExpressionBridge.expression(x),
         org.apache.spark.sql.GraftExpressionBridge.expression(y)))
 
+  /** Count of sorted `bounds` at or below `v` — binary upper-bound
+    * search, O(log n) per row vs the O(n) array-filter form (1023
+    * comparisons per row per dimension at bits=10). Ordering via
+    * Double.compare, matching Spark SQL's NaN-is-largest semantics. */
+  def bucketOf(bounds: Array[Double], v: Double): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.lang.Double.compare(bounds(mid), v) <= 0) lo = mid + 1
+      else hi = mid
+    }
+    lo.toLong
+  }
+
+  def bucket_by_bounds(c: Column, bounds: Array[Double]): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      BucketBySortedBounds(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c), bounds))
+
   /** z_order2(bigint, bigint) SQL builder. */
   def builder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(x, y) => ZOrder2(x, y)
@@ -90,4 +110,34 @@ case class ZOrder2(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Equi-depth bucket index of a double against a sorted boundary array
+  * (count of boundaries at or below the value, 0..bounds.length) via
+  * binary search. NULL input yields NULL (propagated by the null-safe
+  * wrapper) — callers that want a sentinel bucket must coalesce
+  * explicitly; silently mixing NULLs into bucket 0 hid them among the
+  * smallest values. */
+case class BucketBySortedBounds(child: Expression, bounds: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bucket_by_bounds"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ZOrder.bucketOf(bounds, input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ZOrder.bucketOf($ref, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -23,8 +23,18 @@ import graft.functions.ZOrder
 object Layout {
 
   /** Bucket index of `c` against sorted `bounds` (count of boundaries
-    * at or below the value) — 0..bounds.length, monotone in `c`. */
+    * at or below the value) — 0..bounds.length, monotone in `c`.
+    * Binary search per row (native codegen'd expression), not a linear
+    * array-filter scan; NULL values yield a NULL bucket/code rather
+    * than silently joining the smallest values in bucket 0. */
   def bucketByBounds(c: Column, bounds: Array[Double]): Column =
+    ZOrder.bucket_by_bounds(c.cast("double"), bounds)
+
+  /** Column-algebra reference form — parity oracle for
+    * `BucketBySortedBounds` in LayoutSpec (NOTE: unlike the native form
+    * it sends NULL to bucket 0, so parity holds on non-null data). */
+  private[operators] def bucketByBoundsAlgebra(
+      c: Column, bounds: Array[Double]): Column =
     size(filter(lit(bounds), b => b <= c.cast("double"))).cast("long")
 
   /** Equi-depth boundaries for `bits`-bit bucketing of a numeric

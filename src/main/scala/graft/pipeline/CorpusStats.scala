@@ -165,12 +165,19 @@ object CorpusStats {
   /** Strip boilerplate lines: any line appearing in more than
     * `maxDocFrac` of all documents is dropped; survivors are reassembled
     * in original order. Output: (id, clean_text, n_kept, n_dropped).
-    * Documents whose every line is boilerplate still appear, with an
-    * empty `clean_text` — dropping them is the caller's policy decision.
+    * EVERY input document appears in the output — including documents
+    * whose every line is boilerplate or empty (clean_text = "",
+    * n_kept = n_dropped = 0 for the all-empty case); dropping them is
+    * the caller's policy decision. Empty lines are removed from
+    * clean_text unconditionally and are counted in neither n_kept nor
+    * n_dropped (they carry no boilerplate signal, only formatting).
     *
     * Two shuffles: the line-df aggregate (map-side combined to distinct
-    * lines per partition) and the per-document regroup. The df table is
-    * only as large as the distinct-line universe and joins back by line.
+    * lines per partition) and the per-document regroup, plus an
+    * id-keyed outer join restoring line-less documents (both sides hash
+    * on the id, so it shares the regroup's partitioning). The df table
+    * is only as large as the distinct-line universe and joins back by
+    * line.
     */
   def stripBoilerplateLines(
       docs: DataFrame,
@@ -190,7 +197,7 @@ object CorpusStats {
       .crossJoin(broadcast(nDocs))
       .withColumn("__keep", col("df") <= col("__n") * maxDocFrac)
 
-    flagged
+    val regrouped = flagged
       .groupBy(col("__doc").as(idCol))
       .agg(
         array_join(
@@ -201,6 +208,17 @@ object CorpusStats {
           "\n").as("clean_text"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+
+    // restore documents the empty-line filter removed entirely (docs of
+    // only empty lines, or empty text): join back to the full id set
+    // with empty/zero fills. NULL-text rows stay dropped (the corpus
+    // operators' shared null contract), hence the isNotNull guard.
+    docs.filter(col(textCol).isNotNull).select(col(idCol)).distinct()
+      .join(regrouped, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
   /** Intra-document line dedup: drop repeated lines WITHIN each

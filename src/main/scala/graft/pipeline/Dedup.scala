@@ -414,16 +414,35 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate candidates: block on the four 16-bit chunks
-    * (any pair within Hamming distance 3 shares at least one chunk —
-    * pigeonhole), then verify the full distance. */
+  /** SimHash near-duplicate candidates: block on `numChunks` equal bit
+    * chunks of the 64-bit signature, then verify the full distance.
+    *
+    * RECALL CONTRACT (pigeonhole): a pair is guaranteed to share a chunk
+    * — and thus be found — only when hamming <= numChunks - 1. With the
+    * default 4 x 16-bit chunks that is hamming <= 3; asking for
+    * maxHamming 4..6 under 4 chunks is BEST-EFFORT (a pair whose
+    * differing bits land in all four chunks is silently missed). For a
+    * guaranteed maxHamming up to 7, pass numChunks = 8 (8-bit chunks) —
+    * coarser buckets, more candidates to verify, same output shape. The
+    * oracle gates replay whatever blocking the query uses, so they
+    * check blocking parity, not absolute recall. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val sigs = simHashes(docs, idCol, textCol, hashFn)
+      hashFn: Column => Column = xxhash64(_),
+      numChunks: Int = 4): DataFrame =
+    simHashPairsFromSigs(simHashes(docs, idCol, textCol, hashFn),
+      maxHamming, numChunks)
+
+  /** Chunk-blocked candidate-verify over a precomputed (docId, sig)
+    * table — see `simHashPairs` for the recall contract. */
+  def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+      numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, s"numChunks must divide 64: $numChunks")
+    val chunkBits = 64 / numChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val chunks = sigs.select(col("docId"), col("sig"), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      array((0 until numChunks).map(c =>
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask))): _*)))
       .toDF("docId", "sig", "chunk", "chunkVal")
     val l = chunks.toDF("a", "sigA", "chunk", "chunkVal")
     val r = chunks.toDF("b", "sigB", "chunk", "chunkVal")

@@ -16,11 +16,29 @@ object StreamingQueries {
 
   private val runCounter = new AtomicInteger(0)
 
+  /** Await an AvailableNow drain and FAIL LOUDLY if it didn't finish or
+    * the query died — otherwise a hung/failed stream would silently gate
+    * on a stale (possibly empty) memory table. */
+  private[graft] def drained(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 300000): Unit = {
+    val done = q.awaitTermination(timeoutMs)
+    q.exception.foreach { e =>
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' failed: ${e.message}", e)
+    }
+    if (!done) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' did not drain within ${timeoutMs} ms; " +
+          "refusing to read its sink table")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_windowed_counts" -> ((s, dir) => {
       val name = s"stream_counts_${runCounter.incrementAndGet()}"
       val q = EventStreams.runWindowedCountsOnce(s, dir, name)
-      q.awaitTermination(300000)
+      drained(q)
       s.table(name)
         .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
@@ -31,7 +49,7 @@ object StreamingQueries {
     "q_stream_dedup" -> ((s, dir) => {
       val name = s"stream_dedup_${runCounter.incrementAndGet()}"
       val q = EventStreams.runStreamingDedupOnce(s, dir, name)
-      q.awaitTermination(300000)
+      drained(q)
       s.table(name)
         .select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type")
@@ -44,7 +62,7 @@ object StreamingQueries {
     "q_stream_dedup_bounded" -> ((s, dir) => {
       val name = s"stream_dedup_bounded_${runCounter.incrementAndGet()}"
       val q = EventStreams.runStreamingDedupBoundedOnce(s, dir, name)
-      q.awaitTermination(300000)
+      drained(q)
       s.table(name)
         .select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type")
@@ -59,7 +77,7 @@ object StreamingQueries {
       val name = s"stream_simhash_${runCounter.incrementAndGet()}"
       val q = graft.streaming.DocStreams.runStreamingSimHashDedupOnce(
         s, dir, name)
-      q.awaitTermination(300000)
+      drained(q)
       s.table(name)
         .select(col("a"), col("b"), col("hamming")).distinct()
         .orderBy("a", "b")
@@ -73,10 +91,9 @@ object StreamingQueries {
       val name = s"stream_topk_${runCounter.incrementAndGet()}"
       val q = graft.streaming.Frequency.runStreamingTopUsersOnce(
         s, dir, name)
-      q.awaitTermination(300000)
-      s.table(name)
-        .groupBy(col("key").as("user_id"))
-        .agg(max(col("n")).as("n"))
+      drained(q)
+      graft.streaming.Frequency.latestCounters(s.table(name))
+        .select(col("key").as("user_id"), col("n"))
         .orderBy(col("n").desc, col("user_id").asc)
         .limit(20)
     }),

@@ -91,7 +91,14 @@ object DocStreams {
     * planted near-duplicates the batch gate uses), match, and land hits
     * in an in-memory table. The gate query reads the distinct pair set,
     * which must equal the batch `simHashPairs` answer — and therefore
-    * the DuckDB relational replay of the whole SimHash pipeline. */
+    * the DuckDB relational replay of the whole SimHash pipeline.
+    *
+    * NOTE the recall contract (`Dedup.simHashPairs`): under the 4 x
+    * 16-bit chunk blocking used here, recall is GUARANTEED only for
+    * hamming <= 3; the default maxHamming = 6 reports distances 4..6
+    * best-effort (a pair differing in all four chunks is missed by the
+    * streaming AND batch paths alike, so stream==batch parity — what
+    * this gate checks — still holds). */
   def runStreamingSimHashDedupOnce(spark: SparkSession, sfDir: String,
       queryName: String, maxHamming: Int = 6): StreamingQuery = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

@@ -20,7 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Frequency {
 
-  final case class Counter(key: Long, n: Long, err: Long)
+  /** One emitted counter snapshot. `shard`/`seq` identify the emitting
+    * shard and its per-shard update sequence number, so a reader can
+    * select each shard's LATEST snapshot — under eviction, a stale
+    * Append-mode snapshot of a surrendered key must not be resurrected
+    * by a max(n)-style reduction (the key is simply absent from the
+    * shard's latest snapshot). */
+  final case class Counter(key: Long, n: Long, err: Long,
+      shard: Int, seq: Long)
 
   /** One shard's SpaceSaving update: fold `incoming` key occurrences
     * into the counter map. */
@@ -42,29 +49,42 @@ object Frequency {
   }
 
   /** The stateful operator: keys → shard by hash; each shard folds its
-    * micro-batch into its sketch and emits the CURRENT counters (Update
-    * semantics via Append of refreshed snapshots is avoided — the
-    * drain-once runner reads state after the final batch instead). */
+    * micro-batch into its sketch and emits the CURRENT counters stamped
+    * with a per-shard sequence number. Readers keep only each shard's
+    * max-seq snapshot (see `latestCounters`); earlier Append-mode
+    * snapshots — including ones naming since-evicted keys — are
+    * superseded. */
   def spaceSavingSketch(keys: Dataset[Long], shards: Int,
       capacity: Int): Dataset[Counter] = {
     import keys.sparkSession.implicits._
     keys
       .groupByKey(k => (k.## & Int.MaxValue) % shards)
-      .flatMapGroupsWithState[Map[Long, (Long, Long)], Counter](
+      .flatMapGroupsWithState[(Long, Map[Long, (Long, Long)]), Counter](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, ks, state: GroupState[Map[Long, (Long, Long)]]) =>
-          val m = updateSketch(state.getOption.getOrElse(Map.empty), ks,
-            capacity)
-          state.update(m)
-          m.iterator.map { case (k, (n, e)) => Counter(k, n, e) }
+        case (shard, ks, state: GroupState[(Long, Map[Long, (Long, Long)])]) =>
+          val (seq0, m0) = state.getOption.getOrElse((0L, Map.empty[Long, (Long, Long)]))
+          val m = updateSketch(m0, ks, capacity)
+          val seq = seq0 + 1
+          state.update((seq, m))
+          m.iterator.map { case (k, (n, e)) => Counter(k, n, e, shard, seq) }
       }
   }
 
+  /** Select each shard's latest snapshot from an Append-mode snapshot
+    * table: rows whose `seq` equals their shard's max. Keys evicted
+    * before the final snapshot are (correctly) absent. */
+  def latestCounters(snapshots: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    snapshots
+      .withColumn("__maxseq", max(col("seq")).over(w))
+      .filter(col("seq") === col("__maxseq"))
+      .select(col("key"), col("n"), col("err"))
+  }
+
   /** Drain-once runner: stream the events table AvailableNow, sketch
-    * user-id frequencies, land the final per-shard counters in a memory
-    * table. The gate reads the last snapshot per key (arrival-ordered
-    * duplicates from intermediate batches are superseded) and takes the
-    * exact top-k. */
+    * user-id frequencies, land the snapshot stream in a memory table.
+    * The gate selects each shard's latest snapshot (`latestCounters`)
+    * and takes the exact top-k. */
   def runStreamingTopUsersOnce(spark: SparkSession, sfDir: String,
       queryName: String, shards: Int = 32,
       capacity: Int = 4096): StreamingQuery = {

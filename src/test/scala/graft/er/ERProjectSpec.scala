@@ -104,5 +104,20 @@ class ERProjectSpec extends AnyFunSuite {
     val stepped = resumed.step()
     assert(stepped.iteration == 13L)
     assert(stepped.summary.numObservedEntities > 0)
+
+    // copy-files step: plain files AND parquet directories land at the
+    // destination; missing names are skipped; source left in place
+    val dest = s"$dir/archive"
+    val copyConf = conf.copy(
+      steps = Seq("copy-files"),
+      copyFiles = Seq("diagnostics.csv", "evaluation-results.txt",
+        "linkage-chain.parquet", "no-such-output.csv"),
+      copyDestination = dest)
+    ERProject.run(spark, copyConf)
+    assert(Files.exists(Paths.get(s"$dest/diagnostics.csv")))
+    assert(Files.exists(Paths.get(s"$dest/evaluation-results.txt")))
+    assert(IO.readChain(spark, s"$dest/linkage-chain.parquet").count() > 0)
+    assert(!Files.exists(Paths.get(s"$dest/no-such-output.csv")))
+    assert(Files.exists(Paths.get(s"$dir/out/diagnostics.csv")))
   }
 }

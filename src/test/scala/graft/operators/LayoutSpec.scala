@@ -55,4 +55,23 @@ class LayoutSpec extends AnyFunSuite {
       assert(touched <= 4, s"2-D box touched $touched of 8 partitions")
     } finally laid.unpersist()
   }
+
+  test("binary-search bucketing matches the algebra form; NULL yields NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // duplicate boundaries + values at/around every boundary: the
+    // upper-bound search must agree with count(bounds <= v) everywhere
+    val bounds = Array(1.0, 2.0, 2.0, 5.0, 9.0)
+    val vals = Seq(0.0, 1.0, 1.5, 2.0, 3.0, 5.0, 8.9, 9.0, 10.0,
+      Double.MinValue, Double.MaxValue)
+    val df = vals.toDF("v")
+    val both = df.select(
+      Layout.bucketByBounds(col("v"), bounds).as("fast"),
+      Layout.bucketByBoundsAlgebra(col("v"), bounds).as("slow"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (f, sl) => assert(f == sl, s"fast=$f slow=$sl") }
+    val nullBucket = Seq[Option[Double]](None).toDF("v")
+      .select(Layout.bucketByBounds(col("v"), bounds)).head()
+    assert(nullBucket.isNullAt(0), "NULL must not land in a real bucket")
+  }
 }

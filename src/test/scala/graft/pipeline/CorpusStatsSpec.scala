@@ -105,6 +105,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3).getString(1) == "unique line")
   }
 
+  test("stripBoilerplateLines keeps docs of only empty lines (empty output row)") {
+    val docs = Seq(
+      (1L, "\n\n"), (2L, ""), (3L, "real content line"))
+      .toDF("id", "text")
+    val out = CorpusStats.stripBoilerplateLines(docs, "id", "text", 0.9)
+      .orderBy("id").collect()
+    assert(out.length == 3, s"empty-line docs vanished: ${out.mkString(",")}")
+    assert(out(0).getString(1) == "" && out(0).getLong(2) == 0L &&
+      out(0).getLong(3) == 0L)
+    assert(out(1).getString(1) == "")
+    assert(out(2).getString(1) == "real content line")
+  }
+
   test("dedupLinesWithinDoc drops intra-doc repeats, keeps first in order") {
     val docs = Seq(
       (1L, "alpha\nbeta\nalpha\ngamma\nbeta\nalpha"),

@@ -369,6 +369,21 @@ class PipelineSpec extends AnyFunSuite {
       s"blocking missed ${truth.diff(found)} / emitted extra ${found.diff(truth)}")
   }
 
+  test("8-chunk simhash blocking is complete up to hamming 7; 4-chunk is not") {
+    // synthetic signatures: flip one bit in each 16-bit quarter (hamming
+    // 4, no shared 16-bit chunk) — invisible to 4-chunk blocking by
+    // construction, guaranteed under 8-chunk blocking (pigeonhole <= 7)
+    val sigA = 0x0123456789abcdefL
+    val sigB = sigA ^ (1L << 2) ^ (1L << 18) ^ (1L << 34) ^ (1L << 50)
+    val sigs = Seq((1L, sigA), (2L, sigB)).toDF("docId", "sig")
+    val four = Dedup.simHashPairsFromSigs(sigs, maxHamming = 7, numChunks = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val eight = Dedup.simHashPairsFromSigs(sigs, maxHamming = 7, numChunks = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(four.isEmpty, s"4-chunk blocking unexpectedly found $four")
+    assert(eight == Set((1L, 2L)), s"8-chunk blocking missed the pair: $eight")
+  }
+
   test("repetition signals: looping text flagged, natural text not") {
     val r = Seq(
       (1L, "buy now buy now buy now buy now buy now"),

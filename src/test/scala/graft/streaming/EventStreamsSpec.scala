@@ -88,4 +88,22 @@ class EventStreamsSpec extends AnyFunSuite {
     val s = sessions.head
     assert(s.user_id == 1L && s.nEvents == 2 && s.totalValue == 3.0)
   }
+
+  test("gate drain helper fails loudly on a stream that does not terminate") {
+    // a rate source on a ProcessingTime trigger never drains; the gate
+    // helper must throw (and stop the query) instead of letting a caller
+    // read a stale sink table
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("memory").queryName("hung_fixture")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.queries.StreamingQueries.drained(q, timeoutMs = 2000)
+      }
+      assert(e.getMessage.contains("did not drain"), e.getMessage)
+      assert(!q.isActive, "helper must stop the hung query")
+    } finally if (q.isActive) q.stop()
+  }
 }

@@ -44,9 +44,35 @@ class FrequencySpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData(1L, 2L, 3L)
       q.processAllAvailable()
-      val last = spark.table("freq_stream_test")
-        .groupBy("key").max("n").as[(Long, Long)].collect().toMap
+      val last = Frequency.latestCounters(spark.table("freq_stream_test"))
+        .select("key", "n").as[(Long, Long)].collect().toMap
       assert(last == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    } finally q.stop()
+  }
+
+  test("latest-snapshot read does not resurrect evicted keys") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    // one shard, capacity 2: batch 1 installs {1:x2, 2:x1}; batch 2's
+    // key 3 evicts the min counter (key 2). A max(n)-per-key read of the
+    // Append snapshots would resurrect key 2 from the batch-1 snapshot.
+    val q = Frequency.spaceSavingSketch(mem.toDS(), shards = 1,
+        capacity = 2).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("freq_evict_test").start()
+    try {
+      mem.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      mem.addData(3L)
+      q.processAllAvailable()
+      val last = Frequency.latestCounters(spark.table("freq_evict_test"))
+        .select("key", "n").as[(Long, Long)].collect().toMap
+      assert(last.keySet == Set(1L, 3L), s"got $last")
+      assert(last(3L) == 2L) // inherited min count
+      // the stale snapshot IS in the raw table — only the latest read drops it
+      assert(spark.table("freq_evict_test").filter($"key" === 2L).count() == 1)
     } finally q.stop()
   }
 
@@ -55,8 +81,8 @@ class FrequencySpec extends AnyFunSuite {
     val q = Frequency.runStreamingTopUsersOnce(spark,
       "/root/testdata/sf0.001", "freq_topk_spec")
     q.awaitTermination(120000)
-    val streamed = spark.table("freq_topk_spec")
-      .groupBy(col("key").as("user_id")).agg(max(col("n")).as("n"))
+    val streamed = Frequency.latestCounters(spark.table("freq_topk_spec"))
+      .select(col("key").as("user_id"), col("n"))
     val batch = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
