@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   *    8-bit PCM and computes RMS, zero-crossing rate and Goertzel
   *    spectral-band energies (pure tones concentrate in the matching
   *    band; see the spec).
-  * Only container formats the JDK lacks (MP4/WebM video, WebP, …) still
-  * need an FFI codec; `decodeStub` remains as the placeholder for that
-  * hop, and the Spark-side contract — schema, batching, partition sizing,
-  * skew behavior — is identical either way.
+  * Video is real at two compression tiers: uncompressed-DIB AVI
+  * (lossless, DuckDB-oracle-gated) and Motion-JPEG AVI (REAL lossy
+  * compression — the JDK's JPEG codec per frame — spec-gated on PSNR,
+  * structure and determinism since lossy pixels have no closed form).
+  * Only inter-frame-predicted formats the JDK lacks (H.264/MP4,
+  * VP9/WebM, WebP, …) still need an FFI codec; `decodeStub` remains as
+  * the placeholder for that hop, and the Spark-side contract — schema,
+  * batching, partition sizing, skew behavior — is identical either way.
   */
 object Multimodal {
 
@@ -208,8 +212,16 @@ object Multimodal {
   // avih + LIST(strl: strh/strf)) → LIST(movi: 00db frames)); DIB rows
   // are bottom-up BGR with 4-byte stride padding. Lossless frames make
   // the decode EXACTLY invertible, so q_video_decode hash-compares frame
-  // pixel sums against a DuckDB closed form. Compressed codecs (H.264…)
-  // remain the documented FFI hop.
+  // pixel sums against a DuckDB closed form.
+  //
+  // REAL COMPRESSED video codec — the same container with Motion-JPEG
+  // ('MJPG') frames: each 00dc chunk holds a full baseline-JFIF stream
+  // produced/consumed by the JDK's ImageIO JPEG codec (DCT +
+  // quantization + Huffman — genuine lossy compression, pure JVM).
+  // Decoded pixels are approximations, so MJPEG is spec-gated on PSNR /
+  // structure / determinism rather than a DuckDB closed form. Inter-
+  // frame-predicted codecs (H.264/MP4, VP9/WebM) remain the documented
+  // FFI hop.
   // ---------------------------------------------------------------------
 
   final case class VideoStats(
@@ -252,33 +264,44 @@ object Multimodal {
       }
       out
     }
+    buildAvi(w, h, (0 until nFrames).map(frame), "00db", "DIB ",
+      biCompression = 0, fps = fps)
+  }
+
+  /** Assemble a RIFF/AVI container around pre-encoded frame chunks —
+    * shared by the uncompressed-DIB and Motion-JPEG writers. */
+  private def buildAvi(w: Int, h: Int, frames: Seq[Array[Byte]],
+      chunkId: String, handler: String, biCompression: Int,
+      fps: Int): Array[Byte] = {
+    val nFrames = frames.length
+    val bufSize = if (frames.isEmpty) 0 else frames.map(_.length).max
     val b = new java.io.ByteArrayOutputStream()
     // movi list body first (to know sizes): 4 (listType) + chunks
     val moviBody = new java.io.ByteArrayOutputStream()
     fourcc(moviBody, "movi")
-    (0 until nFrames).foreach { f =>
-      fourcc(moviBody, "00db"); le32(moviBody, frameBytes)
-      moviBody.write(frame(f))
-      if (frameBytes % 2 == 1) moviBody.write(0) // RIFF even padding
+    frames.foreach { f =>
+      fourcc(moviBody, chunkId); le32(moviBody, f.length)
+      moviBody.write(f)
+      if (f.length % 2 == 1) moviBody.write(0) // RIFF even padding
     }
     // strf = BITMAPINFOHEADER (40 bytes)
     val strf = new java.io.ByteArrayOutputStream()
     le32(strf, 40); le32(strf, w); le32(strf, h); le16(strf, 1); le16(strf, 24)
-    le32(strf, 0); le32(strf, frameBytes); le32(strf, 0); le32(strf, 0)
+    le32(strf, biCompression); le32(strf, bufSize); le32(strf, 0); le32(strf, 0)
     le32(strf, 0); le32(strf, 0)
     // strh (56 bytes)
     val strh = new java.io.ByteArrayOutputStream()
-    fourcc(strh, "vids"); fourcc(strh, "DIB ")
+    fourcc(strh, "vids"); fourcc(strh, handler)
     le32(strh, 0); le32(strh, 0); le32(strh, 0)
     le32(strh, 1); le32(strh, fps)               // scale / rate
-    le32(strh, 0); le32(strh, nFrames); le32(strh, frameBytes)
+    le32(strh, 0); le32(strh, nFrames); le32(strh, bufSize)
     le32(strh, -1); le32(strh, 0)
     le16(strh, 0); le16(strh, 0); le16(strh, w); le16(strh, h)
     // avih (56 bytes)
     val avih = new java.io.ByteArrayOutputStream()
-    le32(avih, 1000000 / fps); le32(avih, frameBytes * fps); le32(avih, 0)
+    le32(avih, 1000000 / fps); le32(avih, bufSize * fps); le32(avih, 0)
     le32(avih, 0); le32(avih, nFrames); le32(avih, 0); le32(avih, 1)
-    le32(avih, frameBytes); le32(avih, w); le32(avih, h)
+    le32(avih, bufSize); le32(avih, w); le32(avih, h)
     (0 until 4).foreach(_ => le32(avih, 0))
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val c = new java.io.ByteArrayOutputStream()
@@ -350,6 +373,98 @@ object Multimodal {
   /** Pixel value (first/blue channel) at (x, y) of a bottom-up DIB frame. */
   def dibPixel(frame: Array[Byte], w: Int, h: Int, x: Int, y: Int): Int =
     frame((h - 1 - y) * dibStride(w) + 3 * x) & 0xff
+
+  /** 'MJPG' as a little-endian BITMAPINFOHEADER biCompression value. */
+  private val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Baseline-JFIF JPEG encode at an explicit quality via the JDK's
+    * ImageIO JPEG writer (real DCT + quantization + Huffman). */
+  def encodeJpeg(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Encode grayscale frames as a Motion-JPEG AVI: the `buildAvi`
+    * container with each frame a complete JPEG stream in a 00dc chunk
+    * (biCompression = 'MJPG'). Lossy — decoded pixels approximate
+    * `px` (see the PSNR spec); frame COUNT, dimensions and byte
+    * structure remain exact. */
+  def encodeAviMjpeg(w: Int, h: Int, nFrames: Int,
+      px: (Int, Int, Int) => Int, fps: Int = 10,
+      quality: Float = 0.9f): Array[Byte] =
+    buildAvi(w, h,
+      (0 until nFrames).map(f =>
+        encodeJpeg(grayImage(w, h, (x, y) => px(f, x, y)), quality)),
+      "00dc", "MJPG", biCompression = MjpgFourcc, fps = fps)
+
+  /** Decode a Motion-JPEG AVI: (width, height, decoded frames). None
+    * when the payload is not a RIFF/AVI, the stream is not 'MJPG', or
+    * any frame fails JPEG decode (whole-payload quarantine, matching
+    * the other decoders' contract). */
+  def decodeAviMjpeg(payload: Array[Byte])
+      : Option[(Int, Int, Vector[java.awt.image.BufferedImage])] = {
+    if (payload.length < 12 || rdCc(payload, 0) != "RIFF" ||
+      rdCc(payload, 8) != "AVI ") return None
+    var w = 0
+    var h = 0
+    var compression = -1
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = rdCc(payload, o)
+        val size = rdLe32(payload, o + 4)
+        if (size < 0 || o + 8 + size > to) return
+        if (id == "LIST") walk(o + 12, o + 8 + size)
+        else if (id == "strf" && size >= 40) {
+          w = rdLe32(payload, o + 8 + 4)
+          h = rdLe32(payload, o + 8 + 8)
+          compression = rdLe32(payload, o + 8 + 16)
+        } else if (id == "00dc")
+          frames += java.util.Arrays.copyOfRange(payload, o + 8, o + 8 + size)
+        o += 8 + size + (size & 1)
+      }
+    }
+    walk(12, payload.length)
+    if (w <= 0 || h <= 0 || compression != MjpgFourcc) None
+    else {
+      val decoded = frames.result().map(decodeImage)
+      if (decoded.exists(_.isEmpty)) None
+      else Some((w, h, decoded.map(_.get)))
+    }
+  }
+
+  /** Frame-sampled stats over a Motion-JPEG AVI — same sampling
+    * arithmetic as the DIB path, pixel sums over DECODED (approximate)
+    * luma values. */
+  def mjpegVideoStats(mediaId: Long, payload: Array[Byte],
+      n: Int): Option[VideoStats] =
+    decodeAviMjpeg(payload).map { case (w, h, frames) =>
+      var sum = 0L
+      val picked = (0 until n).map(i => (frames.length.toLong * i / n).toInt)
+      picked.foreach { fi =>
+        val r = frames(fi).getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+      }
+      VideoStats(mediaId, frames.length, w, h, sum)
+    }
 
   /** REAL video frame sampling + stats: decode the AVI, sample `n` evenly
     * spaced frames (the byte-slice sampler's index arithmetic, applied to

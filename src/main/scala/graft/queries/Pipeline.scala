@@ -407,6 +407,47 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // REAL lossy-compressed video (Motion-JPEG AVI — the JDK JPEG codec
+    // per frame). Decoded pixels have no cross-engine closed form, so
+    // the oracle checks what survives lossy compression EXACTLY
+    // (container structure: frame count, dimensions) plus a PSNR bound
+    // as a boolean — the engine computes true reconstruction error
+    // against the deterministic pattern; a degraded codec flips the
+    // flag and fails the hash.
+    "q_video_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      val stats = t(s, dir, "documents")
+        .filter(col("doc_id") < 120) // relational filter: pushed to scan
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (1 + id % 3).toInt
+          val (w, h) = (16, 8)
+          def pat(f: Int, x: Int, y: Int): Int =
+            ((x * 4 + y * 3 + f * 11 + id) % 200).toInt
+          val avi = Multimodal.encodeAviMjpeg(w, h, nf, pat, quality = 0.9f)
+          val (dw, dh, frames) = Multimodal.decodeAviMjpeg(avi).get
+          var se = 0.0
+          frames.zipWithIndex.foreach { case (img, f) =>
+            val r = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val d = r.getSample(x, y, 0) - pat(f, x, y)
+                se += d.toDouble * d
+                x += 1
+              }
+              y += 1
+            }
+          }
+          val mse = se / (frames.length * w * h)
+          val psnr = 10 * math.log10(255.0 * 255.0 / math.max(mse, 1e-12))
+          (id, frames.length, dw, dh, psnr > 30.0)
+        }
+      stats.toDF("doc_id", "n_frames", "width", "height", "psnr_ok")
+        .orderBy("doc_id")
+    }),
+
     // Exact substring-span dedup (Lee et al. 2022, re-shaped from a
     // single-node suffix array into a distributed gram-posting join):
     // doc pairs sharing >= 1 exact run of 8 consecutive tokens, with the
@@ -767,6 +808,18 @@ object Pipeline {
         |  CAST(sum(((g % w) * 3 + (g // w) * 5 + f * 7 + doc_id) % 256)
         |    AS BIGINT) AS sum_sampled
         |FROM px GROUP BY doc_id, nf, w, h
+        |ORDER BY doc_id""".stripMargin,
+
+    // Motion-JPEG: the oracle states the EXACT structural outcome
+    // (frame count, dims survive lossy compression bit-exactly) and the
+    // PSNR>30dB contract as TRUE per row; the engine side measures it.
+    "q_video_mjpeg" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(16 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height,
+        |  TRUE AS psnr_ok
+        |FROM documents WHERE doc_id < 120
         |ORDER BY doc_id""".stripMargin,
 
     // Closed-form replay of the WAV encode→decode roundtrip (see

@@ -52,6 +52,48 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(st == Multimodal.VideoStats(9L, nf, w, h, expected))
   }
 
+  test("MJPEG roundtrip: structure exact, pixels within PSNR bound") {
+    // a smooth gradient (JPEG-friendly): quality 0.9 must reconstruct
+    // within a comfortable PSNR; structure (dims, frame count) is exact
+    val (w, h, nf) = (32, 24, 3)
+    def smooth(f: Int, x: Int, y: Int): Int = (x * 4 + y * 3 + f * 11) % 200
+    val avi = Multimodal.encodeAviMjpeg(w, h, nf, smooth, quality = 0.9f)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    val (dw, dh, frames) = Multimodal.decodeAviMjpeg(avi).get
+    assert(dw == w && dh == h && frames.length == nf)
+    var se = 0.0
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val d = frames(f).getRaster.getSample(x, y, 0) - smooth(f, x, y)
+      se += d.toDouble * d
+    }
+    val mse = se / (nf * w * h)
+    val psnr = 10 * math.log10(255.0 * 255.0 / math.max(mse, 1e-12))
+    assert(psnr > 30.0, f"MJPEG PSNR $psnr%.1f dB below bound (mse=$mse%.2f)")
+    // the compressed stream is genuinely smaller than raw DIB frames
+    assert(avi.length < Multimodal.encodeAviDib(w, h, nf, smooth).length / 2,
+      s"MJPEG (${avi.length} B) not smaller than half the DIB encoding")
+  }
+
+  test("MJPEG encode is deterministic; wrong-codec payloads are rejected") {
+    val a = Multimodal.encodeAviMjpeg(16, 16, 2, px)
+    val b = Multimodal.encodeAviMjpeg(16, 16, 2, px)
+    assert(java.util.Arrays.equals(a, b), "JPEG encode not deterministic")
+    // a DIB AVI is not an MJPEG stream and vice versa — no cross-decode
+    val dib = Multimodal.encodeAviDib(16, 16, 2, px)
+    assert(Multimodal.decodeAviMjpeg(dib).isEmpty)
+    assert(Multimodal.decodeAviDib(a).isEmpty)
+    assert(Multimodal.decodeAviMjpeg("garbage".getBytes).isEmpty)
+  }
+
+  test("mjpegVideoStats samples frames and is deterministic") {
+    val avi = Multimodal.encodeAviMjpeg(8, 8, 5, px)
+    val s1 = Multimodal.mjpegVideoStats(3L, avi, n = 2).get
+    val s2 = Multimodal.mjpegVideoStats(3L, avi, n = 2).get
+    assert(s1 == s2)
+    assert(s1.nFrames == 5 && s1.width == 8 && s1.height == 8)
+    assert(s1.sumSampled > 0)
+  }
+
   test("extractVideoStats runs distributed and drops undecodable rows") {
     import spark.implicits._
     val rows = (0L until 10L).map { id =>
