@@ -362,9 +362,6 @@ object Dedup {
     val candsX = bNew.toDF("a", "band", "bandHash")
       .join(corpusPostings, Seq("band", "bandHash"))
       .select(col("a"), explode(col("cids")).as("b")).distinct()
-    val dropX = joinExactJaccardTwoSided(shNew, shCorpus, candsX)
-      .filter(col("jaccard") >= threshold)
-      .select(col("a").as("docId")).distinct()
     // near within batch: drop the higher id of each qualifying pair
     // (capped posting lists, not an uncapped band self-join)
     val candsN = bNew.groupBy("band", "bandHash")
@@ -374,11 +371,31 @@ object Dedup {
       .select(col("a"), explode(col("__ids")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val dropN = joinExactJaccardTwoSided(shNew, shNew, candsN)
-      .filter(col("jaccard") >= threshold)
-      .select(col("b").as("docId")).distinct()
+    // ONE tagged verify join for both candidate families (vs-corpus and
+    // within-batch) instead of two separate jaccard joins — halves the
+    // verify-stage job count; the tag keeps the two id namespaces apart
+    // even when batch and corpus ids collide numerically. A vs-corpus
+    // hit drops the batch doc `a`; a within-batch hit drops the higher
+    // id `b`.
+    val cands = candsX.withColumn("__src", lit("c"))
+      .unionAll(candsN.withColumn("__src", lit("n")))
+    val aCand = shNew.join(cands.select(col("a").as("docId")).distinct(),
+      Seq("docId"), "left_semi")
+    val shRight = shCorpus.withColumn("__src", lit("c"))
+      .unionAll(shNew.withColumn("__src", lit("n")))
+      .join(cands.select(col("b").as("docId"), col("__src")).distinct(),
+        Seq("docId", "__src"), "left_semi")
+      .select(col("docId").as("b"), col("sh").as("shB"), col("__src"))
+    val dropIds = cands
+      .join(aCand.toDF("a", "shA"), "a")
+      .join(shRight, Seq("b", "__src"))
+      .filter((size(array_intersect(col("shA"), col("shB"))).cast("double") /
+        size(array_union(col("shA"), col("shB")))) >= threshold)
+      .select(when(col("__src") === "c", col("a")).otherwise(col("b"))
+        .as("docId"))
+      .distinct()
     exactSurvivors
-      .join(dropX.union(dropN).distinct(), Seq("docId"), "left_anti")
+      .join(dropIds, Seq("docId"), "left_anti")
       .select(col("docId"))
   }
 
