@@ -60,6 +60,23 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"))
     }),
 
+    // Approximate distinct counting (HyperLogLog++): at 100 TB the HLL
+    // sketch replaces the exact distinct's full shuffle with a
+    // fixed-size mergeable register set per group. Sketch estimates are
+    // engine-specific, so the oracle pins the EXACT counts and the
+    // relative-error contract as a boolean the engine measures: each
+    // group's estimate must land within 3x the configured rsd (2%).
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__est"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.06).as("within_bound"))
+        .orderBy("l_returnflag")
+    }),
+
     // J2: inner equi-join, shuffle join on the key.
     "q_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
@@ -483,6 +500,13 @@ object Relational {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_exact,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_join_inner" ->
       """SELECT o_orderkey, c_name, o_totalprice

@@ -98,6 +98,19 @@ object StreamingQueries {
         .limit(20)
     }),
 
+    // STREAM-STREAM watermarked interval join: (view, click) attribution
+    // pairs of the same user within 2 hours — two independent event-time
+    // streams correlated with bounded per-side state. The drained pair
+    // set must hash-match the DuckDB relational self-join replay.
+    "q_stream_join" -> ((s, dir) => {
+      val name = s"stream_join_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamStreamJoinOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("user_id"), col("view_id"), col("click_id"), col("gap_us"))
+        .orderBy("user_id", "view_id", "click_id")
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -134,6 +147,17 @@ object StreamingQueries {
     "q_stream_dedup_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT v.user_id,
+        |  v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts
+        | AND c.ts < v.ts + INTERVAL 2 HOUR
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

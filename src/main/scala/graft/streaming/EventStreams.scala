@@ -120,6 +120,60 @@ object EventStreams {
       .start()
   }
 
+  /** Attribution pairs: (view, click) of the same user with the click
+    * inside [view_ts, view_ts + `window`). Written as a plain
+    * DataFrame transform so the SAME join runs batch (spark.read) or as
+    * a watermarked STREAM-STREAM interval join (spark.readStream):
+    * with event-time watermarks on both sides plus the time-bound join
+    * condition, Structured Streaming keeps only `window`+watermark of
+    * per-side state — the bounded-state two-stream correlation shape of
+    * a 100 TB event pipeline (state does NOT grow with stream length).
+    * Column parity note: gap_us is integral microseconds, exact in any
+    * engine. */
+  def viewClickPairs(views: DataFrame, clicks: DataFrame,
+      window: String = "2 hours", watermark: String = "4 hours"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""view_user = click_user AND
+         |click_ts >= view_ts AND
+         |click_ts < view_ts + interval $window""".stripMargin))
+      .select(col("view_user").as("user_id"),
+        col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
+  /** Drain-once runner for the stream-stream interval join: both sides
+    * read the events file as independent streams, join with watermarks,
+    * land pairs in a memory table. */
+  def runStreamStreamJoinOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    def side(eventType: String): DataFrame = {
+      val s = spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir)
+      val withTs =
+        if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else s
+      withTs.filter(col("event_type") === eventType)
+    }
+    viewClickPairs(side("view"), side("click"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ingest dedup: emit each (user_id, event_type) key the
     * first time it is seen — the stateful exact-dedup stage of a
     * streaming training-data pipeline. State here is unbounded (keyed

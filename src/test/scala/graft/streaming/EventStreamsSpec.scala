@@ -89,6 +89,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.user_id == 1L && s.nEvents == 2 && s.totalValue == 3.0)
   }
 
+  test("stream-stream interval join drains the same pairs as the batch join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.runStreamStreamJoinOnce(spark, dir, "ssj_spec")
+    graft.queries.StreamingQueries.drained(q, timeoutMs = 120000)
+    val streamed = spark.table("ssj_spec")
+      .select("user_id", "view_id", "click_id", "gap_us")
+    val ev = graft.Tables.load(spark, dir, "events")
+    val batch = EventStreams.viewClickPairs(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+    assert(streamed.count() > 0, "fixture produced no attribution pairs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-stream join diverged from the batch join")
+  }
+
+  test("interval join bounds: click before view or past the window excluded") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val views = Seq((1L, ts(100), 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val clicks = Seq(
+      (10L, ts(99), 7L, "click", 0.0),   // before the view -> excluded
+      (11L, ts(100), 7L, "click", 0.0),  // same instant -> included
+      (12L, ts(219), 7L, "click", 0.0),  // inside 2h -> included
+      (13L, ts(220), 7L, "click", 0.0),  // exactly +2h -> excluded (half-open)
+      (14L, ts(150), 8L, "click", 0.0))  // other user -> excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.viewClickPairs(views, clicks)
+      .select($"click_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L), s"got $got")
+  }
+
   test("gate drain helper fails loudly on a stream that does not terminate") {
     // a rate source on a ProcessingTime trigger never drains; the gate
     // helper must throw (and stop the query) instead of letting a caller
