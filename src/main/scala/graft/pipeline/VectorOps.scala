@@ -86,10 +86,24 @@ object VectorOps {
       .map(_.select(col("cenId"), col("cenVec")))
       .getOrElse(corpus.filter(col(idCol) < numCentroids)
         .select(col(idCol).as("cenId"), col(vecCol).as("cenVec")))
-    // corpus → owning cell (argmin L2, centroid id as tiebreak)
+    ivfSearch(IvfIndex(cen, assignToCells(corpus, idCol, vecCol, cen)),
+      queries, idCol, vecCol, nprobe, k)
+  }
+
+  /** The persisted IVF index asset: centroids (cenId, cenVec) and cell
+    * assignments (cid, cvec, cell). Build once per corpus version;
+    * ingest new vectors with [[appendToIvfIndex]] — assignment cost
+    * tracks the NEW batch only (broadcast centroid join), the existing
+    * cell table is never recomputed or re-shuffled. */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  /** Vectors → owning cell (argmin L2 against the broadcast centroids,
+    * centroid id as tiebreak). */
+  private def assignToCells(vectors: DataFrame, idCol: String,
+      vecCol: String, cen: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("cid"))
       .orderBy(col("distSq").asc, col("cenId").asc)
-    val cells = graft.Tables.fanOut(corpus)
+    graft.Tables.fanOut(vectors)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .join(broadcast(cen))
       .select(col("cid"), col("cvec"), col("cenId"),
@@ -97,6 +111,42 @@ object VectorOps {
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("cid"), col("cvec"), col("cenId").as("cell"))
+  }
+
+  /** Build the index: assign every corpus vector to its cell. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): IvfIndex =
+    IvfIndex(centroids.select(col("cenId"), col("cenVec")),
+      assignToCells(corpus, idCol, vecCol, centroids))
+
+  /** Incremental ingest: assign ONLY the new batch against the existing
+    * centroids and append to the cell table. The index ages (centroids
+    * drift from the true means as the corpus grows) but search recall
+    * degrades gracefully — the standard rebuild-on-schedule trade. */
+  def appendToIvfIndex(index: IvfIndex, newVecs: DataFrame,
+      idCol: String, vecCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.cells.unionAll(
+        assignToCells(newVecs, idCol, vecCol, index.centroids)))
+
+  /** Materialize / load the index (parquet, two tables under `path`). */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    index.cells.write.mode("overwrite").parquet(s"$path/cells.parquet")
+  }
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val cells = spark.read.parquet(s"$path/cells.parquet")
+    require(cells.columns.contains("cell"),
+      s"$path/cells.parquet has columns [${cells.columns.mkString(", ")}]; " +
+        "expected (cid, cvec, cell) — rebuild with buildIvfIndex/writeIvfIndex")
+    IvfIndex(spark.read.parquet(s"$path/centroids.parquet"), cells)
+  }
+
+  /** Probe + search an (in-memory or loaded) IVF index. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    val cen = index.centroids
     // query → nprobe nearest cells
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("distSq").asc, col("cenId").asc)
@@ -110,7 +160,7 @@ object VectorOps {
     // search only the probed cells
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid").asc)
-    probed.join(cells, "cell")
+    probed.join(index.cells, "cell")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("cvec"), col("qvec")), 6).as("cosine"))

@@ -168,6 +168,29 @@ object Pipeline {
         .orderBy("qid", "rank")
     }),
 
+    // Incremental IVF ingest: build the index on the base embeddings,
+    // APPEND a planted batch against the EXISTING centroids (no
+    // recluster, no corpus re-shuffle), search the updated index. The
+    // oracle replays build + append + search relationally over the
+    // unioned corpus — identical because appending then searching
+    // equals assigning the union when centroids are fixed.
+    "q_ann_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val newVecs = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 3, lit(0.0f)).otherwise(x)).as("embedding"))
+      val cen = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cenId"), col("embedding").as("cenVec"))
+      val index = VectorOps.appendToIvfIndex(
+        VectorOps.buildIvfIndex(emb, "vec_id", "embedding", cen),
+        newVecs, "vec_id", "embedding")
+      VectorOps.ivfSearch(index, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", nprobe = 3, k = 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN pairs — the 100TB scale path. The corpus gets
     // planted near-duplicates (slightly perturbed copies): every
     // planted pair has cosine ≈ 0.99995, where the 10-bit x 2-probe
@@ -698,6 +721,53 @@ object Pipeline {
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |cen AS (SELECT vec_id AS cen_id, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id AS cid, e.v AS cvec, cen_id, row_number() OVER
+        |    (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(e.v, cen.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM e, cen),
+        |cells AS (SELECT cid, cvec, cen_id AS cell FROM asg WHERE rk = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, e.v AS qvec, cen_id, row_number() OVER
+        |    (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(e.v, cen.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM e, cen WHERE e.vec_id < 5),
+        |probed AS (SELECT qid, qvec, cen_id AS cell FROM qp WHERE rk <= 3),
+        |scored AS (
+        |  SELECT qid, cid, round(
+        |    list_reduce(list_transform(list_zip(cvec, qvec),
+        |      p -> p[1] * p[2]), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_transform(cvec, x -> x * x),
+        |       (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_transform(qvec, x -> x * x),
+        |       (a, b) -> a + b))), 6) AS cosine
+        |  FROM probed JOIN cells USING (cell) WHERE cid <> qid),
+        |ranked AS (SELECT qid, cid, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Append-then-search == assign-the-union when centroids are fixed,
+    // so the replay is the base IVF oracle over the unioned corpus
+    // (queries and centroids still come from the base embeddings only).
+    "q_ann_ivf_append" ->
+      """WITH raw AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i - 1 = 3 THEN CAST(0.0 AS FLOAT) ELSE x END)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM raw),
         |cen AS (SELECT vec_id AS cen_id, v AS cv FROM e WHERE vec_id < 16),
         |asg AS (
         |  SELECT e.vec_id AS cid, e.v AS cvec, cen_id, row_number() OVER

@@ -539,6 +539,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!ivf.exists(r => r._1 == r._3))   // no self-matches
   }
 
+  test("IVF index: append==assign-union; parquet roundtrip; stale format rejected") {
+    val base = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 131 + d * 17).toFloat))
+    }.toDF("vec_id", "embedding")
+    val extra = (100L until 112L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 37 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cen = base.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cenId"), col("embedding").as("cenVec"))
+    val qs = base.filter(col("vec_id") < 3)
+    def results(ix: VectorOps.IvfIndex) =
+      VectorOps.ivfSearch(ix, qs, "vec_id", "embedding", nprobe = 2, k = 3)
+        .select("qid", "rank", "cid").as[(Long, Int, Long)].collect().toSet
+    val appended = VectorOps.appendToIvfIndex(
+      VectorOps.buildIvfIndex(base, "vec_id", "embedding", cen),
+      extra, "vec_id", "embedding")
+    val unioned = VectorOps.buildIvfIndex(
+      base.unionAll(extra), "vec_id", "embedding", cen)
+    assert(results(appended) == results(unioned),
+      "incremental append diverged from a full rebuild with fixed centroids")
+    // persisted-index roundtrip searches identically
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    VectorOps.writeIvfIndex(appended, dir)
+    assert(results(VectorOps.readIvfIndex(spark, dir)) == results(appended))
+    // stale (pre-cell) layout is rejected with a rebuild message
+    base.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .write.mode("overwrite").parquet(s"$dir/cells.parquet")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.readIvfIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("LSH ANN recall gate: >=0.9 of brute-force pairs at cosine >=0.9") {
     // 300 pseudo-random 64-dim vectors plus a perturbed copy of every
     // third one with 1..8 components zeroed — planted pair cosines span
