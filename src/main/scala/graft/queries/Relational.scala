@@ -77,6 +77,26 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate quantiles (the KLL-style mergeable percentile sketch
+    // behind approx_percentile): the oracle pins EXACT rank statistics
+    // per group and the accuracy contract as a boolean — each
+    // approximate median must land between the exact 45th and 55th
+    // percentiles (accuracy 10000 -> rank error well under 5 points).
+    "q_approx_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__apx"),
+          expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("__lo"),
+          expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("__hi"))
+        .select(col("l_returnflag"), col("n"),
+          (col("__apx") >= col("__lo") && col("__apx") <= col("__hi"))
+            .as("median_in_band"))
+        .orderBy("l_returnflag")
+    }),
+
     // J2: inner equi-join, shuffle join on the key.
     "q_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
@@ -505,6 +525,13 @@ object Relational {
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS n_exact,
         |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS median_in_band
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 

@@ -111,6 +111,19 @@ object StreamingQueries {
         .orderBy("user_id", "view_id", "click_id")
     }),
 
+    // STREAM-STATIC broadcast join: events enriched against the static
+    // customer dimension inside the stream (stateless; the batch dim is
+    // broadcast per micro-batch). Drained rows hash-match the plain
+    // relational join.
+    "q_stream_static_join" -> ((s, dir) => {
+      val name = s"stream_static_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamStaticJoinOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        .orderBy("event_id")
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -158,6 +171,11 @@ object StreamingQueries {
         | AND c.ts >= v.ts
         | AND c.ts < v.ts + INTERVAL 2 HOUR
         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT event_id, user_id, c_mktsegment
+        |FROM events JOIN customer ON user_id + 1 = c_custkey
+        |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

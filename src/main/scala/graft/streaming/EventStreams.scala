@@ -174,6 +174,31 @@ object EventStreams {
       .start()
   }
 
+  /** Drain-once runner for the STREAM-STATIC join: the event stream
+    * enriched against the static customer dimension (user_id+1 keys
+    * into c_custkey at fixture scale). The static side is a plain batch
+    * DataFrame — Spark broadcasts it into every micro-batch, the
+    * stateless streaming analog of the dimension joins every 100 TB
+    * event pipeline runs; no state store involved at all. */
+  def runStreamStaticJoinOnce(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_id"), col("user_id"))
+      .join(broadcast(customers),
+        col("user_id") + 1 === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ingest dedup: emit each (user_id, event_type) key the
     * first time it is seen — the stateful exact-dedup stage of a
     * streaming training-data pipeline. State here is unbounded (keyed
