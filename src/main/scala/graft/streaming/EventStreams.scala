@@ -167,11 +167,20 @@ object EventStreams {
         else s
       withTs.filter(col("event_type") === eventType)
     }
-    viewClickPairs(side("view"), side("click"))
+    // A stream-stream join keeps FOUR state stores per shuffle
+    // partition; per-batch commit cost is per-store, not per-row, so 32
+    // partitions cost ~128 store commits a micro-batch. 8 partitions
+    // carry this stream's state volume comfortably and quarter the
+    // fixed cost (the query captures the conf in its cloned session at
+    // start; the batch session's setting is restored immediately).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try viewClickPairs(side("view"), side("click"))
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Drain-once runner for the STREAM-STATIC join: the event stream
