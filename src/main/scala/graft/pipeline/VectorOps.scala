@@ -284,6 +284,40 @@ object VectorOps {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup-style semantic deduplication: embedding-cosine
+    * near-duplicate groups, closed transitively, one survivor (minimum
+    * id) kept per group. Returns (id, group_id, keep) for EVERY corpus
+    * row — singletons are their own group and always kept — so the
+    * result is directly usable as a keep-filter or as dedup lineage.
+    *
+    * Dataflow at scale: candidates come from [[lshNeighborPairs]]
+    * (bucketed sketch join — the corpus never self-joins all-pairs, and
+    * only id/bucket rows shuffle), the pair graph is closed by
+    * [[graft.operators.ConnectedComponents]] (one aggregation shuffle
+    * per iteration; near-dup groups are near-cliques, so the loop
+    * converges in a handful of rounds on the pair-graph nodes ONLY —
+    * a tiny fraction of the corpus), and the final left join re-attaches
+    * labels to the full id set (label side is duplicate-members only,
+    * broadcastable under AQE in the common low-duplication regime).
+    *
+    * With a full-recall bits/probes configuration (see the recall math
+    * on [[lshNeighborPairs]]) the output is exactly the brute-force
+    * all-pairs answer, which is what the DuckDB gate oracle replays. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bits: Int = 10, probes: Int = 40,
+      maxBucket: Int = 8192,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val pairs = lshNeighborPairs(corpus, idCol, vecCol, bits, minCosine,
+      probes, maxBucket, persistLevel).select(col("a"), col("b"))
+    val comps = graft.operators.ConnectedComponents.components(pairs)
+    corpus.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("group_id"))
+      .withColumn("keep", col("id") === col("group_id"))
+  }
+
   /** Per-dimension min-max int8 scalar quantization of an embedding
     * column, reporting reconstruction quality per vector: (id, code_sum,
     * rmse) where code_sum checksums the 0..255 codes and rmse is the

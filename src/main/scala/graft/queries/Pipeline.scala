@@ -233,6 +233,28 @@ object Pipeline {
         .orderBy("a", "b")
     }),
 
+    // SemDeDup-style semantic dedup end to end: the full-recall LSH
+    // pair derivation (same planting as q_ann_lsh_recall plus a SECOND
+    // variant set zeroing different components, so duplicate groups
+    // have up to 3 members and keep-one requires TRANSITIVE closure,
+    // not pair pruning), closed into groups by connected components,
+    // min-id survivor kept per group. The DuckDB oracle replays it
+    // brute force: all-pairs cosine >= 0.9 -> recursive-CTE closure ->
+    // least reachable id -> keep = (id = group_id).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def plant(offset: Int, d1: Int, d2: Int) =
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === d1 || i === d2, lit(0.0f)).otherwise(x))
+              .as("embedding"))
+      VectorOps.semanticDedup(
+          emb.unionAll(plant(100000, 7, 39)).unionAll(plant(200000, 11, 55)),
+          "vec_id", "embedding", minCosine = 0.9, bits = 10, probes = 40)
+        .orderBy("id")
+    }),
+
     // The COMPOSED curation pass (clean -> language filter -> quality
     // floor -> exact dedup keep-min-id) over a corpus with planted
     // exact duplicates; every stage is replayed in the DuckDB oracle,
@@ -854,6 +876,49 @@ object Pipeline {
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT a, b, cosine FROM pairs WHERE cosine >= 0.9
         |ORDER BY a, b""".stripMargin,
+
+    // Brute-force replay of the whole semantic-dedup pipeline: the
+    // doubly-planted corpus all-pairs joined on double-fold cosine,
+    // the pair graph closed with a recursive CTE, least reachable id
+    // as the group label, keep = survivor.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 8 OR i = 40 THEN CAST(0 AS FLOAT) ELSE x END)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 12 OR i = 56 THEN CAST(0 AS FLOAT) ELSE x END)
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM c),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |  WHERE round(
+        |    list_reduce(list_transform(list_zip(x.v, y.v),
+        |      p -> p[1] * p[2]), (s, t) -> s + t) /
+        |    (sqrt(list_reduce(list_transform(x.v, z -> z * z),
+        |       (s, t) -> s + t)) *
+        |     sqrt(list_reduce(list_transform(y.v, z -> z * z),
+        |       (s, t) -> s + t))), 6) >= 0.9),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS grp FROM reach GROUP BY a)
+        |SELECT c.vec_id AS id, coalesce(comp.grp, c.vec_id) AS group_id,
+        |  coalesce(comp.grp, c.vec_id) = c.vec_id AS keep
+        |FROM c LEFT JOIN comp ON c.vec_id = comp.id
+        |ORDER BY id""".stripMargin,
 
     // All near-dup pairs at Jaccard >= 0.8 over word 3-shingle sets, via
     // a sparse shingle join (pairs sharing no shingle have J = 0 and

@@ -608,6 +608,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.subsetOf(truth), "LSH emitted a pair below the threshold")
   }
 
+  test("semantic dedup == brute-force pairs + transitive closure, keep-one per group") {
+    // 120 pseudo-random 32-dim vectors; every 4th gets TWO planted
+    // variants (different components zeroed), so true duplicate groups
+    // have 3 members and the keep-one decision requires transitive
+    // closure through the base vector, not just pair pruning.
+    val base = (0L until 120L).map { i =>
+      (i, Array.tabulate(32)(d => math.sin(i * 37.0 + d * 11.0).toFloat))
+    }
+    def plant(off: Long, z: Int) = base.filter(_._1 % 4 == 0).map {
+      case (i, v) => (i + off, v.zipWithIndex.map {
+        case (x, d) => if (d == z || d == z + 8) 0.0f else x })
+    }
+    val corpus = (base ++ plant(1000, 3) ++ plant(2000, 5))
+      .toDF("vec_id", "embedding")
+
+    // ground truth: exact all-pairs edges, closed by driver-side
+    // union-find (the graph is tiny), min id as the group label
+    val edges = corpus.toDF("a", "va")
+      .join(corpus.toDF("b", "vb"), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorOps.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .select("a", "b").as[(Long, Long)].collect()
+    val ids = (base ++ plant(1000, 3) ++ plant(2000, 5)).map(_._1)
+    val root = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (root(x) == x) x else { root(x) = find(root(x)); root(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+
+    val got = VectorOps.semanticDedup(corpus, "vec_id", "embedding",
+        minCosine = 0.9, bits = 10, probes = 40,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .select("id", "group_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == ids.size)
+    got.foreach { case (id, g, keep) =>
+      assert(g == expected(id), s"id $id grouped $g, expected ${expected(id)}")
+      assert(keep == (g == id), s"id $id keep=$keep with group $g")
+    }
+    // the fixture really exercises closure: some group has >= 3 members
+    assert(got.groupBy(_._2).values.exists(_.size >= 3),
+      "fixture has no 3-member duplicate group")
+  }
+
   test("IVF with k-means centroids beats placeholder centroids on clustered data") {
     // 200 vectors in 10 moderately-spread gaussian clusters; the first 10
     // ids (the id<k placeholder centroids) all come from cluster 0 — the
