@@ -172,6 +172,57 @@ object TextAnalysis {
         .as("ips"),
       matchCount(textCol, "\\b\\d{9,18}\\b").as("long_ids"))
 
+  /** Sliding character n-grams WITH multiplicity (unlike the distinct
+    * sets `Dedup.charNgramJaccard` uses) — an LM needs counts. A doc
+    * shorter than n contributes its single truncated prefix gram. */
+  private def charGrams(textCol: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(length(textCol) - (n - 1), lit(1))),
+      i => textCol.substr(i, lit(n)))
+
+  /** Character-n-gram language model: gram occurrence counts over a
+    * reference corpus. ONE explode + hash aggregate (map-side combine
+    * collapses each partition to its local vocabulary before the
+    * shuffle); the result is vocabulary-bounded — ~1e5-1e6 rows for
+    * char trigrams regardless of corpus size — so downstream scoring
+    * joins broadcast it under AQE even at 100 TB. */
+  def charNgramLm(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    graft.Tables.fanOut(corpus)
+      .select(explode(charGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+
+  /** CCNet-style LM quality scoring: mean negative log-likelihood (and
+    * perplexity) of each document under an add-one-smoothed character
+    * n-gram model — low perplexity = LM-like (template/boilerplate or
+    * clean prose, depending on the reference corpus), high = unusual
+    * byte soup. The canonical curation use trains the LM on a trusted
+    * corpus and drops the high-perplexity tail of the candidate pool.
+    *
+    * logp(g) = ln((c_g + 1) / (N + V)) with N total training grams and
+    * V the vocabulary size; unseen grams take c_g = 0, so scoring is
+    * total over any input. ppl is exp of the ROUNDED mean nlp — both
+    * engines exponentiate the same 6-decimal value, keeping the gate
+    * hash stable across libm implementations.
+    *
+    * Dataflow: the (N, V) scalar is a 1-row cross join; the gram join
+    * is vocabulary-sized on the LM side (broadcastable, see
+    * [[charNgramLm]]); one per-doc hash aggregate closes it. */
+  def perplexityScores(docs: DataFrame, lm: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val stats = lm.agg(sum(col("c")).as("N"), count(lit(1)).as("V"))
+    val nlp = graft.Tables.fanOut(docs)
+      .select(col(idCol), explode(charGrams(col(textCol), n)).as("gram"))
+      .join(lm, Seq("gram"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("N") + col("V")).cast("double"))).as("nlp"))
+    nlp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(col("nlp")), 6).as("avg_neg_logp"))
+      .withColumn("ppl", round(exp(col("avg_neg_logp")), 3))
+  }
+
   /** One-call document profile used by the pipeline queries. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -53,6 +53,21 @@ object Pipeline {
         .drop("fingerprint", "n_winnowed")
         .orderBy("doc_id")),
 
+    // CCNet-style LM perplexity scoring: char-trigram add-one LM
+    // trained on the even-id half of the corpus, the odd-id half scored
+    // by mean negative log-likelihood (held-out split exercises the
+    // unseen-gram smoothing path). ppl exponentiates the ROUNDED mean
+    // so both engines exp the same value. Oracle replays LM counts,
+    // smoothing, and scoring relationally in DuckDB.
+    "q_doc_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = TextAnalysis.charNgramLm(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      TextAnalysis.perplexityScores(
+          d.filter(col("doc_id") % 2 === 1), lm, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprints — promoted from rows-only to a full oracle
     // via the md5Long hash: DuckDB re-derives the content fingerprint,
     // the winnowed min-hash set (order-sensitive windows over the
@@ -704,6 +719,36 @@ object Pipeline {
         |FROM pairs JOIN grams ga ON pairs.a = ga.doc_id
         |           JOIN grams gb ON pairs.b = gb.doc_id
         |ORDER BY a, b""".stripMargin,
+
+    // Add-one-smoothed char-trigram LM replay: counts from the even-id
+    // half, held-out odd-id docs scored gram by gram. Short docs (< 3
+    // chars) contribute one truncated prefix gram on both engines
+    // (greatest(len-2, 1) window count).
+    "q_doc_perplexity" ->
+      """WITH trg AS (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(length(text) - 1, 2)),
+        |    i -> substr(text, i, 3))) AS gram
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |lm AS (SELECT gram, count(*) AS c FROM trg GROUP BY gram),
+        |st AS (SELECT sum(c) AS nn, count(*) AS vv FROM lm),
+        |teg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(length(text) - 1, 2)),
+        |    i -> substr(text, i, 3))) AS gram
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    -ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+        |        CAST(nn + vv AS DOUBLE)) AS nlp
+        |  FROM teg LEFT JOIN lm USING (gram) CROSS JOIN st),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    round(avg(nlp), 6) AS avg_neg_logp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_grams, avg_neg_logp,
+        |  round(exp(avg_neg_logp), 3) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_vector_norms" ->
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,

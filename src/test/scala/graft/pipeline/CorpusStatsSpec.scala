@@ -243,4 +243,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) == 0.0))
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 510L))
   }
+
+  test("perplexityScores: closed-form smoothing, unseen grams, ranking") {
+    import spark.implicits._
+    // LM trained on "aaaa" alone: grams {aaa: 2} → N=2, V=1
+    val lm = TextAnalysis.charNgramLm(
+      Seq((0L, "aaaa")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(lm.as[(String, Long)].collect().toMap == Map("aaa" -> 2L))
+    // score "aaab": grams aaa, aab → nlp = -(ln(3/3) + ln(1/3))/2
+    val scored = TextAnalysis.perplexityScores(
+        Seq((1L, "aaab")).toDF("doc_id", "text"), lm, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+    val expect = BigDecimal(-(math.log(3.0 / 3.0) + math.log(1.0 / 3.0)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored.toSeq == Seq((1L, 2L, expect,
+      BigDecimal(math.exp(expect))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // curation contract: under an English-ish LM, LM-like text scores
+    // lower perplexity than byte soup
+    val train = (0L until 20L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val lm2 = TextAnalysis.charNgramLm(train, "doc_id", "text")
+    val r = TextAnalysis.perplexityScores(
+        Seq((100L, "the quick brown dog jumps over the lazy fox"),
+            (101L, "zq9#kx@v7!mw2$pj8&gh4*")).toDF("doc_id", "text"),
+        lm2, "doc_id", "text")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(r(100L) < r(101L),
+      s"LM-like text should score lower perplexity: $r")
+  }
 }
