@@ -399,6 +399,48 @@ object Dedup {
       .select(col("docId"))
   }
 
+  /** Bloom asset over the corpus's xxhash64 content keys — the exact-
+    * dedup prefilter for [[exactDedupWithBloom]]. Built by Spark's
+    * distributed treeAggregate (`stat.bloomFilter`); the driver holds
+    * the merged bitset (~1.2 GB per 1e9 items at 1% fpp — cap fpp or
+    * shard above that). One counting pass sizes it; at a known corpus
+    * cardinality pass `expectedItems` to skip the count. */
+  def buildCorpusBloom(corpus: DataFrame, textCol: String,
+      fpp: Double = 0.01, expectedItems: Long = -1L): Array[Byte] = {
+    val keys = fanOut(corpus).select(xxhash64(col(textCol)).as("xh"))
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(keys.count(), 1L)
+    graft.functions.Bloom.buildLong(keys, "xh", n, fpp)
+  }
+
+  /** Exact incremental dedup with a Bloom prefilter: batch rows whose
+    * content key the bloom REJECTS are definitely new and never touch
+    * the corpus-hash table; only bloom positives (true duplicates plus
+    * the fpp fraction) reach the anti-join. The result EXACTLY equals
+    * the plain anti-join (no false negatives), with first-per-group
+    * kept within the batch — but at scale the corpus side of the join
+    * shrinks from "every ingest row" to the suspect set, and the bloom
+    * itself is a broadcast-sized asset instead of a shuffled table. */
+  def exactDedupWithBloom(corpusHashes: DataFrame, bloomBytes: Array[Byte],
+      newDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("docId").asc)
+    val hashed = newDocs.select(col(idCol).as("docId"),
+      col(textCol).as("text"),
+      md5(col(textCol).cast("binary")).as("h"),
+      graft.functions.Bloom.might_contain_long(bloomBytes,
+        xxhash64(col(textCol))).as("__maybe"))
+    val suspects = hashed.filter(col("__maybe"))
+      .join(corpusHashes, Seq("h"), "left_anti")
+    val fresh = hashed.filter(!col("__maybe"))
+    // by NAME: the using-key anti join moved `h` to the front of
+    // `suspects`, so a positional union would mis-align the columns
+    suspects.unionByName(fresh)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("docId"), col("text"))
+  }
+
   /** 64-bit SimHash from a precomputed token-hash array column: per bit,
     * the sign of the sum of token-hash bits. Computed by the native
     * one-pass `SimHashSig` expression (graft.functions.Sketches) —

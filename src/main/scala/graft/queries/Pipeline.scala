@@ -346,6 +346,33 @@ object Pipeline {
         .orderBy("docId")
     }),
 
+    // Bloom-prefiltered exact ingest dedup: the same planted batch as
+    // q_dedup_incremental, but exact-only with a corpus bloom asset in
+    // front of the anti-join — bloom-rejected rows (definitely new)
+    // never touch the corpus-hash table. The bloom has no false
+    // negatives, so the result EQUALS the plain anti-join and the
+    // oracle is pure relational algebra with no bloom knowledge.
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newDocs =
+        d.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 30 === 7)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            expr("substr(text, 1, greatest(length(text) - 30, 10))").as("text")))
+        .unionAll(d.filter(col("doc_id") % 30 === 14)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .unionAll(d.filter(col("doc_id") % 30 === 14)
+          .select((col("doc_id") + 450000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      val bloom = Dedup.buildCorpusBloom(d, "text", fpp = 0.01)
+      val hashes = d.select(md5(col("text").cast("binary")).as("h")).distinct()
+      Dedup.exactDedupWithBloom(hashes, bloom, newDocs, "doc_id", "text")
+        .select(col("docId"))
+        .orderBy("docId")
+    }),
+
     // Train/test contamination: plant test docs as prefixes of every
     // 20th training doc — the leaked pairs (and only those, at 5+ shared
     // 3-shingles) must surface. Oracle replays the sparse shingle join.
@@ -1389,6 +1416,30 @@ object Pipeline {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
         |  AND doc_id NOT IN (SELECT doc_id FROM dropn)
         |ORDER BY docId""".stripMargin,
+
+    // The bloom-prefiltered exact dedup answers identically to the
+    // plain anti-join (no false negatives) — the oracle replays only
+    // the relational contract, no bloom arithmetic needed.
+    "q_dedup_bloom" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id + 200000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 30 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 30 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 30 = 14
+        |  UNION ALL
+        |  SELECT doc_id + 450000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 30 = 14),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM documents)
+        |SELECT doc_id AS docId FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |  FROM newdocs WHERE md5(text) NOT IN (SELECT h FROM ch))
+        |WHERE rk = 1 ORDER BY docId""".stripMargin,
 
     // Sparse shingle join replay: train shingles (document-frequency
     // pruned) joined to planted test-prefix shingles, grouped to

@@ -608,6 +608,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.subsetOf(truth), "LSH emitted a pair below the threshold")
   }
 
+  test("bloom prefilter dedup == plain anti-join; no false negatives; fpp bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = (0L until 2000L)
+      .map(i => (i, s"corpus document number $i body")).toDF("doc_id", "text")
+    val batch = ((0L until 200L)
+        .map(i => (10000L + i, s"corpus document number ${i * 10} body")) // corpus dups
+      ++ (0L until 500L).map(i => (20000L + i, s"brand new document $i")) // fresh
+      ++ Seq((30000L, "within batch twin"), (30001L, "within batch twin")))
+      .toDF("doc_id", "text")
+    val hashes = corpus.select(md5(col("text").cast("binary")).as("h")).distinct()
+    val bloom = Dedup.buildCorpusBloom(corpus, "text", fpp = 0.01)
+
+    val got = Dedup.exactDedupWithBloom(hashes, bloom, batch, "doc_id", "text")
+      .select("docId").as[Long].collect().sorted.toSeq
+    val expected = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(hashes, Seq("h"), "left_anti")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected, "bloom-prefiltered result diverged from plain anti-join")
+    assert(got.count(_ >= 20000L) == 501)   // fresh survive; one twin kept
+    assert(!got.exists(_ < 20000L))         // every corpus dup dropped
+
+    // no false negatives: every corpus key must be bloom-positive
+    // (evaluated through the codegen expression path, not the driver API)
+    val misses = corpus.select(graft.functions.Bloom.might_contain_long(
+        bloom, xxhash64(col("text"))).as("m"))
+      .filter(!col("m")).count()
+    assert(misses == 0L, s"bloom false negatives: $misses")
+
+    // false-positive rate on definitely-absent keys stays near fpp
+    val fresh = (0L until 20000L).map(i => s"absent probe $i").toDF("text")
+    val fps = fresh.select(graft.functions.Bloom.might_contain_long(
+        bloom, xxhash64(col("text"))).as("m"))
+      .filter(col("m")).count()
+    assert(fps < 20000L * 0.03, s"bloom fp rate ${fps / 20000.0} above 3%")
+  }
+
   test("semantic dedup == brute-force pairs + transitive closure, keep-one per group") {
     // 120 pseudo-random 32-dim vectors; every 4th gets TWO planted
     // variants (different components zeroed), so true duplicate groups
