@@ -124,6 +124,19 @@ object StreamingQueries {
         .orderBy("event_id")
     }),
 
+    // Streaming exact ingest dedup against a static corpus: broadcast
+    // bloom prefilter (stateless codegen expression) + stream-static
+    // anti join for the suspects. The drained id set equals the plain
+    // anti-join (bloom has no false negatives), so the oracle is pure
+    // relational algebra.
+    "q_stream_bloom_dedup" -> ((s, dir) => {
+      val name = s"stream_bloom_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.DocStreams.runStreamingBloomDedupOnce(
+        s, dir, name)
+      drained(q)
+      s.table(name).select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -176,6 +189,18 @@ object StreamingQueries {
       """SELECT event_id, user_id, c_mktsegment
         |FROM events JOIN customer ON user_id + 1 = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_bloom_dedup" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id + 200000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 30 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 30 = 7)
+        |SELECT doc_id FROM newdocs
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

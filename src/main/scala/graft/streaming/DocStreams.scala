@@ -99,6 +99,52 @@ object DocStreams {
     * best-effort (a pair differing in all four chunks is missed by the
     * streaming AND batch paths alike, so stream==batch parity — what
     * this gate checks — still holds). */
+  /** Streaming exact ingest dedup against a STATIC corpus — the
+    * streaming face of `Dedup.exactDedupWithBloom`, and the shape a
+    * continuous 100 TB ingest actually wants: NO stream state at all.
+    * The corpus bloom is a broadcast-sized asset evaluated per row by
+    * the codegen `bloom_might_contain_long` expression; rows it rejects
+    * are definitely new and pass straight through, while suspects
+    * (true duplicates + the fpp fraction) take a stream-static LEFT
+    * ANTI join against the corpus hash table. The bloom has no false
+    * negatives, so the drained id set EQUALS the plain anti-join — the
+    * gate's DuckDB oracle needs no bloom knowledge.
+    *
+    * The planted batch: exact copies of every 30th corpus doc (must
+    * all be dropped) and 30-char truncations of every 30th+7 (all
+    * fresh — no within-batch duplicate groups, keeping the streaming
+    * result a pure set with no keep-first ordering dependence). */
+  def runStreamingBloomDedupOnce(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bloomBytes = Dedup.buildCorpusBloom(corpus, "text")
+    val hashes = corpus.select(md5(col("text").cast("binary")).as("h"))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val base = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), col("text"))
+    val batch = base.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .unionAll(base.filter(col("doc_id") % 30 === 7)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 30, lit(10))).as("text")))
+    val hashed = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"),
+      graft.functions.Bloom.might_contain_long(bloomBytes,
+        xxhash64(col("text"))).as("__maybe"))
+    val suspects = hashed.filter(col("__maybe"))
+      .join(hashes, Seq("h"), "left_anti")
+    val fresh = hashed.filter(!col("__maybe"))
+    suspects.unionByName(fresh).select(col("doc_id"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runStreamingSimHashDedupOnce(spark: SparkSession, sfDir: String,
       queryName: String, maxHamming: Int = 6): StreamingQuery = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
