@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * pass runs from one file with no code. Stages (each optional, applied
   * in this order, each individually oracle-gated elsewhere):
   *
-  *   read parquet → strip corpus boilerplate lines → dedup lines within
-  *   doc → mask PII → clean → language/quality filter → dedup (exact |
-  *   minhash | simhash) → per-group quality calibration → split label →
-  *   write parquet
+  *   read parquet → exact dedup against an existing corpus (bloom
+  *   prefilter + anti-join) → strip corpus boilerplate lines → dedup
+  *   lines within doc → mask PII → clean → language/quality filter →
+  *   LM-perplexity outlier filter → dedup (exact | minhash | simhash) →
+  *   per-group quality calibration → split label → write parquet
   *
   * Output schema: (id, text, lang, quality[, split]).
   */
@@ -26,6 +27,9 @@ object PipelineProject {
       inputPath: String = "",
       idCol: String = "doc_id",
       textCol: String = "text",
+      corpusPath: String = "", // "" = no against-corpus ingest prefilter
+      corpusBloomFpp: Double = 0.01,
+      maxPerplexity: Double = 0.0, // 0 = stage off
       stripBoilerplateMaxDocFrac: Double = 0.0, // 0 = stage off
       dedupLinesWithinDoc: Boolean = false,
       maskPii: Boolean = false,
@@ -64,6 +68,20 @@ object PipelineProject {
 
     var df = docs.select(col(id), col(txt))
 
+    // incremental-ingest mode: drop batch rows whose RAW text already
+    // exists in the corpus — bloom prefilter in front of the anti-join,
+    // so only suspects touch the corpus hash table (see
+    // Dedup.exactDedupWithBloom); runs before any text mutation so the
+    // membership check matches what the corpus actually stored
+    if (conf.corpusPath.nonEmpty) {
+      val corpus = docs.sparkSession.read.parquet(conf.corpusPath)
+      val bloom = Dedup.buildCorpusBloom(corpus, txt, conf.corpusBloomFpp)
+      val hashes = corpus.select(md5(col(txt).cast("binary")).as("h"))
+        .distinct()
+      df = Dedup.exactDedupWithBloom(hashes, bloom, df, id, txt)
+        .select(col("docId").as(id), col("text").as(txt))
+    }
+
     if (conf.stripBoilerplateMaxDocFrac > 0)
       df = CorpusStats.stripBoilerplateLines(df, id, txt,
           conf.stripBoilerplateMaxDocFrac)
@@ -85,6 +103,19 @@ object PipelineProject {
       df = df.filter(col("lang").isin(conf.keepLangs: _*))
     if (conf.minQuality > 0)
       df = df.filter(col("quality") >= conf.minQuality)
+
+    // LM-perplexity outlier filter: score each doc under the surviving
+    // corpus's own char-trigram LM and drop the high-perplexity tail
+    // (byte soup / wrong-charset text the heuristic quality score can
+    // miss). Self-trained LM = no external asset; at real scale train
+    // once and reuse (the LM table is vocabulary-bounded).
+    if (conf.maxPerplexity > 0) {
+      val lm = TextAnalysis.charNgramLm(df, id, txt)
+      val keep = TextAnalysis.perplexityScores(df, lm, id, txt)
+        .filter(col("ppl") <= conf.maxPerplexity)
+        .select(col(id))
+      df = df.join(keep, Seq(id), "left_semi")
+    }
 
     df = conf.dedup match {
       case "none" => df

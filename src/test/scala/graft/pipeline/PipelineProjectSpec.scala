@@ -45,6 +45,29 @@ class PipelineProjectSpec extends AnyFunSuite {
     assert(r._3 == "en" && Set("train", "val", "test").contains(r._4))
   }
 
+  test("against-corpus bloom prefilter and perplexity filter stages") {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("ppcorpus").toString
+    (0L until 50L).map(i => (i, s"$enText corpus entry number $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    // enough English mass that the self-trained LM separates byte soup
+    val docs = (Seq(
+      (100L, s"$enText corpus entry number 7"))  // already in corpus → drop
+      ++ (101L to 120L).map(i => (i, s"$enText fresh arrival number $i"))
+      ++ Seq((200L, "zq9#kx@v7!mw2äßþ jfjfjfjf qqqq zzzz xxxx " +
+        "vvvv bbbb nnnn mmmm kkkk")))              // byte soup → ppl outlier
+      .toDF("doc_id", "text")
+    val out = PipelineProject.runOn(docs, PipelineProject.Conf(
+      corpusPath = corpusDir,
+      maxPerplexity = 200.0,
+      dedup = "none"))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(100L), "corpus duplicate survived the bloom stage")
+    assert((101L to 120L).forall(kept.contains), s"fresh docs dropped: $kept")
+    assert(!kept.contains(200L), s"byte soup survived the perplexity filter")
+  }
+
   test("near-dup dedup keeps one representative per duplicate group") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
