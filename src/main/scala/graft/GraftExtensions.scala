@@ -52,5 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hyperplane_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Sketches.hyperplaneBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMightContainLong].getName,
+        "bloom_might_contain_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Bloom.builder(exprs)))
   }
 }

@@ -53,6 +53,23 @@ object Bloom {
     org.apache.spark.sql.GraftExpressionBridge.column(
       BloomMightContainLong(bloomBytes,
         org.apache.spark.sql.GraftExpressionBridge.expression(hashCol)))
+
+  /** Expression builder shared by the temp-function registration and
+    * the SparkSessionExtensions injection:
+    * bloom_might_contain_long(binary literal filter, bigint key). */
+  def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(l: org.apache.spark.sql.catalyst.expressions.Literal, child)
+        if l.dataType == org.apache.spark.sql.types.BinaryType &&
+          l.value != null =>
+      BloomMightContainLong(l.value.asInstanceOf[Array[Byte]], child)
+    case _ => throw new IllegalArgumentException(
+      "bloom_might_contain_long expects (binary literal filter, bigint key)")
+  }
+
+  /** SQL registration: bloom_might_contain_long(X'…', key). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain_long", builder(_), "scala_udf")
 }
 
 /** `bloom.mightContainLong(child)` with the deserialized filter cached
