@@ -62,6 +62,29 @@ object CorpusScaleProbe {
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count())
       time("quantize_int8")(VectorOps.quantizeInt8Stats(
         embs, "vec_id", "embedding").count())
+      time("perplexity")({
+        val lm = TextAnalysis.charNgramLm(docs, "doc_id", "text")
+        TextAnalysis.perplexityScores(docs, lm, "doc_id", "text").count()
+      })
+      time("bloom_dedup")({
+        // corpus = this scale's docs; batch = a fixed-size slice with
+        // half exact dups, half fresh — per-ingest cost must stay flat
+        // as the corpus behind the bloom/hash assets grows
+        val bloom = Dedup.buildCorpusBloom(docs, "text")
+        val hashes = docs.select(md5(col("text").cast("binary")).as("h"))
+        val batch = docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 100 === 1)
+            .select((col("doc_id") + 60000000L).as("doc_id"),
+              concat(col("text"), lit(" zzfresh")).as("text")))
+          .limit(5000)
+        Dedup.exactDedupWithBloom(hashes, bloom, batch,
+          "doc_id", "text").count()
+      })
+      time("semantic_dedup")(VectorOps.semanticDedup(
+        embs, "vec_id", "embedding", minCosine = 0.9, bits = 10,
+        probes = 8,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE).count())
       spark.catalog.clearCache()
     }
 
