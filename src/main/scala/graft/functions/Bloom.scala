@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Bloom-filter membership as a native codegen expression — the
-  * canonical large-scale ingest-dedup prefilter. A bloom built over the
+/** Bloom-filter membership (Bloom 1970) as a native codegen
+  * expression — the canonical large-scale ingest-dedup prefilter. A bloom built over the
   * corpus's content hashes answers "definitely new" without touching
   * the corpus: rows whose hash the filter rejects CANNOT be duplicates
   * and skip the anti-join entirely; only bloom positives (true dups +

@@ -191,8 +191,11 @@ object TextAnalysis {
       .select(explode(charGrams(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
 
-  /** CCNet-style LM quality scoring: mean negative log-likelihood (and
-    * perplexity) of each document under an add-one-smoothed character
+  /** CCNet-style LM quality scoring ("CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", Wenzek et al. 2020,
+    * which filters by KenLM perplexity; here an add-one-smoothed char
+    * n-gram LM keeps it engine-portable): mean negative log-likelihood
+    * (and perplexity) of each document under an add-one-smoothed character
     * n-gram model — low perplexity = LM-like (template/boilerplate or
     * clean prose, depending on the reference corpus), high = unusual
     * byte soup. The canonical curation use trains the LM on a trusted

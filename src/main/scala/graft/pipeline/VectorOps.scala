@@ -284,9 +284,10 @@ object VectorOps {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** SemDeDup-style semantic deduplication: embedding-cosine
-    * near-duplicate groups, closed transitively, one survivor (minimum
-    * id) kept per group. Returns (id, group_id, keep) for EVERY corpus
+  /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et
+    * al. 2023): embedding-cosine near-duplicate groups, closed
+    * transitively, one survivor (minimum id) kept per group. Returns (id, group_id, keep) for EVERY corpus
     * row — singletons are their own group and always kept — so the
     * result is directly usable as a keep-filter or as dedup lineage.
     *
