@@ -137,6 +137,20 @@ object StreamingQueries {
       s.table(name).select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // Streaming LM-perplexity scoring: a static char-trigram LM asset
+    // broadcast into a streaming aggregation. Drained scores must
+    // hash-match the batch operator's DuckDB relational replay.
+    "q_stream_perplexity" -> ((s, dir) => {
+      val name = s"stream_ppl_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.DocStreams.runStreamingPerplexityOnce(
+        s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("doc_id"), col("n_grams"), col("avg_neg_logp"),
+          col("ppl"))
+        .orderBy("doc_id")
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -189,6 +203,10 @@ object StreamingQueries {
       """SELECT event_id, user_id, c_mktsegment
         |FROM events JOIN customer ON user_id + 1 = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    // identical replay to the batch perplexity gate — streaming must
+    // converge to the same scores
+    "q_stream_perplexity" -> Pipeline.oracles("q_doc_perplexity"),
 
     "q_stream_bloom_dedup" ->
       """WITH newdocs AS (

@@ -99,6 +99,34 @@ object DocStreams {
     * best-effort (a pair differing in all four chunks is missed by the
     * streaming AND batch paths alike, so stream==batch parity — what
     * this gate checks — still holds). */
+  /** Streaming LM-perplexity scoring: documents arrive as a stream and
+    * are scored under a STATIC char-trigram LM (trained batch-side on
+    * the even-id half of the corpus — at scale, a persisted asset). The
+    * LM is vocabulary-bounded, so its join broadcasts; the per-doc mean
+    * is a streaming aggregation drained in Complete mode. Scores must
+    * hash-match the batch operator — and therefore the same DuckDB
+    * relational replay that gates q_doc_perplexity. */
+  def runStreamingPerplexityOnce(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lm = graft.pipeline.TextAnalysis.charNgramLm(
+      batchDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .localCheckpoint(true)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 1)
+    graft.pipeline.TextAnalysis.perplexityScores(
+        stream, lm, "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming exact ingest dedup against a STATIC corpus — the
     * streaming face of `Dedup.exactDedupWithBloom`, and the shape a
     * continuous 100 TB ingest actually wants: NO stream state at all.

@@ -45,6 +45,10 @@ object Tables {
     * every sketch stage. Only narrow inputs (local fixtures, single
     * row-group files, post-coalesce frames) pay the spread. */
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames cannot be probed via .rdd (and micro-batch
+    // planning re-sizes partitions anyway) — pass them through so the
+    // column-algebra operators compose into streaming pipelines
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
