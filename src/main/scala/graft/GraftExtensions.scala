@@ -59,5 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_might_contain_long"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Bloom.builder(exprs)))
+    // planner tier: interval-containment joins become banded equi-joins
+    // (inert until spark.graft.rangeJoin.bandMicros is set > 0)
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }

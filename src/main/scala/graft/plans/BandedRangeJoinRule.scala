@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule (SURVEY §4.2 tier (c): custom `Rule[LogicalPlan]`)
+  * rewriting non-equi interval-containment joins
+  *
+  *   L JOIN R ON l.ts >= r.start AND l.ts < r.end [AND …]
+  *
+  * — which vanilla Spark plans as a BroadcastNestedLoopJoin, quadratic
+  * when neither side broadcasts — into the banded equi-join shape of
+  * [[graft.operators.RangeJoin]]: both sides gain a band key
+  * (`micros div band`; the right interval explodes into every band it
+  * covers), the join becomes a shuffled equi-join on the band, and the
+  * original containment predicates remain as the exact filter. Truncating
+  * integer division is monotone, so bandOf(start) ≤ bandOf(ts) ≤
+  * bandOf(end) whenever start ≤ ts ≤ end — no qualifying pair is lost.
+  *
+  * Guarded by `spark.graft.rangeJoin.bandMicros` (≤ 0 or unset = off) so
+  * the rule is inert unless a session opts in. It skips joins that
+  * already have an equi predicate (SortMergeJoin handles those), and is
+  * idempotent: the rewritten join's band-equality conjunct disqualifies
+  * it from matching again. Register per session via
+  * `spark.experimental.extraOptimizations` or cluster-wide through
+  * `graft.GraftExtensions`.
+  */
+object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val ConfKey = "spark.graft.rangeJoin.bandMicros"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val band = conf.getConfString(ConfKey, "0").toLong
+    if (band <= 0) plan
+    else plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), hint) =>
+        rewrite(l, r, cond, hint, band).getOrElse(j)
+    }
+  }
+
+  /** Timestamp → epoch micros; integral columns pass through. */
+  private def micros(e: Expression): Option[Expression] = e.dataType match {
+    case TimestampType => Some(UnixMicros(e))
+    case LongType => Some(e)
+    case _ => None
+  }
+
+  private def rewrite(l: LogicalPlan, r: LogicalPlan, cond: Expression,
+      hint: JoinHint, band: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def leftOnly(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(l.outputSet)
+    def rightOnly(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(r.outputSet)
+    // an existing cross-side equi predicate means Spark already has a
+    // hash/sort-merge key — and its presence after OUR rewrite is what
+    // makes the rule idempotent
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (leftOnly(a) && rightOnly(b)) || (rightOnly(a) && leftOnly(b))
+      case _ => false
+    }
+    if (hasEqui) return None
+    // l.ts >= r.start (either spelling)
+    val lower = conjuncts.collect {
+      case GreaterThanOrEqual(ts, st) if leftOnly(ts) && rightOnly(st) => (ts, st)
+      case LessThanOrEqual(st, ts) if rightOnly(st) && leftOnly(ts) => (ts, st)
+    }
+    // l.ts < r.end (either spelling)
+    val upper = conjuncts.collect {
+      case LessThan(ts, en) if leftOnly(ts) && rightOnly(en) => (ts, en)
+      case GreaterThan(en, ts) if rightOnly(en) && leftOnly(ts) => (ts, en)
+    }
+    val pair = (for {
+      (ts, st) <- lower
+      (ts2, en) <- upper if ts.semanticEquals(ts2)
+    } yield (ts, st, en)).headOption
+    pair.flatMap { case (ts, st, en) =>
+      for {
+        tsM <- micros(ts); stM <- micros(st); enM <- micros(en)
+      } yield {
+        val bandLit = Literal(band)
+        val lBand = Alias(IntegralDivide(tsM, bandLit), "__graft_band")()
+        val leftB = Project(l.output :+ lBand, l)
+        // Sequence is TimeZoneAwareExpression: the analyzer's
+        // ResolveTimeZone pass already ran, so set the zone explicitly
+        // or the node stays unresolved and plan validation rejects it
+        val gen = Explode(new Sequence(
+          IntegralDivide(stM, bandLit), IntegralDivide(enM, bandLit),
+          Literal(1L)).withTimeZone(conf.sessionLocalTimeZone))
+        val genOut = AttributeReference("__graft_band_r",
+          gen.elementSchema.head.dataType,
+          gen.elementSchema.head.nullable)()
+        val rightB = Generate(gen, unrequiredChildIndex = Nil,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(genOut), child = r)
+        val newCond = (EqualTo(lBand.toAttribute, genOut) +: conjuncts)
+          .reduce[Expression](And)
+        Project(l.output ++ r.output,
+          Join(leftB, rightB, Inner, Some(newCond), hint))
+      }
+    }
+  }
+}

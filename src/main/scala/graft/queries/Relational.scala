@@ -182,6 +182,26 @@ object Relational {
         .orderBy("event_id", "w_user", "w_start")
     }),
 
+    // The SAME interval join written NAIVELY (plain non-equi condition,
+    // which Spark alone plans as a nested-loop join) — the
+    // BandedRangeJoinRule optimizer rule rewrites it to the banded
+    // equi-join at plan time. Answer must equal q_join_range's oracle;
+    // PlanSpec separately asserts the nested-loop plan is gone.
+    "q_join_range_rule" -> ((s, dir) => {
+      s.experimental.extraOptimizations = Seq(graft.plans.BandedRangeJoinRule)
+      s.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "3600000000")
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val wins = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("w_user"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      clicks.join(wins,
+          col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .select(col("event_id"), col("w_user"), col("w_start"))
+        .orderBy("event_id", "w_user", "w_start")
+    }),
+
     // J3: cross join (reference uses cartesian for the similarity index;
     // kept here only on dimension tables — never on facts).
     "q_cross_join" -> ((s, dir) => {
@@ -580,6 +600,20 @@ object Relational {
         |ORDER BY c.event_id""".stripMargin,
 
     "q_join_range" ->
+      """WITH clicks AS (
+        |  SELECT event_id, ts FROM events WHERE event_type = 'click'),
+        |wins AS (
+        |  SELECT user_id AS w_user, ts AS w_start,
+        |    ts + INTERVAL 2 HOUR AS w_end
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, w.w_user, w.w_start
+        |FROM clicks c JOIN wins w
+        |  ON c.ts >= w.w_start AND c.ts < w.w_end
+        |ORDER BY event_id, w_user, w_start""".stripMargin,
+
+    // identical replay to q_join_range — the optimizer rewrite must not
+    // change the answer
+    "q_join_range_rule" ->
       """WITH clicks AS (
         |  SELECT event_id, ts FROM events WHERE event_type = 'click'),
         |wins AS (

@@ -34,6 +34,21 @@ object ExtensionsProbe {
         "xxhash64(array(xxhash64('b'), xxhash64('c'))) AS w2").head()
     println(s"[ext-probe] span_hashes = ${sp.getSeq[Long](0)}")
     assert(sp.getSeq[Long](0) == Seq(sp.getLong(1), sp.getLong(2)))
+    // optimizer-rule injection: interval join loses its nested-loop plan
+    // once the band conf opts in
+    spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "3600000000")
+    val ij = spark.sql(
+      """SELECT l.id FROM (SELECT timestamp_micros(id * 1000000) AS ts, id
+        |  FROM range(100)) l
+        |JOIN (SELECT timestamp_micros(id * 50000000) AS s,
+        |    timestamp_micros(id * 50000000 + 10000000) AS e
+        |  FROM range(10)) r
+        |ON l.ts >= r.s AND l.ts < r.e""".stripMargin)
+    val ijPlan = ij.queryExecution.executedPlan.toString
+    assert(!ijPlan.contains("BroadcastNestedLoopJoin"), ijPlan.take(2000))
+    println(s"[ext-probe] banded range-join rule rewrote the plan; " +
+      s"rows = ${ij.count()}")
+    spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "0")
     spark.stop()
   }
 }

@@ -14,6 +14,43 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
+  test("BandedRangeJoinRule: interval join loses its nested-loop plan, keeps its answer") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"))
+    val wins = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("w_user"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    def naive() = clicks.join(wins,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("w_user"))
+    // baseline: rule off → nested-loop plan, reference answer
+    spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "0")
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandedRangeJoinRule)
+    val before = naive()
+    assert(before.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val expected = before.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    try {
+      spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "3600000000")
+      val rewritten = naive()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == expected.toSeq, "rewritten join changed the answer")
+      assert(got.nonEmpty)
+      // idempotence/scope: an equi-keyed join is left alone
+      val equi = clicks.join(ev.select(col("event_id").as("e2")),
+        col("event_id") === col("e2"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    } finally {
+      spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "0")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("filters and projection push into the parquet scan") {
     val plan = planOf("q_scan_filter_project")
     assert(plan.contains("PushedFilters:"))
