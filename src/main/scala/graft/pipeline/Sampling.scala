@@ -85,6 +85,24 @@ object Sampling {
       .filter(col("quota_rank") <= k)
   }
 
+  /** `quotaPerGroup` as a native AGGREGATION instead of a window rank:
+    * the `top_k_by_score` TypedImperativeAggregate rides Spark's
+    * HashAggregate, so each partition pre-reduces to ≤ k entries per
+    * group BEFORE the shuffle (map-side combine) — the window form
+    * shuffles and sorts every row. Same (group, quota_rank, id, score)
+    * output, same (score desc, id asc) total order; score returns as
+    * double (cast back if the source column was integral). */
+  def quotaPerGroupAgg(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol),
+        (col("pos") + 1).cast("int").as("quota_rank"),
+        col("col.id").as(idCol),
+        col("col.score").as(scoreCol))
+
   /** Deterministic weighted mixture sampling: keep each row with its
     * group's probability, by hash threshold — row survives iff
     * `hashBucket(id, 10000) < weight·10000`. Reproducible across

@@ -675,6 +675,18 @@ object Pipeline {
           col("n_chars"))
         .orderBy("source", "quota_rank")),
 
+    // The same per-source quota computed by the native top_k_by_score
+    // AGGREGATE (map-side bounded-heap combine — each partition shuffles
+    // at most k entries per group) instead of the window rank's full
+    // shuffle+sort. Must hash-match the identical DuckDB window replay.
+    "q_quota_topk_agg" -> ((s, dir) =>
+      Sampling.quotaPerGroupAgg(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", k = 10)
+        .select(col("source"), col("quota_rank"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("source", "quota_rank")),
+
     // Weighted mixture construction: per-source keep probabilities
     // applied as deterministic md5-hash thresholds (no rand(), exactly
     // replayable by any engine). Aggregated per source to keep the gate
@@ -1729,6 +1741,19 @@ object Pipeline {
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_source_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars, row_number() OVER
+        |    (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+        |    AS quota_rank
+        |  FROM documents)
+        |SELECT source, CAST(quota_rank AS INTEGER) AS quota_rank,
+        |  doc_id, n_chars
+        |FROM r WHERE quota_rank <= 10
+        |ORDER BY source, quota_rank""".stripMargin,
+
+    // identical window replay — the aggregate form must not change the
+    // answer
+    "q_quota_topk_agg" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars, row_number() OVER
         |    (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)

@@ -608,6 +608,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.subsetOf(truth), "LSH emitted a pair below the threshold")
   }
 
+  test("top_k_by_score aggregate == window-rank quota, ties and small groups included") {
+    // 4000 rows, 7 groups, many exact score ties (score = i % 50), spread
+    // over 32 partitions so map-side partial states genuinely merge
+    val rows = (0L until 4000L).map(i => (s"g${i % 7}", i, (i % 50).toDouble))
+    val df = spark.createDataFrame(rows).toDF("grp", "id", "score")
+      .repartition(32)
+    val agg = Sampling.quotaPerGroupAgg(df, "grp", "id", "score", k = 9)
+      .select("grp", "quota_rank", "id", "score")
+      .as[(String, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val win = Sampling.quotaPerGroup(df, "grp", "id", "score", k = 9)
+      .select(col("grp"), col("quota_rank").cast("int"), col("id"), col("score"))
+      .as[(String, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(agg.toSeq == win.toSeq, "aggregate form diverged from window rank")
+    assert(agg.length == 7 * 9)
+    // a group smaller than k returns all its rows, ranked
+    val tiny = Seq(("a", 1L, 5.0), ("a", 2L, 7.0), ("b", 3L, 1.0))
+      .toDF("grp", "id", "score")
+    val t9 = Sampling.quotaPerGroupAgg(tiny, "grp", "id", "score", k = 9)
+      .select("grp", "quota_rank", "id").as[(String, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(t9 == Seq(("a", 1, 2L), ("a", 2, 1L), ("b", 1, 3L)))
+  }
+
   test("bloom prefilter dedup == plain anti-join; no false negatives; fpp bounded") {
     import org.apache.spark.sql.expressions.Window
     val corpus = (0L until 2000L)
