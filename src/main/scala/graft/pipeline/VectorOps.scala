@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (array<float>), for training-data similarity search and
@@ -10,10 +9,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Brute-force cosine top-k is the exact baseline: one broadcast join of
   * the (small) query set against the corpus, dot products as zip_with +
-  * aggregate column expressions (codegen), top-k as one hash aggregation
-  * per query (max-k via window over a pre-filtered candidate set).
-  * The scale path is random-hyperplane LSH: 16-bit sign sketches, bucket
-  * join, verify — corpus never self-joins unblocked.
+  * aggregate column expressions (codegen), top-k via the native
+  * bounded-heap aggregate (map-side partial combine — no scored row is
+  * ever sorted). The scale path is random-hyperplane LSH: 16-bit sign
+  * sketches, bucket join, verify — corpus never self-joins unblocked.
   */
 object VectorOps {
 
@@ -49,10 +48,27 @@ object VectorOps {
     val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("cvec"), col("qvec")), 6).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerKey(scored, Seq("qid"), "cosine", "cid", k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+  }
+
+  /** Shared top-k reduction: the native bounded-heap aggregate instead
+    * of a row_number window — each partition pre-reduces to ≤ k
+    * (score desc, id asc) entries per key BEFORE the shuffle, where the
+    * window form shuffles and sorts every scored row. Emits
+    * (keys…, rank, id, score) with the identical total order the
+    * window replay (and therefore the DuckDB oracle) produces. */
+  private def topKPerKey(scored: DataFrame, keyCols: Seq[String],
+      scoreCol: String, idCol: String, k: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    scored.groupBy(keys: _*)
+      .agg(graft.functions.TopK.top_k_by_score(
+        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .select(keys :+ posexplode(col("__top")): _*)
+      .select(keys ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol),
+        col("col.score").as(scoreCol)): _*)
   }
 
   /** Squared L2 distance between two float-array columns (double-promoted
@@ -98,20 +114,24 @@ object VectorOps {
   final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
 
   /** Vectors → owning cell (argmin L2 against the broadcast centroids,
-    * centroid id as tiebreak). */
+    * centroid id as tiebreak). Argmin rides the native top-1 aggregate
+    * (score = −distSq, so "best" = nearest; equal distances tie on
+    * ascending centroid id, matching the window form this replaced) —
+    * the build never sorts the corpus: each partition's HashAggregate
+    * keeps one running (cell, dist) pair per vector. */
   private def assignToCells(vectors: DataFrame, idCol: String,
-      vecCol: String, cen: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("cid"))
-      .orderBy(col("distSq").asc, col("cenId").asc)
+      vecCol: String, cen: DataFrame): DataFrame =
     graft.Tables.fanOut(vectors)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .join(broadcast(cen))
       .select(col("cid"), col("cvec"), col("cenId"),
         l2DistSq(col("cvec"), col("cenVec")).as("distSq"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("cid"), col("cvec"), col("cenId").as("cell"))
-  }
+      .groupBy(col("cid"))
+      .agg(first(col("cvec")).as("cvec"),
+        graft.functions.TopK.top_k_by_score(
+          -col("distSq"), col("cenId").cast("long"), 1).as("__top"))
+      .select(col("cid"), col("cvec"),
+        element_at(col("__top"), 1).getField("id").as("cell"))
 
   /** Build the index: assign every corpus vector to its cell. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
@@ -143,29 +163,33 @@ object VectorOps {
     IvfIndex(spark.read.parquet(s"$path/centroids.parquet"), cells)
   }
 
-  /** Probe + search an (in-memory or loaded) IVF index. */
+  /** Probe + search an (in-memory or loaded) IVF index. Both top-k
+    * reductions (query → nprobe nearest cells, per-query result top-k)
+    * use the native bounded-heap aggregate — no scored row ever sorts,
+    * and the shuffle after scoring carries ≤ k entries per query per
+    * partition. */
   def ivfSearch(index: IvfIndex, queries: DataFrame,
       idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
     val cen = index.centroids
-    // query → nprobe nearest cells
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("distSq").asc, col("cenId").asc)
+    // query → nprobe nearest cells (score = −distSq: nearest wins,
+    // equal distances tie on ascending centroid id)
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .join(broadcast(cen))
       .select(col("qid"), col("qvec"), col("cenId"),
         l2DistSq(col("qvec"), col("cenVec")).as("distSq"))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cenId").as("cell"))
+      .groupBy(col("qid"))
+      .agg(first(col("qvec")).as("qvec"),
+        graft.functions.TopK.top_k_by_score(
+          -col("distSq"), col("cenId").cast("long"), nprobe).as("__top"))
+      .select(col("qid"), col("qvec"), explode(col("__top")).as("__probe"))
+      .select(col("qid"), col("qvec"), col("__probe.id").as("cell"))
     // search only the probed cells
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    probed.join(index.cells, "cell")
+    val scored = probed.join(index.cells, "cell")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("cvec"), col("qvec")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
+    topKPerKey(scored, Seq("qid"), "cosine", "cid", k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
   /** k-means|| centroids for `ivfTopK` — the quality path for real
