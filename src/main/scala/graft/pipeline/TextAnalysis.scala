@@ -188,6 +188,10 @@ object TextAnalysis {
   def charNgramLm(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     graft.Tables.fanOut(corpus)
+      // null text yields an array of one NULL gram (Spark's greatest()
+      // skips nulls where DuckDB's propagates) — drop those rows so
+      // both engines agree that null documents contribute nothing
+      .filter(col(textCol).isNotNull)
       .select(explode(charGrams(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
 
@@ -214,6 +218,7 @@ object TextAnalysis {
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val stats = lm.agg(sum(col("c")).as("N"), count(lit(1)).as("V"))
     val nlp = graft.Tables.fanOut(docs)
+      .filter(col(textCol).isNotNull) // see charNgramLm: cross-engine null contract
       .select(col(idCol), explode(charGrams(col(textCol), n)).as("gram"))
       .join(lm, Seq("gram"), "left")
       .crossJoin(broadcast(stats))

@@ -192,6 +192,37 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(CorpusStats.vocabularyCoverage(docs, "text").count() == 8)
   }
 
+  test("null rows through the round-5 operators: deterministic, never throw") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, null)).toDF("id", "text")
+    // perplexity: the null-text doc contributes no grams and gets no score
+    val lm = TextAnalysis.charNgramLm(docs, "id", "text")
+    assert(TextAnalysis.perplexityScores(docs, lm, "id", "text")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // bloom dedup: all null texts share one constant hash — at most the
+    // min-id one survives, deterministically
+    val corpus = Seq((10L, "corpus body one"), (11L, "corpus body two"))
+      .toDF("id", "text")
+    val bloom = Dedup.buildCorpusBloom(corpus, "text")
+    val hashes = corpus.select(
+      org.apache.spark.sql.functions.md5(col("text").cast("binary")).as("h"))
+    val batch = Seq((1L, "fresh text"), (2L, null), (3L, null))
+      .toDF("id", "text")
+    val out = Dedup.exactDedupWithBloom(hashes, bloom, batch, "id", "text")
+      .select("docId").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L), s"expected fresh + first null-text row, got $out")
+    // semantic dedup: a null embedding pairs with nothing and keeps itself
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, null)).toDF("vec_id", "embedding")
+    val sem = VectorOps.semanticDedup(vecs, "vec_id", "embedding",
+        minCosine = 0.9, bits = 4, probes = 4,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .select("id", "group_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(sem == Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)), sem)
+  }
+
   test("maskPii masks each PII kind with its placeholder, ordered safely") {
     val docs = Seq((1L,
       "mail bob.smith+x@corp.example.com call +1 555 0117 " +
