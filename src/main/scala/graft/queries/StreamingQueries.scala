@@ -137,6 +137,20 @@ object StreamingQueries {
       s.table(name).select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // Streaming embedding near-dup: stateful hyperplane-LSH bucket
+    // matcher at the full-recall configuration. The drained distinct
+    // pair set must equal batch lshNeighborPairs — and therefore the
+    // DuckDB brute-force all-pairs cosine oracle.
+    "q_stream_ann_pairs" -> ((s, dir) => {
+      val name = s"stream_ann_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.DocStreams.runStreamingEmbeddingDedupOnce(
+        s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("a"), col("b"), col("cosine")).distinct()
+        .orderBy("a", "b")
+    }),
+
     // Streaming LM-perplexity scoring: a static char-trigram LM asset
     // broadcast into a streaming aggregation. Drained scores must
     // hash-match the batch operator's DuckDB relational replay.
@@ -207,6 +221,10 @@ object StreamingQueries {
     // identical replay to the batch perplexity gate — streaming must
     // converge to the same scores
     "q_stream_perplexity" -> Pipeline.oracles("q_doc_perplexity"),
+
+    // the same brute-force all-pairs cosine replay as the batch
+    // full-recall LSH gate
+    "q_stream_ann_pairs" -> Pipeline.oracles("q_ann_lsh_recall"),
 
     "q_stream_bloom_dedup" ->
       """WITH newdocs AS (

@@ -99,6 +99,105 @@ object DocStreams {
     * best-effort (a pair differing in all four chunks is missed by the
     * streaming AND batch paths alike, so stream==batch parity — what
     * this gate checks — still holds). */
+  final case class VecBucketRow(vecId: Long, vec: Array[Float],
+      probe: Int, bucket: Long)
+  final case class EmbeddingHit(a: Long, b: Long, cosine: Double)
+
+  /** Hyperplane LSH sketches for a streaming embedding frame — the
+    * stateless projection feeding [[embeddingMatcher]]; same native
+    * `HyperplaneSig` expression (and therefore identical buckets) as
+    * the batch `VectorOps.lshNeighborPairs`. */
+  def vecBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+      bits: Int, probes: Int): Dataset[VecBucketRow] = {
+    import vecs.sparkSession.implicits._
+    vecs.select(col(idCol).cast("long").as("vecId"), col(vecCol).as("vec"))
+      .select(col("vecId"), col("vec"), posexplode(
+        array((0 until probes).map(seed =>
+          graft.pipeline.VectorOps.hyperplaneSketch(
+            col("vec"), bits, seed)): _*)))
+      .toDF("vecId", "vec", "probe", "bucket")
+      .as[VecBucketRow]
+  }
+
+  /** Stateful embedding near-dup matcher: per (probe, bucket), compare
+    * each arriving vector against the bucket's remembered vectors (and
+    * the rest of the micro-batch), emit pairs at cosine >= minCosine,
+    * fold arrivals into state. The cosine kernel reproduces the batch
+    * operator's arithmetic exactly — float→double promotion, sequential
+    * index-order fold, HALF_UP round to 6 — so the emitted pair set is
+    * bitwise the batch answer. State carries the raw vectors (the
+    * verify step needs them); at scale bound it with a watermark or
+    * store int8-quantized vectors + exact re-check downstream. */
+  def embeddingMatcher(buckets: Dataset[VecBucketRow],
+      minCosine: Double): Dataset[EmbeddingHit] = {
+    import buckets.sparkSession.implicits._
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    def norm(x: Array[Float]): Double = math.sqrt(dot(x, x))
+    buckets
+      .groupByKey(r => (r.probe, r.bucket))
+      .flatMapGroupsWithState[List[(Long, Array[Float])], EmbeddingHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[List[(Long, Array[Float])]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val incoming = rows.map(r => (r.vecId, r.vec)).toList
+            .distinctBy(_._1).sortBy(_._1)
+          def hit(x: (Long, Array[Float]),
+              y: (Long, Array[Float])): Option[EmbeddingHit] = {
+            if (x._1 == y._1) return None
+            val c = BigDecimal(dot(x._2, y._2) / (norm(x._2) * norm(y._2)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (c >= minCosine)
+              Some(EmbeddingHit(math.min(x._1, y._1), math.max(x._1, y._1), c))
+            else None
+          }
+          val withinBatch = for {
+            i <- incoming.indices.iterator
+            j <- (i + 1) until incoming.size
+            h <- hit(incoming(i), incoming(j))
+          } yield h
+          val againstState = for {
+            n <- incoming.iterator
+            o <- seen.iterator
+            h <- hit(n, o)
+          } yield h
+          state.update(seen ++ incoming)
+          withinBatch ++ againstState
+      }
+  }
+
+  /** Drain-once runner: stream the embeddings table with the SAME
+    * planted near-duplicates as the batch full-recall gate
+    * (q_ann_lsh_recall: every 10th vector duplicated with components
+    * 7 and 39 zeroed), match at the same full-recall bits=10 ×
+    * 40-probe configuration, land hits in a memory table. The distinct
+    * drained pair set must equal the batch `lshNeighborPairs` answer —
+    * and therefore DuckDB's brute-force all-pairs cosine join. */
+  def runStreamingEmbeddingDedupOnce(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val base = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 7 || i === 39, lit(0.0f)).otherwise(x))
+          .as("embedding"))
+    val buckets = vecBuckets(base.unionAll(planted), "vec_id", "embedding",
+      bits = 10, probes = 40)
+    embeddingMatcher(buckets, minCosine = 0.9).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming LM-perplexity scoring: documents arrive as a stream and
     * are scored under a STATIC char-trigram LM (trained batch-side on
     * the even-id half of the corpus — at scale, a persisted asset). The
