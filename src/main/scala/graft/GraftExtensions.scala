@@ -59,6 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_might_contain_long"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Bloom.builder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("arg_max_struct"),
+      new ExpressionInfo(classOf[graft.functions.ArgMaxStruct].getName,
+        "arg_max_struct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          "arg_max_struct(payload_struct, version) takes 2 arguments")
+        graft.functions.ArgMaxStruct(exprs(0), exprs(1))
+      }))
     // planner tier: interval-containment joins become banded equi-joins
     // (inert until spark.graft.rangeJoin.bandMicros is set > 0)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC merge (MERGE INTO semantics) — absent from the reference (its
+  * state store is overwrite-only, `State.scala` round-trips whole
+  * checkpoints) and from core Spark's DataFrame API, but the backbone of
+  * any continuously-maintained corpus snapshot: apply a change batch of
+  * upserts and deletes to a keyed snapshot, keeping the highest-version
+  * row per key.
+  *
+  * Spark-first shape: tag the snapshot version 0, `unionByName` the
+  * change batch, then ONE hash aggregate per key — the native
+  * `arg_max_struct(payload, version)` aggregate — and drop keys whose
+  * winning row is a delete. (Spark's built-in `max_by` would express
+  * the same thing but its struct-typed declarative buffer degrades the
+  * plan to SortAggregate; the TypedImperativeAggregate stays in
+  * ObjectHashAggregate — see functions/ArgMax.scala.) That is a single
+  * shuffle on the merge key with map-side partial aggregation, the
+  * minimal data movement any merge needs; no window, no sort, no join.
+  * At 100 TB the snapshot side dominates: bucket the
+  * snapshot and the change feed on the key to make the shuffle a no-op
+  * for the snapshot (operators/Bucketing.scala pattern), and AQE handles
+  * hot-key skew in the aggregate as with any keyed reduction.
+  *
+  * Version ties are the caller's contract (CDC feeds carry a total
+  * per-key order: LSN, commit timestamp + batch seq, ...); rows at equal
+  * version have an unspecified winner, exactly like MERGE INTO with
+  * multiple matches.
+  */
+object Merge {
+
+  /** Latest-row-wins merge. `changes` must carry `snapshot`'s columns
+    * plus `versionCol` (numeric, higher = newer) and `opCol`
+    * ('U' upsert / 'D' delete). Returns the merged snapshot with the
+    * snapshot's original columns. */
+  def mergeLatest(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(keyCols.contains).toSeq
+    require((payload :+ opCol).forall(changes.columns.contains),
+      s"changes must carry ${payload.mkString(", ")} plus $versionCol/$opCol")
+    val snapTagged = snapshot
+      .withColumn(versionCol, lit(0L))
+      .withColumn(opCol, lit("U"))
+    val winner: Column = graft.functions.ArgMax.arg_max_struct(
+      struct((payload :+ opCol).map(col): _*), col(versionCol).cast("long"))
+    snapTagged.unionByName(changes.select(snapTagged.columns.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(winner.as("__w"))
+      .filter(col(s"__w.$opCol") === "U")
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
+  }
+
+  /** Slowly-changing-dimension type-2 history: from a keyed change log,
+    * one validity interval per observed state — (key, value, valid_from,
+    * valid_to, is_current), half-open [from, to), `valid_to` NULL on the
+    * current row. One keyed window (lead over the per-key event order) —
+    * a single shuffle on the key, the same cost as sorting the log. */
+  def scd2History(log: DataFrame, keyCols: Seq[String], timeCol: String,
+      tieCol: String, valueCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieCol).asc)
+    log.select((keyCols ++ Seq(timeCol, tieCol) ++ valueCols).map(col): _*)
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .select(keyCols.map(col) ++ valueCols.map(col) ++ Seq(
+        col(timeCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+}

@@ -249,6 +249,44 @@ object Relational {
         .orderBy("l_orderkey")
     }),
 
+    // CDC merge (MERGE INTO semantics, beyond the reference): apply a
+    // change batch (updates, deletes, inserts) to a keyed snapshot via
+    // ONE max_by hash aggregate — no window, no sort, no join. The
+    // change batch is derived deterministically from the snapshot so
+    // the DuckDB oracle replays the identical merge relationally.
+    "q_merge_upsert" -> ((s, dir) => {
+      val snap = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val del = snap.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("status"), col("price_c"),
+          lit(1L).as("version"), lit("D").as("op"))
+      val upd = snap
+        .filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("UPD").as("status"),
+          (col("price_c") + 110).as("price_c"),
+          lit(1L).as("version"), lit("U").as("op"))
+      val ins = snap.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 3000000L).as("o_orderkey"),
+          lit("NEW").as("status"), (col("price_c") + 100).as("price_c"),
+          lit(1L).as("version"), lit("U").as("op"))
+      graft.operators.Merge.mergeLatest(snap,
+          del.unionByName(upd).unionByName(ins),
+          Seq("o_orderkey"), "version", "op")
+        .orderBy("o_orderkey")
+    }),
+
+    // SCD type-2 history (beyond the reference): per-key validity
+    // intervals from a change log — half-open [valid_from, valid_to),
+    // NULL valid_to marks the current row. One keyed window shuffle.
+    "q_scd2_history" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.Merge.scd2History(log, Seq("user_id"), "ts",
+          "event_id", Seq("event_id", "event_type"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // W1: ranking window function.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
@@ -637,6 +675,38 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    0 AS version, 'U' AS op
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, status, price_c, 1 AS version, 'D' AS op
+        |  FROM snap WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'UPD', price_c + 110, 1, 'U'
+        |  FROM snap WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, 'NEW', price_c + 100, 1, 'U'
+        |  FROM snap WHERE o_orderkey % 11 = 0),
+        |w AS (
+        |  SELECT o_orderkey, status, price_c, op,
+        |    row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
+        |SELECT o_orderkey, status, price_c FROM w
+        |WHERE rn = 1 AND op = 'U'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_top1_per_key" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (

@@ -7,6 +7,8 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // same extension surface as production (Verify/Bench load it too)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     // Deep iterative plans (MCMC) otherwise render multi-GB debug strings
     // at persist() time — the string is UI-only, cap it.
     .config("spark.sql.maxPlanStringLength", "16384")
