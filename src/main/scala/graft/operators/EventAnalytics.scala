@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an append-only event log — funnel
+  * conversion, cohort retention, and time-grid gap-filling. The
+  * reference has no event-log surface at all (its only temporal data is
+  * the MCMC iteration counter, `DiagnosticsWriter.scala:39-72`); these
+  * are the standard product-analytics queries any engine fed by an
+  * event stream must answer, and each is shaped so the heavy input
+  * passes through exactly one keyed reduction before anything joins or
+  * windows.
+  *
+  * Scale notes (100 TB event log, billions of users):
+  *  - every operator here keys its first shuffle on the user/entity id,
+  *    the highest-cardinality column — no hot keys, AQE handles stragglers;
+  *  - per-user state after the first reduction is tiny (a step bitmask,
+  *    a first-seen week, a bucket list), so follow-up joins/windows run
+  *    on reduced data, not the raw log;
+  *  - nothing below ever sorts the full log: funnels fold a per-user
+  *    sorted array (bounded by events-per-user), retention and gap-fill
+  *    window over per-(user,bucket) aggregates.
+  */
+object EventAnalytics {
+
+  /** Strict-order funnel: a user reaches step `i` when they performed
+    * steps `0..i` in time order (each step at or after the moment the
+    * previous step was first reached). Returns one row per step:
+    * `(step, step_name, users)` with `users` = how many users reached it.
+    *
+    * ONE shuffle on the user key: the log is filtered to the funnel's
+    * event types, collected per user as `(ts, step)` pairs, sorted
+    * in-group (cost bounded by events-per-user, not log size), and
+    * folded once with `aggregate` to the furthest step reached — all
+    * codegen'd column algebra, no window, no self-join per step (the
+    * textbook N-way-join funnel shuffles the log once PER STEP).
+    */
+  def funnel(events: DataFrame, userCol: String, timeCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, lit(i)).otherwise(acc)
+      }
+    val reach = events
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol).as("u"),
+        struct(col(timeCol).as("ts"), stepIdx.as("step")).as("e"))
+      .groupBy(col("u"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      // fold: state = number of consecutive steps already reached; an
+      // event advances it iff it is exactly the next step in order.
+      // Sorting by (ts, step) makes the equal-timestamp case
+      // deterministic and matches the oracle's `ts >= t_prev` replay.
+      .select(aggregate(col("es"), lit(0),
+        (st, e) => when(e.getField("step") === st, st + 1).otherwise(st))
+        .as("reach"))
+    val stepSums = steps.indices.map(i =>
+      sum((col("reach") > i).cast("long")).as(s"s$i"))
+    val counts = reach.agg(stepSums.head, stepSums.tail: _*)
+    val stackArgs = steps.indices
+      .map(i => s"$i, '${steps(i)}', s$i").mkString(", ")
+    counts
+      .select(expr(s"stack(${steps.size}, $stackArgs) " +
+        "as (step, step_name, users)"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: users are grouped into cohorts by the period of
+    * their first event; for each (cohort, period-offset) cell, how many
+    * of that cohort's users were active. Returns
+    * `(cohort, offset, active_users)`, offset in periods since the
+    * cohort period (offset 0 = the cohort period itself).
+    *
+    * Shape: cohorts come from one `groupBy(user).min(ts)` (partial
+    * aggregation collapses each map partition to one row per user);
+    * activity is the distinct (user, period) set — also a partial-agg
+    * reduction; the two reduced sides join on the user id and the
+    * final cell count aggregates per (cohort, offset). The raw log is
+    * read once per side and never sorted. The cohort side cannot
+    * broadcast at real scale (one row per user), so the join shuffles
+    * both reduced sides on the user id — bucket the log by user id
+    * (operators/Bucketing.scala) to make both reductions and the join
+    * exchange-free.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, timeCol: String,
+      period: String = "week"): DataFrame = {
+    val cohorts = events.groupBy(col(userCol).as("u"))
+      .agg(date_trunc(period, min(col(timeCol))).as("cohort"))
+    val activity = events
+      .select(col(userCol).as("u"),
+        date_trunc(period, col(timeCol)).as("p"))
+      .distinct()
+    val periodDays = period.toLowerCase match {
+      case "week" => 7L
+      case "day" => 1L
+      case other => throw new IllegalArgumentException(
+        s"unsupported retention period: $other (use day or week)")
+    }
+    activity.join(cohorts, "u")
+      .select(col("cohort"),
+        (datediff(col("p"), col("cohort")) / periodDays)
+          .cast("long").as("offset"))
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort", "offset")
+  }
+
+  /** Gap-fill a keyed time series onto a regular bucket grid with
+    * forward fill: for each key, every `hour` bucket between that key's
+    * first and last event appears exactly once, carrying the last
+    * observed value at or before the bucket (ties within a bucket break
+    * by (ts, tieCol) — the latest wins), plus `is_gap` marking buckets
+    * with no event of their own.
+    *
+    * Shape: the raw log collapses FIRST through a per-(key, bucket)
+    * aggregation (`max(struct(ts, tie, value))` — one partial-agg
+    * shuffle bounded by keys×buckets, the last-writer-wins pick rides
+    * the same hash aggregate, no window over raw events); the bucket
+    * grid explodes from per-key min/max bounds (`sequence`, rows =
+    * buckets, not events); the grid left-joins the observed buckets on
+    * (key, bucket) and one per-key window applies `last(_, ignoreNulls
+    * = true)`. Everything downstream of the first reduction is sized
+    * by the grid. Dense grids for long-lived keys are the known risk
+    * at scale — bound the fill horizon upstream (filter the log to the
+    * window of interest) rather than asking for years of hourly rows.
+    */
+  def gapFillHourly(events: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val bucket = date_trunc("hour", col(timeCol))
+    val observed = events
+      .select(col(keyCol).as("k"), bucket.as("h"),
+        struct(col(timeCol).as("ts"), col(tieCol).as("tie"),
+          col(valueCol).as("v")).as("e"))
+      .groupBy("k", "h")
+      .agg(max(col("e")).getField("v").as("v_obs"))
+    val grid = observed.groupBy("k")
+      .agg(sequence(min(col("h")), max(col("h")),
+        expr("INTERVAL 1 HOUR")).as("hs"))
+      .select(col("k"), explode(col("hs")).as("h"))
+    val w = Window.partitionBy("k").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq("k", "h"), "left")
+      .select(col("k"), col("h"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("value"),
+        col("v_obs").isNull.as("is_gap"))
+      .orderBy("k", "h")
+  }
+}

@@ -287,6 +287,33 @@ object Relational {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // Event-sequence analytics (beyond the reference): strict-order
+    // funnel — one shuffle on the user key, per-user sorted fold, no
+    // per-step self-joins. Oracle replays with sequential min-CTEs.
+    "q_funnel" -> ((s, dir) => {
+      graft.operators.EventAnalytics.funnel(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+    }),
+
+    // Cohort retention matrix: first-seen-week cohorts × weekly
+    // activity; both sides of the join are partial-agg reductions.
+    "q_cohort_retention" -> ((s, dir) => {
+      graft.operators.EventAnalytics.cohortRetention(
+        t(s, dir, "events"), "user_id", "ts", "week")
+    }),
+
+    // Time-grid gap-fill with forward fill: per-user hourly buckets,
+    // last observed value carried across gaps. The raw log collapses
+    // through one (key, bucket) aggregation before any join/window.
+    "q_gap_fill" -> ((s, dir) => {
+      graft.operators.EventAnalytics.gapFillHourly(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .select(col("k").as("user_id"), col("h"), col("value"),
+          col("is_gap"))
+        .orderBy("user_id", "h")
+    }),
+
     // W1: ranking window function.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
@@ -707,6 +734,57 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH f AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, min(ts) AS t FROM f
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT f.user_id, min(f.ts) AS t FROM f
+        |  JOIN t1 USING (user_id)
+        |  WHERE f.event_type = 'click' AND f.ts >= t1.t GROUP BY 1),
+        |t3 AS (SELECT f.user_id, min(f.ts) AS t FROM f
+        |  JOIN t2 USING (user_id)
+        |  WHERE f.event_type = 'purchase' AND f.ts >= t2.t GROUP BY 1)
+        |SELECT 0 AS step, 'signup' AS step_name,
+        |  (SELECT count(*) FROM t1) AS users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)
+        |ORDER BY step""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+        |  FROM events)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, p) // 7 AS BIGINT) AS "offset",
+        |  count(*) AS active_users
+        |FROM act JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, ts,
+        |    event_id, value FROM events),
+        |obs AS (SELECT user_id, h, value AS v_obs FROM (
+        |  SELECT user_id, h, value, row_number() OVER (
+        |    PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev) WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds)
+        |SELECT g.user_id AS user_id, g.h AS h,
+        |  last_value(o.v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h) AS value,
+        |  o.v_obs IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND g.h = o.h
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_top1_per_key" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (

@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, e) => (u, ts(t), e) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("funnel counts only users whose steps occur in order") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),   // full path, in order
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      (2L, "2024-01-01 10:00:00", "click"),    // click BEFORE signup
+      (2L, "2024-01-01 11:00:00", "signup"),
+      (2L, "2024-01-01 12:00:00", "purchase"), // purchase after signup but
+      (3L, "2024-01-01 10:00:00", "signup"),   //   no in-order click → step 1
+      (4L, "2024-01-01 10:00:00", "purchase")) // never signed up → step 0
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (0, "signup", 3L),    // users 1, 2, 3
+      (1, "click", 1L),     // only user 1 clicked after signing up
+      (2, "purchase", 1L)))
+  }
+
+  test("funnel: a later re-occurrence of an earlier step unlocks the rest") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "click"),   // too early, before signup
+      (1L, "2024-01-01 11:00:00", "signup"),
+      (1L, "2024-01-01 12:00:00", "click"),   // second click counts
+      (1L, "2024-01-01 13:00:00", "purchase"))
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out.map(_._3) === Seq(1L, 1L, 1L))
+  }
+
+  test("funnel: equal timestamps count in step order, matching the >= oracle") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:00:00", "click"))   // same instant as signup
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("signup", "click"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out.map(_._3) === Seq(1L, 1L))
+  }
+
+  test("funnel plan has no join and a single shuffle on the user key") {
+    val events = ev((1L, "2024-01-01 10:00:00", "signup"))
+    val plan = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+      Seq("signup", "click")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not self-join:\n$plan")
+  }
+
+  test("cohortRetention buckets users by first-seen week") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort week Jan 1 (Monday)
+      (1L, ts("2024-01-09 10:00:00")), // active in week offset 1
+      (2L, ts("2024-01-02 10:00:00")), // same cohort, only week 0
+      (3L, ts("2024-01-10 10:00:00"))) // cohort week Jan 8
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(events, "user_id", "ts", "week")
+      .select(col("cohort").cast("string"), col("offset"),
+        col("active_users"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01 00:00:00", 0L, 2L),
+      ("2024-01-01 00:00:00", 1L, 1L),
+      ("2024-01-08 00:00:00", 0L, 1L)))
+  }
+
+  test("gapFillHourly fills missing buckets forward and flags them") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 100L, 1.0),
+      (1L, ts("2024-01-01 10:45:00"), 101L, 2.0), // same bucket: latest wins
+      (1L, ts("2024-01-01 13:30:00"), 102L, 5.0)) // 11:00 and 12:00 are gaps
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.gapFillHourly(
+        events, "user_id", "ts", "event_id", "value")
+      .select(col("h").cast("string"), col("value"), col("is_gap"))
+      .as[(String, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01 10:00:00", 2.0, false),
+      ("2024-01-01 11:00:00", 2.0, true),
+      ("2024-01-01 12:00:00", 2.0, true),
+      ("2024-01-01 13:00:00", 5.0, false)))
+  }
+
+  test("gapFillHourly ties inside a bucket break by the tie column") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L, 9.0),  // higher tie id wins
+      (1L, ts("2024-01-01 10:00:00"), 1L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.gapFillHourly(
+        events, "user_id", "ts", "event_id", "value")
+      .select("value").as[Double].collect().toSeq
+    assert(out === Seq(9.0))
+  }
+
+  test("gapFillHourly keeps keys independent") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 12:30:00"), 2L, 2.0),
+      (2L, ts("2024-01-01 11:10:00"), 3L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.gapFillHourly(
+        events, "user_id", "ts", "event_id", "value")
+      .select(col("k"), col("value"), col("is_gap"))
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1.0, false), (1L, 1.0, true), (1L, 2.0, false),
+      (2L, 7.0, false)))
+  }
+}
