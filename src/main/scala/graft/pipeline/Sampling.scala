@@ -103,6 +103,46 @@ object Sampling {
         col("col.id").as(idCol),
         col("col.score").as(scoreCol))
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): per stratum, keep the k rows maximizing
+    * `u^(1/w)` where `u` is a deterministic per-id uniform and `w` the
+    * row's weight — inclusion probability proportional to weight, no
+    * `rand()`, reproducible across engines and runs. The uniform comes
+    * from a Knuth multiplicative hash (`id·2654435761 mod 2^32`, shifted
+    * to bucket midpoints) — exactly computable in any engine with 64-bit
+    * integer arithmetic, which is what makes the selection replayable by
+    * a SQL oracle. The sampling key is ROUNDED (7 dp) so cross-libm
+    * `pow` ulp drift cannot flip a rank; ties break on ascending id —
+    * a total order, same contract as [[quotaPerGroupAgg]].
+    *
+    * One-pass: the `top_k_by_score` bounded-heap aggregate pre-reduces
+    * every partition to ≤ k candidates per stratum before the shuffle,
+    * so data movement is strata×k rows, not the corpus — the window-rank
+    * form of weighted sampling shuffles and sorts everything. The
+    * multiplicative hash overflows 64-bit for ids above ~2^33 — feed a
+    * pre-mixed id (e.g. `xxhash64`) when keys are that large and the
+    * replayability requirement moves to whatever engine computes it.
+    *
+    * Returns `(stratum, sample_rank, id, sample_key)`, rank 1 = most
+    * favored draw. */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val u = (pmod(col(idCol).cast("long") * lit(2654435761L),
+        lit(4294967296L)).cast("double") + 0.5) / lit(4294967296.0)
+    val key = round(pow(u,
+      lit(1.0) / greatest(col(weightCol).cast("double"), lit(1.0))), 7)
+    df.select(col(stratumCol).as("stratum"),
+        col(idCol).cast("long").as("id"), key.as("__key"))
+      .groupBy("stratum")
+      .agg(graft.functions.TopK.top_k_by_score(
+        col("__key"), col("id"), k).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")))
+      .select(col("stratum"),
+        (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.id").as("id"),
+        col("col.score").as("sample_key"))
+  }
+
   /** Deterministic weighted mixture sampling: keep each row with its
     * group's probability, by hash threshold — row survives iff
     * `hashBucket(id, 10000) < weight·10000`. Reproducible across

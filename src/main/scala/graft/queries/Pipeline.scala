@@ -405,6 +405,18 @@ object Pipeline {
           "label", "vec_id", k = 5)
         .orderBy("label", "vec_id")),
 
+    // Weighted sampling without replacement (A-ES): longer documents
+    // are proportionally more likely to be drawn; the per-id uniform is
+    // a multiplicative hash, so DuckDB replays the exact selection.
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "doc_id", "n_chars", k = 20)
+        .withColumnRenamed("stratum", "source")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("source", "sample_rank")),
+
     // Multimodal plumbing: binary payloads through batch feature
     // extraction + frame sampling; byte-length and frame-count invariants
     // are oracle-checked, the stubbed decode features are not.
@@ -1510,6 +1522,21 @@ object Pipeline {
         |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
         |  FROM embeddings) WHERE rk <= 5
         |ORDER BY label, vec_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id,
+        |    round(pow(((doc_id * 2654435761) % 4294967296 + 0.5)
+        |        / 4294967296,
+        |      1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)), 7) AS k
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, k, row_number() OVER (
+        |    PARTITION BY source ORDER BY k DESC, doc_id ASC) AS rn
+        |  FROM keyed)
+        |SELECT source, rn AS sample_rank, doc_id, k AS sample_key
+        |FROM ranked WHERE rn <= 20
+        |ORDER BY source, sample_rank""".stripMargin,
 
     "q_sample_split" ->
       """WITH b AS (

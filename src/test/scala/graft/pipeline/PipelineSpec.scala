@@ -227,6 +227,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 2)
   }
 
+  test("weightedSample: deterministic, k per stratum, weight-proportional") {
+    val df = (1L to 4000L)
+      .map(i => (i, s"g${i % 2}", if (i % 5 == 0) 900L else 10L))
+      .toDF("id", "grp", "w")
+    val s1 = Sampling.weightedSample(df, "grp", "id", "w", k = 50)
+    val rows = s1.as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.size == 100)
+    assert(rows.groupBy(_._1).values.forall(_.size == 50))
+    // ranks are 1..k and sample keys non-increasing within a stratum
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to 50L))
+      assert(sorted.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    }
+    // determinism across runs
+    val s2 = Sampling.weightedSample(df, "grp", "id", "w", k = 50)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.toSet == s2.toSet)
+    // heavy rows (weight 900, 20% of the population) should dominate the
+    // sample: expected share ≈ 900·20 / (900·20 + 10·80) ≈ 96%
+    val heavy = rows.count(_._3 % 5 == 0)
+    assert(heavy > 70, s"expected heavy-weight dominance, got $heavy/100")
+    // agrees exactly with the window-rank replay of the same keys
+    val replay = {
+      import org.apache.spark.sql.expressions.Window
+      val u = (pmod(col("id") * lit(2654435761L), lit(4294967296L))
+        .cast("double") + 0.5) / lit(4294967296.0)
+      val key = round(pow(u, lit(1.0) / greatest(col("w").cast("double"),
+        lit(1.0))), 7)
+      val win = Window.partitionBy(col("grp"))
+        .orderBy(col("__k").desc, col("id").asc)
+      df.withColumn("__k", key)
+        .withColumn("__rn", row_number().over(win))
+        .filter(col("__rn") <= 50)
+        .select(col("grp"), col("__rn").cast("long"), col("id"), col("__k"))
+        .as[(String, Long, Long, Double)].collect().toSet
+    }
+    assert(rows.toSet == replay)
+  }
+
   test("quotaPerGroup keeps top-k by score, id-asc ties, small groups whole") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
