@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "arg_max_struct(payload_struct, version) takes 2 arguments")
         graft.functions.ArgMaxStruct(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[graft.functions.StripAccents].getName,
+        "strip_accents"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "strip_accents(str) takes 1 argument")
+        graft.functions.StripAccents(exprs.head)
+      }))
     // planner tier: interval-containment joins become banded equi-joins
     // (inert until spark.graft.rangeJoin.bandMicros is set > 0)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)

@@ -405,6 +405,43 @@ object Pipeline {
           "label", "vec_id", k = 5)
         .orderBy("label", "vec_id")),
 
+    // JSONL roundtrip: the corpus is written as JSON Lines and read
+    // back with an explicit schema (no inference pass), then aggregated;
+    // the oracle computes the same aggregate straight from parquet, so
+    // any encoding loss (newlines, quotes, unicode escapes) or dropped
+    // row surfaces as a hash mismatch.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString
+      graft.sources.Jsonl.write(
+        t(s, dir, "documents"), tmp, partitions = 8)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_chars BIGINT")
+      graft.sources.Jsonl.read(s, tmp, schema)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("source", "lang")
+    }),
+
+    // Accent folding (native codegen Expression): accents are
+    // synthesized onto the ASCII corpus with translate, stripped with
+    // the native expression, and the roundtrip must restore the
+    // original text. DuckDB's utf8proc-based strip_accents replays the
+    // identical NFD + drop-combining-marks semantics.
+    "q_strip_accents" -> ((s, dir) => {
+      val acc = translate(col("text"), "aeiou", "áéîöü")
+      t(s, dir, "documents").select(col("doc_id"),
+          substring(graft.functions.Normalize.strip_accents(acc), 1, 60)
+            .as("prefix"),
+          (graft.functions.Normalize.strip_accents(acc) === col("text"))
+            .as("roundtrip"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted sampling without replacement (A-ES): longer documents
     // are proportionally more likely to be drawn; the per-id uniform is
     // a multiplicative hash, so DuckDB replays the exact selection.
@@ -1522,6 +1559,21 @@ object Pipeline {
         |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
         |  FROM embeddings) WHERE rk <= 5
         |ORDER BY label, vec_id""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT source, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_strip_accents" ->
+      """WITH a AS (SELECT doc_id, text,
+        |    translate(text, 'aeiou', 'áéîöü') AS acc FROM documents)
+        |SELECT doc_id, substr(strip_accents(acc), 1, 60) AS prefix,
+        |  strip_accents(acc) = text AS roundtrip
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH keyed AS (
