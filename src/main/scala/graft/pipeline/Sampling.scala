@@ -143,6 +143,60 @@ object Sampling {
         col("col.score").as("sample_key"))
   }
 
+  /** Temperature-scaled mixture multipliers (the T5/PaLM data-mixing
+    * rule): raise each group's weight to `1/T` and normalize so the
+    * MEAN multiplier is 1 — `T = 1` reproduces the weights' proportions,
+    * `T → ∞` flattens toward uniform, `T < 1` sharpens. Pure driver-side
+    * math over per-group constants; feed the result to
+    * [[upsampleByGroup]]. */
+  def temperatureMultipliers(weights: Map[String, Double],
+      temperature: Double): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val u = weights.map { case (g, w) =>
+      g -> math.pow(w, 1.0 / temperature) }
+    val mean = u.values.sum / u.size
+    u.map { case (g, v) => g -> v / mean }
+  }
+
+  /** Materialize a fractional per-group repetition factor: each row is
+    * emitted `floor(m)` times plus one more for a deterministic
+    * hash-chosen `frac(m)` share of its group — groups with `m < 1`
+    * downsample (some rows emit zero copies), groups with `m > 1`
+    * upsample, and in expectation each group's row count scales by
+    * exactly `m`. This is how a temperature-adjusted mixture becomes a
+    * physical training corpus: epochs-per-source as data, not a
+    * sampler config.
+    *
+    * The fractional draw reuses the md5 `hashBucket` (engine-portable,
+    * join-stable); multipliers are quantized to 1/10000 so both engines
+    * compare the same integers — no float math at query time. Groups
+    * absent from the map keep multiplier 1. Output repeats each input
+    * row with `rep` = 1..count; the explode is generator-only
+    * (shuffle-free), so the operator parallelizes with the scan at any
+    * scale. */
+  def upsampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+      multipliers: Map[String, Double]): DataFrame = {
+    require(multipliers.values.forall(m => m >= 0 && m < 1000),
+      "multipliers must be in [0, 1000)")
+    val base = multipliers.foldLeft(lit(1L)) { case (acc, (g, m)) =>
+      when(col(groupCol) === g, lit(math.floor(m).toLong)).otherwise(acc)
+    }
+    val thr = multipliers.foldLeft(lit(0L)) { case (acc, (g, m)) =>
+      when(col(groupCol) === g,
+        lit(math.round((m - math.floor(m)) * 10000))).otherwise(acc)
+    }
+    val cnt = (base +
+      when(hashBucket(col(idCol), 10000) < thr, 1L).otherwise(0L))
+      .cast("long")
+    df.withColumn("__reps",
+        when(cnt >= 1L, sequence(lit(1L), cnt))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("rep", explode(col("__reps")))
+      .drop("__reps")
+  }
+
   /** Deterministic weighted mixture sampling: keep each row with its
     * group's probability, by hash threshold — row survives iff
     * `hashBucket(id, 10000) < weight·10000`. Reproducible across

@@ -26,6 +26,16 @@ object Pipeline {
     d.unionAll(mutated)
   }
 
+  /** Shared constants for q_temperature_mix: weights cycle 1..4 over
+    * the 20 sources; T = 0.7 sharpens, giving multipliers ≈ 0.25–1.84
+    * (a mix of down- and up-sampling, fractional parts exercised). The
+    * SAME map feeds the Spark query and the interpolated oracle SQL, so
+    * both engines compare identical quantized integers. */
+  private val tempMixMult: Map[String, Double] =
+    Sampling.temperatureMultipliers(
+      (0 until 20).map(i => s"src$i" -> (1.0 + (i % 4))).toMap,
+      temperature = 0.7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text statistics: token/punct counts (oracle-checked).
     "q_doc_token_stats" -> ((s, dir) => {
@@ -404,6 +414,15 @@ object Pipeline {
           t(s, dir, "embeddings").select(col("vec_id"), col("label")),
           "label", "vec_id", k = 5)
         .orderBy("label", "vec_id")),
+
+    // Temperature-scaled mixture materialization: per-source fractional
+    // repetition factors become physical row repeats (epochs-per-source
+    // as data). Down- and up-sampling in one pass, shuffle-free.
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.upsampleByGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", tempMixMult)
+        .orderBy("doc_id", "rep")),
 
     // JSONL roundtrip: the corpus is written as JSON Lines and read
     // back with an explicit schema (no inference pass), then aggregated;
@@ -1559,6 +1578,27 @@ object Pipeline {
         |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
         |  FROM embeddings) WHERE rk <= 5
         |ORDER BY label, vec_id""".stripMargin,
+
+    "q_temperature_mix" -> {
+      val baseCase = tempMixMult.toSeq.sortBy(_._1).map { case (g, m) =>
+        s"WHEN '$g' THEN ${math.floor(m).toLong}" }.mkString(" ")
+      val thrCase = tempMixMult.toSeq.sortBy(_._1).map { case (g, m) =>
+        s"WHEN '$g' THEN ${math.round((m - math.floor(m)) * 10000)}"
+      }.mkString(" ")
+      s"""WITH m AS (SELECT doc_id, source,
+         |  CASE source $baseCase ELSE 1 END AS base,
+         |  CASE source $thrCase ELSE 0 END AS thr
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, CAST(base +
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |        1, 8) AS BIGINT) % 10000 < thr
+         |      THEN 1 ELSE 0 END AS BIGINT) AS cnt
+         |  FROM m)
+         |SELECT doc_id, source,
+         |  unnest(generate_series(1, cnt)) AS rep
+         |FROM c WHERE cnt >= 1
+         |ORDER BY doc_id, rep""".stripMargin
+    },
 
     "q_jsonl_roundtrip" ->
       """SELECT source, lang, count(*) AS n,

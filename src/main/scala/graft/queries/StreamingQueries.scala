@@ -44,6 +44,19 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming CDC merge: the q_merge_upsert change feed folded into
+    // per-key state via mapGroupsWithState; the converged snapshot must
+    // hash-match the batch merge's relational replay.
+    "q_stream_merge" -> ((s, dir) => {
+      val name = s"stream_merge_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.CdcStreams.runStreamingMergeOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .filter(col("op") =!= "D")
+        .select(col("o_orderkey"), col("status"), col("price_c"))
+        .orderBy("o_orderkey")
+    }),
+
     // Stateful streaming dedup (dropDuplicates over the event stream):
     // the emitted key set must equal batch DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
@@ -193,6 +206,30 @@ object StreamingQueries {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_merge" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    0 AS version, 'U' AS op
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, status, price_c, 1 AS version, 'D' AS op
+        |  FROM snap WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'UPD', price_c + 110, 1, 'U'
+        |  FROM snap WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, 'NEW', price_c + 100, 1, 'U'
+        |  FROM snap WHERE o_orderkey % 11 = 0),
+        |w AS (
+        |  SELECT o_orderkey, status, price_c, op,
+        |    row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
+        |SELECT o_orderkey, status, price_c FROM w
+        |WHERE rn = 1 AND op = 'U'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events

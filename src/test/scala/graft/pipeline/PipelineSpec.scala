@@ -267,6 +267,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toSet == replay)
   }
 
+  test("temperatureMultipliers: T=1 identity shape, T→∞ flattens, mean 1") {
+    val w = Map("a" -> 1.0, "b" -> 4.0)
+    val t1 = Sampling.temperatureMultipliers(w, 1.0)
+    assert(math.abs(t1("b") / t1("a") - 4.0) < 1e-9)
+    assert(math.abs((t1("a") + t1("b")) / 2 - 1.0) < 1e-9)
+    val flat = Sampling.temperatureMultipliers(w, 1000.0)
+    assert(math.abs(flat("b") / flat("a") - 1.0) < 1e-2)
+    val sharp = Sampling.temperatureMultipliers(w, 0.5)
+    assert(sharp("b") / sharp("a") > 4.0)
+  }
+
+  test("upsampleByGroup: expected scaling, determinism, zero-copy drops") {
+    val n = 2000
+    val df = (1L to n).map(i => (i, if (i % 2 == 0) "up" else "down"))
+      .toDF("id", "grp")
+    val mult = Map("up" -> 2.5, "down" -> 0.25)
+    val out = Sampling.upsampleByGroup(df, "grp", "id", mult)
+    val counts = out.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    // each group has n/2 = 1000 rows; expectation 2500 and 250
+    assert(math.abs(counts("up") - 2500L) < 150, counts)
+    assert(math.abs(counts("down") - 250L) < 100, counts)
+    // reps are exactly 1..cnt per id and the draw is deterministic
+    val perId = out.filter(col("grp") === "up").groupBy("id")
+      .agg(count(lit(1)).as("c"), max(col("rep")).as("m"))
+      .as[(Long, Long, Long)].collect()
+    assert(perId.forall(r => r._2 == r._3 && (r._2 == 2L || r._2 == 3L)))
+    val again = Sampling.upsampleByGroup(df, "grp", "id", mult)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+    // unmapped group keeps multiplier 1
+    val other = Sampling.upsampleByGroup(
+      Seq((1L, "x")).toDF("id", "grp"), "grp", "id", mult)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(other === Seq((1L, "x", 1L)))
+  }
+
   test("quotaPerGroup keeps top-k by score, id-asc ties, small groups whole") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
