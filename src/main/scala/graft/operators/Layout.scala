@@ -51,6 +51,56 @@ object Layout {
       b: Column, bBounds: Array[Double]): Column =
     ZOrder.z_order2(bucketByBounds(a, aBounds), bucketByBounds(b, bBounds))
 
+  /** Zone id: the Morton code's high bits — dropping `zoneShift` low
+    * bits merges 2^zoneShift adjacent Morton cells into one zone, so a
+    * zone is a compact rectangle-ish region of the (x, y) bucket grid.
+    * This is the relational stand-in for "which file/row-group would
+    * this row land in" after a Z-ordered write. */
+  def zoneId(xBucket: Column, yBucket: Column, zoneShift: Int): Column =
+    shiftright(ZOrder.z_order2(xBucket, yBucket), zoneShift)
+
+  /** Zone-map index: per-zone row count plus min/max of each stat
+    * column — the relational form of parquet row-group statistics and
+    * lakehouse file-skipping metadata. The index is O(zones) rows
+    * (metadata-sized: thousands of entries for a 100 TB table), so it
+    * broadcasts for pruning joins and collects for plan-time partition
+    * pruning; count/min/max all merge, so it maintains incrementally
+    * under appends without touching old zones. */
+  def zoneMapIndex(df: DataFrame, zoneCol: String,
+      statCols: Seq[String]): DataFrame = {
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(col(zoneCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Zones whose [min, max] interval intersects EVERY requested
+    * `(column, lo, hi)` range — the candidate set a skipping scan must
+    * read. Zones where any range misses entirely are provably empty of
+    * matches and are dropped wholesale. */
+  def matchingZones(index: DataFrame, zoneCol: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame =
+    ranges.foldLeft(index) { case (ix, (c, lo, hi)) =>
+      ix.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+    }.select(col(zoneCol))
+
+  /** Data-skipping scan: consult the zone-map index, broadcast the
+    * surviving zone ids into a semi join, then apply the exact
+    * predicate. Semantics-preserving by construction — a zone's min/max
+    * bound every row in it, so the result ALWAYS equals the plain
+    * filter; the index only removes whole zones early. On a table
+    * written `partitionBy(zone)` the same candidate set prunes
+    * partitions at the scan instead (collect [[matchingZones]] — it is
+    * metadata-sized — into an `isin` partition filter; LayoutSpec
+    * demonstrates both paths). */
+  def pruneByZoneMap(df: DataFrame, index: DataFrame, zoneCol: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val keep = matchingZones(index, zoneCol, ranges)
+    val semi = df.join(broadcast(keep), Seq(zoneCol), "left_semi")
+    ranges.foldLeft(semi) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi) }
+  }
+
   /** Rewrite `df` clustered in Z-order over (colA, colB): equi-depth
     * bucket both columns, range-repartition on the Morton code, sort
     * within partitions. Written out, every file covers a compact Morton

@@ -656,6 +656,42 @@ object Pipeline {
             .as("morton"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Zone-map index: per-zone n/min/max stats over a Morton-zoned
+    // lineitem — the relational form of file-skipping metadata. Zones
+    // are floor(quantity/4) × linenumber cells with 2 low Morton bits
+    // merged; the oracle replays the interleave bit-sum relationally.
+    "q_zone_map_index" -> ((s, dir) =>
+      graft.operators.Layout.zoneMapIndex(
+          t(s, dir, "lineitem").select(
+            col("l_quantity"), col("l_linenumber"),
+            graft.operators.Layout.zoneId(
+              floor(col("l_quantity") / 4).cast("long"),
+              col("l_linenumber").cast("long"), 2).as("zone")),
+          "zone", Seq("l_quantity", "l_linenumber"))
+        .withColumn("n_rows", col("n_rows").cast("long"))
+        .orderBy("zone")),
+
+    // Data-skipping scan through the zone map: prune zones whose
+    // min/max miss the predicate ranges, then filter exactly. The
+    // oracle is the PLAIN filtered aggregate — no zone knowledge —
+    // because pruning is semantics-preserving by construction.
+    "q_zone_map_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("zone", graft.operators.Layout.zoneId(
+          floor(col("l_quantity") / 4).cast("long"),
+          col("l_linenumber").cast("long"), 2))
+      val ix = graft.operators.Layout.zoneMapIndex(
+        li, "zone", Seq("l_quantity", "l_linenumber"))
+      graft.operators.Layout.pruneByZoneMap(li, ix, "zone",
+          Seq(("l_quantity", 36.0, 50.0), ("l_linenumber", 1.0, 2.0)))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(round(col("l_extendedprice") * 100)).cast("long").as("cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // Per-language quality calibration: keep the top 25% of each
     // language by n_chars via an exact order-statistic cutoff (no
     // interpolation — tie-stable across engines).
@@ -1741,6 +1777,33 @@ object Pipeline {
         |    (((xb >> i) & 1) << (2 * i)) +
         |    (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS morton
         |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_zone_map_index" ->
+      """WITH src AS (
+        |  SELECT l_quantity, l_linenumber,
+        |    CAST(FLOOR(l_quantity / 4) AS BIGINT) AS xb,
+        |    CAST(l_linenumber AS BIGINT) AS yb
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT l_quantity, l_linenumber,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      (((xb >> i) & 1) << (2 * i)) +
+        |      (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) >> 2 AS zone
+        |  FROM src)
+        |SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity,
+        |  min(l_linenumber) AS min_l_linenumber,
+        |  max(l_linenumber) AS max_l_linenumber
+        |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
+
+    "q_zone_map_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_quantity >= 36 AND l_quantity <= 50
+        |  AND l_linenumber >= 1 AND l_linenumber <= 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_quality_calibrate" ->
       """WITH r AS (

@@ -56,6 +56,55 @@ class LayoutSpec extends AnyFunSuite {
     } finally laid.unpersist()
   }
 
+  test("zone map: prune equals plain filter, skips zones, prunes partitions") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_quantity"), col("l_linenumber"), col("l_orderkey"))
+      .withColumn("zone", Layout.zoneId(
+        floor(col("l_quantity") / 4).cast("long"),
+        col("l_linenumber").cast("long"), 2))
+    val ix = Layout.zoneMapIndex(li, "zone",
+      Seq("l_quantity", "l_linenumber")).cache()
+    try {
+      // index bounds hold for every row
+      val violations = li.join(ix, Seq("zone"))
+        .filter(col("l_quantity") < col("min_l_quantity") ||
+          col("l_quantity") > col("max_l_quantity") ||
+          col("l_linenumber") < col("min_l_linenumber") ||
+          col("l_linenumber") > col("max_l_linenumber"))
+      assert(violations.count() == 0)
+
+      val ranges = Seq(("l_quantity", 36.0, 50.0), ("l_linenumber", 1.0, 2.0))
+      // semantics-preserving: pruned scan == plain filter
+      val pruned = Layout.pruneByZoneMap(li, ix, "zone", ranges)
+        .select("l_orderkey", "l_quantity", "l_linenumber")
+        .as[(Long, Double, Int)].collect().toSet
+      val plain = li.filter(col("l_quantity").between(36, 50) &&
+          col("l_linenumber").between(1, 2))
+        .select("l_orderkey", "l_quantity", "l_linenumber")
+        .as[(Long, Double, Int)].collect().toSet
+      assert(pruned === plain && pruned.nonEmpty)
+      // and it genuinely skips: candidate zones are a strict subset
+      val total = ix.count()
+      val kept = Layout.matchingZones(ix, "zone", ranges).count()
+      assert(kept < total, s"kept $kept of $total zones — no skipping")
+
+      // on a zone-partitioned table the candidate set prunes at the scan
+      val dir = java.nio.file.Files.createTempDirectory("zonemap").toString
+      li.write.mode("overwrite").partitionBy("zone").parquet(dir)
+      val zones = Layout.matchingZones(ix, "zone", ranges)
+        .as[Long].collect()   // metadata-sized by construction
+      val scan = spark.read.parquet(dir)
+        .filter(col("zone").isin(zones: _*))
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("zone#"),
+        plan.take(2000))
+      val files = scan.select(input_file_name()).distinct().as[String].collect()
+      assert(files.forall(f => zones.exists(z => f.contains(s"zone=$z"))),
+        files.take(5).mkString("\n"))
+    } finally ix.unpersist()
+  }
+
   test("binary-search bucketing matches the algebra form; NULL yields NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
