@@ -52,6 +52,42 @@ object Merge {
       .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
   }
 
+  /** Snapshot diff — the inverse of [[mergeLatest]]: recover the change
+    * set between two versions of a keyed table. Emits one row per key
+    * inserted ('I', only in the new version), deleted ('D', only in the
+    * old), or updated ('U', in both with any compared column differing,
+    * null-safely); unchanged keys emit nothing. `changed_cols` lists
+    * the differing columns comma-joined in the caller's order, so a
+    * consumer can route column-level changes without re-comparing.
+    *
+    * One full-outer hash join on the key — the minimal movement a diff
+    * needs. At 100 TB bucket both versions on the key
+    * (operators/Bucketing.scala) to make the join shuffle-free; the
+    * output is change-sized, not snapshot-sized, so downstream stages
+    * (audit sinks, incremental re-index, CDC replay) scale with churn. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")) :+
+      lit(true).as("__in_old"): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")) :+
+      lit(true).as("__in_new"): _*)
+    val differs = compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    val bothPresent = col("__in_old").isNotNull && col("__in_new").isNotNull
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "I")
+          .when(col("__in_new").isNull, "D")
+          .when(differs, "U"))
+      .filter(col("change_type").isNotNull)
+      .withColumn("changed_cols", concat_ws(",", compareCols.map(c =>
+        when(bothPresent && !(col(s"old_$c") <=> col(s"new_$c")),
+          lit(c))): _*))
+      .drop("__in_old", "__in_new")
+  }
+
   /** Slowly-changing-dimension type-2 history: from a keyed change log,
     * one validity interval per observed state — (key, value, valid_from,
     * valid_to, is_current), half-open [from, to), `valid_to` NULL on the

@@ -276,6 +276,28 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // Snapshot diff (the inverse of the merge): recover the I/U/D
+    // change set between two table versions via ONE full-outer join on
+    // the key, with per-row changed-column routing. The new version is
+    // derived deterministically so DuckDB replays the identical diff.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val snap = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val next = snap.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, "UPD")
+            .otherwise(col("status")).as("status"),
+          when(col("o_orderkey") % 5 === 0, col("price_c") + 110)
+            .otherwise(col("price_c")).as("price_c"))
+        .unionByName(snap.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 3000000L).as("o_orderkey"),
+            lit("NEW").as("status"), (col("price_c") + 100).as("price_c")))
+      graft.operators.Merge.snapshotDiff(snap, next, Seq("o_orderkey"),
+          Seq("status", "price_c"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD type-2 history (beyond the reference): per-key validity
     // intervals from a change log — half-open [valid_from, valid_to),
     // NULL valid_to marks the current row. One keyed window shuffle.
@@ -725,6 +747,47 @@ object Relational {
         |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
         |SELECT o_orderkey, status, price_c FROM w
         |WHERE rn = 1 AND op = 'U'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'UPD' ELSE status END
+        |      AS status,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN price_c + 110 ELSE price_c
+        |      END AS price_c
+        |  FROM o WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, 'NEW', price_c + 100
+        |  FROM o WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.status AS old_status, o.price_c AS old_price_c,
+        |    n.status AS new_status, n.price_c AS new_price_c,
+        |    o.o_orderkey IS NOT NULL AS in_old,
+        |    n.o_orderkey IS NOT NULL AS in_new
+        |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D'
+        |      WHEN old_status IS DISTINCT FROM new_status
+        |        OR old_price_c IS DISTINCT FROM new_price_c THEN 'U'
+        |    END AS change_type
+        |  FROM j)
+        |SELECT o_orderkey, old_status, old_price_c, new_status,
+        |  new_price_c, change_type,
+        |  concat_ws(',',
+        |    CASE WHEN in_old AND in_new
+        |      AND old_status IS DISTINCT FROM new_status
+        |      THEN 'status' END,
+        |    CASE WHEN in_old AND in_new
+        |      AND old_price_c IS DISTINCT FROM new_price_c
+        |      THEN 'price_c' END) AS changed_cols
+        |FROM c WHERE change_type IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_scd2_history" ->

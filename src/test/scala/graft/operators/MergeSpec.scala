@@ -34,6 +34,42 @@ class MergeSpec extends AnyFunSuite {
     assert(out === Seq((1L, "a2", 11L)))
   }
 
+  test("snapshotDiff classifies I/U/D null-safely and names changed columns") {
+    val old = Seq(
+      (1L, Some("a"), Some(10L)),   // unchanged — must not emit
+      (2L, Some("b"), Some(20L)),   // value update
+      (3L, Some("c"), None),        // null -> value update
+      (4L, Some("d"), Some(40L)),   // deleted
+      (6L, None, None))             // both null, unchanged — must not emit
+      .toDF("k", "status", "v")
+    val next = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(21L)),
+      (3L, Some("c"), Some(31L)),
+      (5L, Some("e"), Some(50L)),   // inserted
+      (6L, None, None))
+      .toDF("k", "status", "v")
+    val out = Merge.snapshotDiff(old, next, Seq("k"), Seq("status", "v"))
+      .select("k", "change_type", "changed_cols")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (2L, "U", "v"), (3L, "U", "v"), (4L, "D", ""), (5L, "I", "")))
+  }
+
+  test("snapshotDiff recovers the change set mergeLatest applied") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "status", "v")
+    val changes = Seq(
+      (2L, "b2", 21L, 1L, "U"),
+      (3L, "c", 30L, 1L, "D"),
+      (4L, "d", 40L, 1L, "U"))
+      .toDF("k", "status", "v", "version", "op")
+    val merged = Merge.mergeLatest(snap, changes, Seq("k"), "version", "op")
+    val diff = Merge.snapshotDiff(snap, merged, Seq("k"), Seq("status", "v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(diff === Map(2L -> "U", 3L -> "D", 4L -> "I"))
+  }
+
   test("mergeLatest plan is a single aggregate — no join, no window, no sort") {
     val snap = Seq((1L, "a", 10L)).toDF("k", "status", "v")
     val changes = Seq((1L, "a2", 11L, 1L, "U"))
