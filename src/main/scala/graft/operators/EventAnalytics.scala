@@ -149,4 +149,37 @@ object EventAnalytics {
         col("v_obs").isNull.as("is_gap"))
       .orderBy("k", "h")
   }
+
+  /** Per-key exponentially weighted moving average in event order:
+    * `s_1 = x_1`, `s_n = α·x_n + (1-α)·s_{n-1}` — the standard
+    * smoothing/feature primitive for metric streams. One shuffle on the
+    * key (the same collect-sort-fold shape as [[funnel]]): per-key state
+    * is the event list, bounded by events-per-key, and the fold is a
+    * strict left-to-right sequential recurrence — which is exactly why
+    * it is NOT expressible as a commutative aggregate and earns the
+    * array fold.
+    *
+    * Cross-engine exactness: the fold evaluates `(α·x) + ((1-α)·s)` in
+    * a fixed operation order over the (ts, tie)-sorted sequence, so an
+    * engine replaying the same ordered fold (DuckDB
+    * `list_reduce(list(v ORDER BY ts, tie), ...)`) produces bitwise-
+    * identical doubles — no rounding policy needed. Returns one row per
+    * key: (key, n_events, ewma). */
+  def ewma(events: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val seq0 = events
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col(timeCol).as("t"),
+          col(tieCol).as("tie"), col(valueCol).cast("double").as("v"))))
+          .as("__seq"))
+      .withColumn("__vs", transform(col("__seq"), e => e.getField("v")))
+    seq0
+      .withColumn("ewma", aggregate(
+        slice(col("__vs"), lit(2), size(col("__vs")) - 1),
+        element_at(col("__vs"), 1),
+        (s, x) => lit(alpha) * x + lit(1.0 - alpha) * s))
+      .drop("__seq", "__vs")
+  }
 }

@@ -74,6 +74,21 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Merge zone-map indexes (same zone column + stat columns):
+    * counts add, mins/maxes combine — so appending a batch means
+    * indexing ONLY the batch and merging, never rescanning indexed
+    * data. The merge is an aggregation over index rows (metadata-sized
+    * input), effectively free next to any data scan. */
+  def mergeZoneMaps(indexes: Seq[DataFrame], zoneCol: String,
+      statCols: Seq[String]): DataFrame = {
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c")))
+    indexes.reduce(_.unionByName(_))
+      .groupBy(col(zoneCol))
+      .agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
+  }
+
   /** Zones whose [min, max] interval intersects EVERY requested
     * `(column, lo, hi)` range — the candidate set a skipping scan must
     * read. Zones where any range misses entirely are provably empty of

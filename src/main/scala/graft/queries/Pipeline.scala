@@ -671,6 +671,26 @@ object Pipeline {
         .withColumn("n_rows", col("n_rows").cast("long"))
         .orderBy("zone")),
 
+    // Incremental index maintenance: index TWO append batches
+    // separately and merge (counts add, mins/maxes combine) — the
+    // result must equal the full one-pass index, which is what the
+    // oracle replays. Appends never rescan indexed data.
+    "q_zone_map_append" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+          col("l_quantity"), col("l_linenumber"), col("l_orderkey"),
+          graft.operators.Layout.zoneId(
+            floor(col("l_quantity") / 4).cast("long"),
+            col("l_linenumber").cast("long"), 2).as("zone"))
+      val stats = Seq("l_quantity", "l_linenumber")
+      graft.operators.Layout.mergeZoneMaps(
+          Seq(li.filter(col("l_orderkey") % 2 === 0),
+            li.filter(col("l_orderkey") % 2 =!= 0))
+            .map(graft.operators.Layout.zoneMapIndex(_, "zone", stats)),
+          "zone", stats)
+        .withColumn("n_rows", col("n_rows").cast("long"))
+        .orderBy("zone")
+    }),
+
     // Data-skipping scan through the zone map: prune zones whose
     // min/max miss the predicate ranges, then filter exactly. The
     // oracle is the PLAIN filtered aggregate — no zone knowledge —
@@ -1779,6 +1799,25 @@ object Pipeline {
         |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_zone_map_index" ->
+      """WITH src AS (
+        |  SELECT l_quantity, l_linenumber,
+        |    CAST(FLOOR(l_quantity / 4) AS BIGINT) AS xb,
+        |    CAST(l_linenumber AS BIGINT) AS yb
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT l_quantity, l_linenumber,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      (((xb >> i) & 1) << (2 * i)) +
+        |      (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) >> 2 AS zone
+        |  FROM src)
+        |SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity,
+        |  min(l_linenumber) AS min_l_linenumber,
+        |  max(l_linenumber) AS max_l_linenumber
+        |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
+
+    "q_zone_map_append" ->
       """WITH src AS (
         |  SELECT l_quantity, l_linenumber,
         |    CAST(FLOOR(l_quantity / 4) AS BIGINT) AS xb,

@@ -336,6 +336,17 @@ object Relational {
         .orderBy("user_id", "h")
     }),
 
+    // Per-user EWMA of the event value stream (α=0.25): a strict
+    // sequential recurrence folded over the (ts, event_id)-sorted
+    // per-key array — one shuffle. The oracle replays the identical
+    // ordered fold via list_reduce, so the doubles match bitwise.
+    "q_ewma" -> ((s, dir) =>
+      graft.operators.EventAnalytics.ewma(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+          alpha = 0.25)
+        .withColumn("n_events", col("n_events").cast("long"))
+        .orderBy("user_id")),
+
     // W1: ranking window function.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
@@ -828,6 +839,12 @@ object Relational {
         |  count(*) AS active_users
         |FROM act JOIN cohorts USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (s, x) -> 0.25 * x + 0.75 * s) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_gap_fill" ->
       """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, ts,

@@ -125,4 +125,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 1.0, false), (1L, 1.0, true), (1L, 2.0, false),
       (2L, 7.0, false)))
   }
+
+  test("ewma folds in (ts, tie) order; single event is identity") {
+    val events = Seq(
+      // user 1 out of storage order: sorted values are 8, 4, 2
+      (1L, ts("2026-01-01 10:02:00"), 3L, 2.0),
+      (1L, ts("2026-01-01 10:00:00"), 1L, 8.0),
+      (1L, ts("2026-01-01 10:01:00"), 2L, 4.0),
+      // user 2: equal timestamps — tie column orders 10 then 20
+      (2L, ts("2026-01-01 09:00:00"), 2L, 20.0),
+      (2L, ts("2026-01-01 09:00:00"), 1L, 10.0),
+      (3L, ts("2026-01-01 08:00:00"), 1L, 5.5))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.ewma(events, "user_id", "ts", "event_id",
+        "value", alpha = 0.5)
+      .select("user_id", "n_events", "ewma")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // u1: s=8 -> (8+4)/2=6 -> (6+2)/2=4 ; u2: s=10 -> (10+20)/2=15
+    assert(out === Seq((1L, 3L, 4.0), (2L, 2L, 15.0), (3L, 1L, 5.5)))
+  }
+
+  test("ewma plan is join-free with one shuffle on the key") {
+    val events = Seq((1L, ts("2026-01-01 10:00:00"), 1L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val plan = EventAnalytics.ewma(events, "user_id", "ts", "event_id",
+      "value", alpha = 0.25).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1500))
+  }
 }

@@ -105,6 +105,26 @@ class LayoutSpec extends AnyFunSuite {
     } finally ix.unpersist()
   }
 
+  test("mergeZoneMaps over split batches equals the full index") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_quantity"), col("l_linenumber"), col("l_orderkey"))
+      .withColumn("zone", Layout.zoneId(
+        floor(col("l_quantity") / 4).cast("long"),
+        col("l_linenumber").cast("long"), 2))
+    val stats = Seq("l_quantity", "l_linenumber")
+    val full = Layout.zoneMapIndex(li, "zone", stats)
+    val merged = Layout.mergeZoneMaps(
+      Seq(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 =!= 0))
+        .map(Layout.zoneMapIndex(_, "zone", stats)), "zone", stats)
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("zone", "n_rows", "min_l_quantity", "max_l_quantity",
+        "min_l_linenumber", "max_l_linenumber")
+        .as[(Long, Long, Double, Double, Int, Int)].collect().toSet
+    assert(key(merged) === key(full) && key(full).nonEmpty)
+  }
+
   test("binary-search bucketing matches the algebra form; NULL yields NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
