@@ -41,6 +41,13 @@ object Bench {
       pipeline.VectorOps.lshNeighborPairs(emb, "vec_id", "embedding",
         bits = 10, minCosine = 0.9, probes = 2,
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
+      // same shape-specific-codegen story for SimHash: warm the
+      // portable-md5 gate configuration AND the production xxhash64
+      // path so neither first execution pays JIT on the clock
+      pipeline.Dedup.simHashPairs(docs, "doc_id", "text",
+        maxHamming = 6, hashFn = pipeline.Dedup.md5Long).count()
+      pipeline.Dedup.simHashPairs(docs, "doc_id", "text",
+        maxHamming = 3).count()
       // codec warm-up: ImageIO and AudioSystem scan their plugin
       // registries on first use — initialize them here so the first
       // decode gate query measures decoding, not service discovery
