@@ -596,4 +596,28 @@ object Dedup {
         (size(array_intersect(col("gA"), col("gB"))).cast("double") /
           size(array_union(col("gA"), col("gB")))).as("jaccard"))
   }
+
+  /** Cross-group duplicate matrix: fold a near-dup pair list through an
+    * id→group mapping into canonicalized (group_a, group_b) pair counts
+    * — the overlap report that tells a corpus owner WHICH sources
+    * duplicate which (cross-source contamination, mirror detection,
+    * ingest-feed overlap) rather than just how many pairs exist.
+    * Diagonal entries count within-group duplication.
+    *
+    * Scale shape: two equi-joins carry only the pair list (tiny next to
+    * the corpus — near-dup output is churn-sized) against the id→group
+    * mapping, then one hash aggregate over group pairs (output bounded
+    * by |groups|², metadata-sized). Canonical (least, greatest) ordering
+    * makes the matrix engine-portable. */
+  def crossGroupMatrix(pairs: DataFrame, groups: DataFrame,
+      idCol: String, groupCol: String): DataFrame = {
+    val g = groups.select(col(idCol), col(groupCol))
+    pairs
+      .join(g.toDF("a", "gA"), "a")
+      .join(g.toDF("b", "gB"), "b")
+      .select(least(col("gA"), col("gB")).as("group_a"),
+        greatest(col("gA"), col("gB")).as("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
 }

@@ -111,6 +111,21 @@ object Pipeline {
         .orderBy("a", "b")
     }),
 
+    // Cross-source duplicate matrix: the same complete LSH pair set
+    // folded through the id->source mapping into canonical
+    // (source_a, source_b) counts — which sources duplicate which.
+    "q_dedup_cross_source" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 3, bands = 32, rowsPerBand = 4)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val srcAll = src.unionByName(
+        src.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("source")))
+      Dedup.crossGroupMatrix(pairs, srcAll, "doc_id", "source")
+        .orderBy("group_a", "group_b")
+    }),
+
     // Near-dup PAIRS -> duplicate CLUSTERS via min-label connected
     // components — the representative-picking step of a dedup pipeline.
     // Same complete LSH config as q_dedup_minhash_lsh, so the DuckDB
@@ -1293,6 +1308,47 @@ object Pipeline {
         |           JOIN sz sb ON inter.b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_cross_source" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM docs),
+        |sz AS (SELECT doc_id, len(g) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz sa ON inter.a = sa.doc_id
+        |  JOIN sz sb ON inter.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |srcs AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT least(x.source, y.source) AS group_a,
+        |  greatest(x.source, y.source) AS group_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p JOIN srcs x ON p.a = x.doc_id
+        |       JOIN srcs y ON p.b = y.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Profile columns re-derived in DuckDB; language id picks the max
     // (hits, lang) struct exactly like Spark's greatest(struct(...)).

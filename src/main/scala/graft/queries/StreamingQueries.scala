@@ -57,6 +57,21 @@ object StreamingQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Streaming per-key EWMA: the sequential recurrence carried as two
+    // numbers of state per key; the converged fold must match the batch
+    // operator (and its list_reduce oracle) bitwise.
+    "q_stream_ewma" -> ((s, dir) => {
+      val name = s"stream_ewma_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.EventStreams.runStreamingEwmaOnce(s, dir, name)
+      drained(q)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("user_id", "n_events", "ewma")
+        .orderBy("user_id")
+    }),
+
     // Stateful streaming dedup (dropDuplicates over the event stream):
     // the emitted key set must equal batch DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
@@ -230,6 +245,12 @@ object StreamingQueries {
         |SELECT o_orderkey, status, price_c FROM w
         |WHERE rn = 1 AND op = 'U'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_stream_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (s, x) -> 0.25 * x + 0.75 * s) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events

@@ -269,4 +269,64 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  final case class MetricEvent(user_id: Long, ts_us: Long, event_id: Long,
+      value: Double)
+  final case class EwmaState(n: Long, s: Double)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming per-key EWMA — the batch
+    * `operators/EventAnalytics.ewma` recurrence carried as TWO numbers
+    * of state per key (count + current smoothed value), the streaming
+    * floor for a sequential recurrence. Each micro-batch sorts its own
+    * events by (event-time, tie) and folds them into the carried state,
+    * emitting the key's updated value — correct whenever batches arrive
+    * in per-key event-time order (true for an AvailableNow drain and
+    * for any log replayed in order; out-of-order arrivals would need a
+    * watermark-delayed buffer instead). The fold runs the identical
+    * double arithmetic as the batch operator, so converged values match
+    * it bitwise. */
+  def streamingEwma(events: Dataset[MetricEvent],
+      alpha: Double): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[MetricEvent], state: GroupState[EwmaState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          var i = 0
+          while (i < sorted.length) {
+            val x = sorted(i).value
+            st = if (st.n == 0L) EwmaState(1L, x)
+            else EwmaState(st.n + 1L, alpha * x + (1.0 - alpha) * st.s)
+            i += 1
+          }
+          state.update(st)
+          EwmaOut(uid, st.n, st.s)
+      }
+  }
+
+  /** Drain-once runner for [[streamingEwma]] over the events parquet
+    * (Update mode, memory sink; ns timestamps normalized to the same
+    * microsecond precision the batch operator folds in). */
+  def runStreamingEwmaOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, alpha: Double = 0.25): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+    val tsUs =
+      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    streamingEwma(
+        stream.select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+          col("value")).as[MetricEvent], alpha)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -304,6 +304,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(other === Seq((1L, "x", 1L)))
   }
 
+  test("crossGroupMatrix canonicalizes group pairs and counts the diagonal") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val groups = Seq((1L, "web"), (2L, "book"), (3L, "web"),
+      (4L, "web"), (5L, "book"), (6L, "book")).toDF("id", "src")
+    val out = graft.pipeline.Dedup.crossGroupMatrix(
+        pairs, groups, "id", "src")
+      .as[(String, String, Long)].collect().toSet
+    // (1,2) web-book, (1,3) web-web, (2,4) book-web -> canonical book,web
+    assert(out === Set(("book", "web", 2L), ("web", "web", 1L),
+      ("book", "book", 1L)))
+  }
+
   test("quotaPerGroup keeps top-k by score, id-asc ties, small groups whole") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),

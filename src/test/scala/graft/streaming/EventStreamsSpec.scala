@@ -65,6 +65,51 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming ewma carries state across batches and matches the batch fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.MetricEvent]
+    val q = EventStreams.streamingEwma(mem.toDS(), alpha = 0.25)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewma_stream_test").start()
+    try {
+      // batch 1 arrives out of storage order WITHIN the batch
+      mem.addData(
+        EventStreams.MetricEvent(1L, 2000L, 2L, 4.0),
+        EventStreams.MetricEvent(1L, 1000L, 1L, 8.0),
+        EventStreams.MetricEvent(2L, 1000L, 3L, 5.0))
+      q.processAllAvailable()
+      // batch 2 continues user 1 later in event time — state must carry
+      mem.addData(EventStreams.MetricEvent(1L, 3000L, 4L, 12.0))
+      q.processAllAvailable()
+      val last = spark.table("ewma_stream_test")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("ewma"))).as("w"))
+        .select(col("user_id"), col("w.n_events"), col("w.ewma"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      // u1: 8 -> 0.25*4+0.75*8 = 7 -> 0.25*12+0.75*7 = 8.25
+      assert(last === Seq((1L, 3L, 8.25), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming ewma drain equals the batch operator bitwise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.runStreamingEwmaOnce(spark, dir, "ewma_drain_test")
+    q.awaitTermination(120000)
+    val streamed = spark.table("ewma_drain_test")
+      .select("user_id", "n_events", "ewma")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.EventAnalytics.ewma(
+        graft.Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .select(col("user_id"), col("n_events").cast("long"), col("ewma"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("splitSessions closes on gaps and keeps the tail open") {
     val gap = 1000L
     val events = List((0L, 1.0), (500L, 2.0), (5000L, 3.0), (5500L, 4.0), (99999L, 5.0))
