@@ -89,4 +89,25 @@ object Curation {
           .select(col(groupCol), col("cutoff"))),
         groupCol)
       .filter(col(scoreCol) >= col("cutoff"))
+
+  /** Percentile-rank normalization within each group: append
+    * `pct_rank` ∈ [0, 1] — `(rank-1)/(n-1)`, ties sharing a rank — so
+    * raw scores from differently-scaled sources become comparable and
+    * ONE global threshold ("keep every source's top decile") replaces
+    * per-source tuning. Tie-sharing RANK makes the value independent of
+    * tie order, hence engine-portable with no rounding policy; the
+    * division is the same integer pair in every engine, so the doubles
+    * match exactly.
+    *
+    * One shuffle on the group key (the floor for any per-group
+    * ranking). A single source dominating the corpus makes that
+    * window's partition hot — for skew-prone corpora prefer the
+    * broadcast-cutoff path ([[keepTopFraction]]), which reduces
+    * map-side first. */
+  def percentileNormalize(docs: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.withColumn("pct_rank", percent_rank().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))))
+  }
 }

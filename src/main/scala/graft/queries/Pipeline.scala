@@ -740,6 +740,21 @@ object Pipeline {
         .orderBy("lang")
     }),
 
+    // Percentile-rank normalization within each source: raw n_chars
+    // scores become comparable [0,1] ranks, so one global threshold
+    // selects every source's top decile. Tie-sharing RANK + identical
+    // integer division make the doubles engine-exact.
+    "q_pct_normalize" -> ((s, dir) =>
+      Curation.percentileNormalize(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars")
+        .filter(col("pct_rank") >= 0.9)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_top"),
+          min("n_chars").as("min_top_chars"),
+          min("pct_rank").as("min_pct"))
+        .orderBy("source")),
+
     // Incremental substring-span dedup: a new ingest batch (truncated
     // copies) against the corpus span index — per-ingest cost tracks
     // the batch, never the corpus. Oracle replays the two-table gram
@@ -1915,6 +1930,17 @@ object Pipeline {
         |FROM documents d JOIN c USING (lang)
         |WHERE d.n_chars >= c.cutoff
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_pct_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS pct_rank
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+        |  min(n_chars) AS min_top_chars, min(pct_rank) AS min_pct
+        |FROM r WHERE pct_rank >= 0.9
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_substring_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -304,6 +304,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(other === Seq((1L, "x", 1L)))
   }
 
+  test("percentileNormalize: tie-shared ranks, [0,1] span, singleton is 0") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+      ("b", 5L, 7L))
+      .toDF("src", "id", "score")
+    val out = graft.pipeline.Curation.percentileNormalize(df, "src", "score")
+      .select("id", "pct_rank").as[(Long, Double)].collect().toMap
+    // group a, n=4: ranks 1,2,2,4 -> (r-1)/3
+    assert(out(1L) === 0.0 && out(4L) === 1.0)
+    assert(out(2L) === out(3L) && out(2L) === 1.0 / 3)
+    assert(out(5L) === 0.0)   // singleton group
+  }
+
   test("crossGroupMatrix canonicalizes group pairs and counts the diagonal") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (5L, 6L))
       .toDF("a", "b")
