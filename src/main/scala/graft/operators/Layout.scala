@@ -111,7 +111,12 @@ object Layout {
   def pruneByZoneMap(df: DataFrame, index: DataFrame, zoneCol: String,
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     val keep = matchingZones(index, zoneCol, ranges)
-    val semi = df.join(broadcast(keep), Seq(zoneCol), "left_semi")
+    // null-safe semi join: a NULL zone (un-bucketable row) is a real
+    // group in the index — `<=>` lets it survive pruning when its
+    // stats intersect the ranges, where a plain equi-join would
+    // silently drop every such row regardless of its values
+    val semi = df.join(broadcast(keep),
+      df(zoneCol) <=> keep(zoneCol), "left_semi")
     ranges.foldLeft(semi) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi) }
   }

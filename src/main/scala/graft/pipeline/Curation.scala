@@ -103,7 +103,9 @@ object Curation {
     * ranking). A single source dominating the corpus makes that
     * window's partition hot — for skew-prone corpora prefer the
     * broadcast-cutoff path ([[keepTopFraction]]), which reduces
-    * map-side first. */
+    * map-side first. NULL scores sort engine-dependently (Spark
+    * NULLS FIRST vs DuckDB NULLS LAST) — filter or coalesce them
+    * before ranking if the score column is nullable. */
   def percentileNormalize(docs: DataFrame, groupCol: String,
       scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -608,7 +608,9 @@ object Dedup {
     * the corpus — near-dup output is churn-sized) against the id→group
     * mapping, then one hash aggregate over group pairs (output bounded
     * by |groups|², metadata-sized). Canonical (least, greatest) ordering
-    * makes the matrix engine-portable. */
+    * makes the matrix engine-portable. Pairs whose ids are absent from
+    * `groups` are dropped by the inner joins — pass a complete mapping
+    * (or pre-assign an "unknown" group) if every pair must be counted. */
   def crossGroupMatrix(pairs: DataFrame, groups: DataFrame,
       idCol: String, groupCol: String): DataFrame = {
     val g = groups.select(col(idCol), col(groupCol))

@@ -105,6 +105,21 @@ class LayoutSpec extends AnyFunSuite {
     } finally ix.unpersist()
   }
 
+  test("zone map prune keeps matching rows whose zone is NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), 10.0, 100L), (Some(1L), 20.0, 101L),
+      (None, 15.0, 102L),       // un-bucketable row inside the range
+      (None, 99.0, 103L),       // un-bucketable row outside the range
+      (Some(2L), 50.0, 104L))
+      .toDF("zone", "v", "id")
+    val ix = Layout.zoneMapIndex(df, "zone", Seq("v"))
+    val kept = Layout.pruneByZoneMap(df, ix, "zone",
+        Seq(("v", 10.0, 20.0)))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(100L, 101L, 102L))
+  }
+
   test("mergeZoneMaps over split batches equals the full index") {
     import spark.implicits._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
