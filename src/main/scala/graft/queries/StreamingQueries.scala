@@ -72,6 +72,21 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // Stateless streaming mixture sampling: the batch hash-threshold
+    // policy applied to the document stream — zero state, and the
+    // drained sample must equal the batch/relational replay exactly.
+    "q_stream_mixture" -> ((s, dir) => {
+      val name = s"stream_mixture_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.DocStreams.runStreamingMixtureOnce(s, dir,
+        name, Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5,
+          "src3" -> 0.5, "src4" -> 0.25), defaultWeight = 0.1)
+      drained(q)
+      s.table(name)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Stateful streaming dedup (dropDuplicates over the event stream):
     // the emitted key set must equal batch DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
@@ -251,6 +266,20 @@ object StreamingQueries {
         |  list_reduce(list(value ORDER BY ts, event_id),
         |    (s, x) -> 0.25 * x + 0.75 * s) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.5
+        |                WHEN 'src4' THEN 0.25 ELSE 0.1 END AS wt,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS bk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM w WHERE bk < CAST(wt * 10000 AS BIGINT)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events

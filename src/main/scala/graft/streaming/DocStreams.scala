@@ -291,4 +291,28 @@ object DocStreams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Stateless streaming mixture sampling: the deterministic
+    * hash-threshold policy of `pipeline/Sampling.mixtureSample` applied
+    * to an arriving document stream unchanged. NO state at all — the
+    * keep decision is a pure row-local filter (md5 bucket of the id vs
+    * the group's quantized weight), so the operator is scan-bound at
+    * any scale, policy redeploys need no state migration, and the
+    * emitted set equals the batch sample by construction (the property
+    * the gate's oracle checks without knowing the stream exists). */
+  def runStreamingMixtureOnce(spark: SparkSession, sfDir: String,
+      queryName: String, weights: Map[String, Double],
+      defaultWeight: Double): StreamingQuery = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    graft.pipeline.Sampling.mixtureSample(stream, "source", "doc_id",
+        weights, defaultWeight)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

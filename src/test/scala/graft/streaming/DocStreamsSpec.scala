@@ -68,4 +68,21 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stateless streaming mixture sample equals the batch sample") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val weights = Map("src0" -> 1.0, "src2" -> 0.5, "src4" -> 0.25)
+    val q = DocStreams.runStreamingMixtureOnce(spark, dir,
+      "mixture_stream_parity", weights, defaultWeight = 0.1)
+    q.awaitTermination(120000)
+    val streamed = spark.table("mixture_stream_parity").select("doc_id")
+    val batch = graft.pipeline.Sampling.mixtureSample(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "source", "doc_id", weights, defaultWeight = 0.1)
+      .select("doc_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }
