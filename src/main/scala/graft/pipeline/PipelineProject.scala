@@ -40,6 +40,8 @@ object PipelineProject {
       simhashMaxHamming: Int = 3,
       calibrateGroupCol: String = "", // "" = stage off
       calibrateKeepFrac: Double = 1.0,
+      normalizeScoresByGroup: String = "", // "" = stage off
+      minPctRank: Double = 0.0, // with normalize: keep pct_rank >= this
       splitTrainPct: Int = 0, // 0 = no split column
       splitValPct: Int = 0,
       outputPath: String = "") // "" = return only
@@ -148,6 +150,16 @@ object PipelineProject {
     if (conf.calibrateGroupCol.nonEmpty && conf.calibrateKeepFrac < 1.0)
       df = Curation.keepTopFraction(df, conf.calibrateGroupCol, "quality",
         conf.calibrateKeepFrac).drop("cutoff")
+
+    // cross-group score comparability: per-group percentile ranks on the
+    // quality score, with an optional ONE global threshold replacing
+    // per-group tuning
+    if (conf.normalizeScoresByGroup.nonEmpty) {
+      df = Curation.percentileNormalize(df, conf.normalizeScoresByGroup,
+        "quality")
+      if (conf.minPctRank > 0.0)
+        df = df.filter(col("pct_rank") >= conf.minPctRank)
+    }
 
     if (conf.splitTrainPct > 0)
       df = df.withColumn("split",

@@ -45,6 +45,26 @@ class PipelineProjectSpec extends AnyFunSuite {
     assert(r._3 == "en" && Set("train", "val", "test").contains(r._4))
   }
 
+  test("percentile-normalize stage ranks within group and applies one threshold") {
+    import org.apache.spark.sql.functions.col
+    // four English docs with strictly increasing quality (longer, less
+    // repetitive text scores higher); top half must survive pct >= 0.5
+    val docs = (1L to 4L).map { i =>
+      (i, (s"$enText unique segment number $i " * i.toInt).trim)
+    }.toDF("doc_id", "text")
+    val out = PipelineProject.runOn(docs, PipelineProject.Conf(
+      dedup = "none", normalizeScoresByGroup = "lang", minPctRank = 0.5))
+    val ranks = out.select("doc_id", "pct_rank")
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.values.forall(p => p >= 0.5 && p <= 1.0), ranks)
+    assert(ranks.size < 4 && ranks.nonEmpty, ranks)
+    // no threshold: every doc keeps a rank in [0, 1]
+    val all = PipelineProject.runOn(docs, PipelineProject.Conf(
+      dedup = "none", normalizeScoresByGroup = "lang"))
+      .select("pct_rank").as[Double].collect()
+    assert(all.length == 4 && all.min == 0.0 && all.max == 1.0)
+  }
+
   test("against-corpus bloom prefilter and perplexity filter stages") {
     val corpusDir = java.nio.file.Files
       .createTempDirectory("ppcorpus").toString
