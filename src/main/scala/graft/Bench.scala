@@ -24,6 +24,14 @@ object Bench {
       import org.apache.spark.sql.functions.col
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text")).limit(64)
+      // warm the GATE band configuration (threshold=0.8, 32 bands x 4
+      // rows — a 128-long minhash signature), not the library default
+      // (8 x 4, signature 32): the generated code bakes the signature
+      // length and band slicing in, so warming the default shape left
+      // q_dedup_minhash_lsh paying its band+verify JIT on the clock
+      pipeline.Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 3, bands = 32, rowsPerBand = 4,
+        persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
       pipeline.Dedup.nearDuplicatePairs(docs, "doc_id", "text",
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
       pipeline.Dedup.dedupAgainstCorpus(docs, docs.limit(8), "doc_id", "text",
@@ -59,9 +67,18 @@ object Bench {
         4, 4, 2, (f, x, y) => f + x + y))
       spark.catalog.clearCache()
     }
+    // /proc/stat (steal, total) jiffies — sampled around each query so a
+    // timing judged bad can be attributed to host CPU steal (shared-VM
+    // bursts inflated r5's LSH family 2-5x) without a manual post-mortem
+    def stealSample(): (Long, Long) = try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (cpu.length > 7) cpu(7) else 0L, cpu.sum)
+    } catch { case _: Throwable => (0L, 0L) }
     // sorted: stable execution order makes per-query timings comparable
     // across rounds (Map hash order reshuffles under query renames)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (st0, tot0) = stealSample()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -70,11 +87,22 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (st1, tot1) = stealSample()
+      val stealPct =
+        if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
       // release caches a query persisted (shingle/sketch/state tables) so
       // later queries aren't timed under accumulated memory pressure
       spark.catalog.clearCache()
-      name -> dt
-    }.toMap
+      // a gate query may install session-wide optimizer state (e.g.
+      // q_join_range_rule's BandedRangeJoinRule + band conf) — reset it so
+      // every later query's plan is independent of execution order
+      spark.experimental.extraOptimizations = Nil
+      try spark.conf.unset(graft.plans.BandedRangeJoinRule.ConfKey)
+      catch { case _: Throwable => () }
+      (name, dt, stealPct)
+    }
+    val results = timed.map { case (n, dt, _) => n -> dt }.toMap
+    val steals = timed.map { case (n, _, sp) => n -> sp }.toMap
     // ms precision keeps the one-line JSON under ~1900 chars for 72
     // queries, so the driver's 2000-char stdout tail captures the whole
     // line even when its JSON parse step fails
@@ -92,13 +120,22 @@ object Bench {
     // The driver captures only the LAST 2000 chars of stdout; the full
     // per-query line above outgrew that at ~98 queries, so every round's
     // BENCH json recorded "parsed": null. Emit a final COMPACT line —
-    // totals + the 10 slowest queries — guaranteed to fit in the tail.
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n":${results.size},"queries":$slowest}"""
-    require(compact.length < 1500, s"compact bench line too long: ${compact.length}")
+    // totals + the slowest queries (with their per-query host-steal
+    // percentage, so a regression and a stolen host are separable in one
+    // read) — truncated entry by entry until it fits the 2000-char tail.
+    def compactLine(k: Int): String = {
+      val slow = results.toSeq.sortBy(-_._2).take(k)
+      val qmap = slow.map { case (n, v) => s"\"" + n + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      // parallel map, not nested objects: the driver reads `queries`
+      // values as plain seconds
+      val smap = slow.map { case (n, _) =>
+        s"\"" + n + "\":" + r3(steals.getOrElse(n, 0.0)) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n":${results.size},"queries":$qmap,"steal_pct":$smap}"""
+    }
+    val compact = (10 to 0 by -1).map(compactLine).find(_.length < 1500)
+      .getOrElse(compactLine(0))
     println(compact)
     spark.stop()
   }

@@ -29,6 +29,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      // a gate query may install session-wide optimizer state (e.g.
+      // q_join_range_rule's BandedRangeJoinRule + band conf) — reset it so
+      // later queries' plans don't depend on execution order
+      spark.experimental.extraOptimizations = Nil
+      try spark.conf.unset("spark.graft.rangeJoin.bandMicros")
+      catch { case e: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -129,8 +129,11 @@ object Sampling {
       weightCol: String, k: Int): DataFrame = {
     val u = (pmod(col(idCol).cast("long") * lit(2654435761L),
         lit(4294967296L)).cast("double") + 0.5) / lit(4294967296.0)
+    // clamp only against non-positive weights: fractional weights MUST
+    // keep their A-ES semantics (inclusion probability proportional to
+    // weight) — a max(w, 1) clamp would silently treat every w <= 1 as 1
     val key = round(pow(u,
-      lit(1.0) / greatest(col(weightCol).cast("double"), lit(1.0))), 7)
+      lit(1.0) / greatest(col(weightCol).cast("double"), lit(1e-9))), 7)
     df.select(col(stratumCol).as("stratum"),
         col(idCol).cast("long").as("id"), key.as("__key"))
       .groupBy("stratum")

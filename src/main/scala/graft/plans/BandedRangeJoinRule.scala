@@ -87,9 +87,15 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         val leftB = Project(l.output :+ lBand, l)
         // Sequence is TimeZoneAwareExpression: the analyzer's
         // ResolveTimeZone pass already ran, so set the zone explicitly
-        // or the node stays unresolved and plan validation rejects it
+        // or the node stays unresolved and plan validation rejects it.
+        // The stop is clamped to max(start, end): an inverted interval
+        // (end < start — dirty data) must yield zero joined rows like the
+        // un-rewritten nested-loop join, not a Sequence runtime error;
+        // the one band it generates is discarded by the exact filter.
+        val stDiv = IntegralDivide(stM, bandLit)
+        val enDiv = IntegralDivide(enM, bandLit)
         val gen = Explode(new Sequence(
-          IntegralDivide(stM, bandLit), IntegralDivide(enM, bandLit),
+          stDiv, Greatest(Seq(stDiv, enDiv)),
           Literal(1L)).withTimeZone(conf.sessionLocalTimeZone))
         val genOut = AttributeReference("__graft_band_r",
           gen.elementSchema.head.dataType,

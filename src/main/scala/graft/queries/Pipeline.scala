@@ -1747,7 +1747,7 @@ object Pipeline {
         |  SELECT source, doc_id,
         |    round(pow(((doc_id * 2654435761) % 4294967296 + 0.5)
         |        / 4294967296,
-        |      1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)), 7) AS k
+        |      1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-9)), 7) AS k
         |  FROM documents),
         |ranked AS (
         |  SELECT source, doc_id, k, row_number() OVER (

@@ -51,7 +51,14 @@ object StreamingQueries {
       val name = s"stream_merge_${runCounter.incrementAndGet()}"
       val q = graft.streaming.CdcStreams.runStreamingMergeOnce(s, dir, name)
       drained(q)
+      // the Update-mode memory sink appends one row per key PER
+      // MICRO-BATCH it was touched in — reduce to the latest snapshot per
+      // key (max version) BEFORE dropping deletes, so a multi-batch drain
+      // (multi-file source, maxFilesPerTrigger) can't surface stale rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey").orderBy(col("version").desc)
       s.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .filter(col("op") =!= "D")
         .select(col("o_orderkey"), col("status"), col("price_c"))
         .orderBy("o_orderkey")
