@@ -480,34 +480,50 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Smallest chunk count whose pigeonhole guarantee covers `maxHamming`:
+    * a pair within that distance cannot differ in every chunk, so it
+    * shares at least one and is always found. 4 chunks guarantee
+    * hamming <= 3, 8 guarantee <= 7, and so on. The auto rule is the ONE
+    * recall default shared by the batch and streaming SimHash paths —
+    * r5 shipped batch-guaranteed-3 vs streaming-best-effort-6, a
+    * foot-gun this replaces. */
+  def autoNumChunks(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    Seq(4, 8, 16, 32, 64).find(_ > maxHamming).get
+  }
+
   /** SimHash near-duplicate candidates: block on `numChunks` equal bit
     * chunks of the 64-bit signature, then verify the full distance.
     *
     * RECALL CONTRACT (pigeonhole): a pair is guaranteed to share a chunk
-    * — and thus be found — only when hamming <= numChunks - 1. With the
-    * default 4 x 16-bit chunks that is hamming <= 3; asking for
-    * maxHamming 4..6 under 4 chunks is BEST-EFFORT (a pair whose
-    * differing bits land in all four chunks is silently missed). For a
-    * guaranteed maxHamming up to 7, pass numChunks = 8 (8-bit chunks) —
-    * coarser buckets, more candidates to verify, same output shape. The
-    * oracle gates replay whatever blocking the query uses, so they
-    * check blocking parity, not absolute recall. */
+    * — and thus be found — only when hamming <= numChunks - 1. The
+    * default `numChunks = 0` means AUTO: pick [[autoNumChunks]], the
+    * smallest blocking that makes recall at `maxHamming` guaranteed
+    * (maxHamming 3 → 4 x 16-bit chunks, 4..7 → 8 x 8-bit chunks, …).
+    * Passing an explicit numChunks <= maxHamming opts into BEST-EFFORT
+    * recall (a pair whose differing bits land in every chunk is silently
+    * missed) in exchange for narrower buckets. The oracle gates replay
+    * whatever blocking the query uses, so they check blocking parity,
+    * not absolute recall. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       hashFn: Column => Column = xxhash64(_),
-      numChunks: Int = 4): DataFrame =
+      numChunks: Int = 0): DataFrame =
     simHashPairsFromSigs(simHashes(docs, idCol, textCol, hashFn),
       maxHamming, numChunks)
 
   /** Chunk-blocked candidate-verify over a precomputed (docId, sig)
-    * table — see `simHashPairs` for the recall contract. */
+    * table — see `simHashPairs` for the recall contract (numChunks 0 =
+    * auto-guaranteed blocking). */
   def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
-      numChunks: Int = 4): DataFrame = {
-    require(64 % numChunks == 0, s"numChunks must divide 64: $numChunks")
-    val chunkBits = 64 / numChunks
+      numChunks: Int = 0): DataFrame = {
+    val nc = if (numChunks == 0) autoNumChunks(maxHamming) else numChunks
+    require(64 % nc == 0, s"numChunks must divide 64: $nc")
+    val chunkBits = 64 / nc
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val chunks = sigs.select(col("docId"), col("sig"), posexplode(
-      array((0 until numChunks).map(c =>
+      array((0 until nc).map(c =>
         shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask))): _*)))
       .toDF("docId", "sig", "chunk", "chunkVal")
     val l = chunks.toDF("a", "sigA", "chunk", "chunkVal")

@@ -143,8 +143,11 @@ object Pipeline {
     // SimHash near-dup detection on the same planted corpus. Promoted
     // from rows-only to a full oracle by running the gate on the
     // engine-portable md5Long token hash: DuckDB re-derives the 60-bit
-    // token hashes, the bit-vote signatures, the 16-bit chunk blocking
-    // AND the Hamming verify — the whole algorithm, not just row counts.
+    // token hashes, the bit-vote signatures, the chunk blocking AND the
+    // Hamming verify — the whole algorithm, not just row counts.
+    // maxHamming=6 auto-selects the 8 x 8-bit chunk blocking
+    // (Dedup.autoNumChunks), so recall at distance 6 is GUARANTEED —
+    // the oracle replays the same 8-chunk blocking.
     // (Production default stays xxhash64; the native SimHashSig kernel is
     // the same code under both hashes.)
     "q_dedup_simhash" -> ((s, dir) => {
@@ -1212,7 +1215,8 @@ object Pipeline {
 
     // Full relational replay of the SimHash algorithm on the portable
     // md5Long hash: 60-bit token hashes, per-bit majority votes, signature
-    // assembly by bit shifts, 16-bit chunk blocking, Hamming verify.
+    // assembly by bit shifts, 8 x 8-bit chunk blocking (the guaranteed
+    // blocking for maxHamming 6), Hamming verify.
     "q_dedup_simhash" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
@@ -1239,8 +1243,8 @@ object Pipeline {
         |             ELSE 0 END) AS BIGINT) AS sig
         |  FROM votes GROUP BY doc_id),
         |ch AS (
-        |  SELECT doc_id, sig, r.c AS c, (sig >> (r.c * 16)) & 65535 AS cv
-        |  FROM sig, range(0, 4) AS r(c)),
+        |  SELECT doc_id, sig, r.c AS c, (sig >> (r.c * 8)) & 255 AS cv
+        |  FROM sig, range(0, 8) AS r(c)),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
         |    x.sig AS sa, y.sig AS sb

@@ -126,7 +126,7 @@ object StreamingQueries {
     "q_stream_simhash_dedup" -> ((s, dir) => {
       val name = s"stream_simhash_${runCounter.incrementAndGet()}"
       val q = graft.streaming.DocStreams.runStreamingSimHashDedupOnce(
-        s, dir, name)
+        s, dir, name, maxHamming = 6)
       drained(q)
       s.table(name)
         .select(col("a"), col("b"), col("hamming")).distinct()

@@ -13,9 +13,11 @@ import graft.pipeline.Dedup
   * SimHash as a column expression BEFORE the stateful stage, and the
   * per-bucket state holds (docId, sig) pairs only — the stream's text
   * never enters state, so state size is 16 bytes per document per chunk
-  * regardless of document size. Buckets are the four 16-bit signature
-  * chunks (pigeonhole: any pair within Hamming distance 3 shares at
-  * least one chunk), so an arriving document is compared only against
+  * regardless of document size. Buckets are equal-width signature chunks
+  * sized by `Dedup.autoNumChunks` (pigeonhole: any pair within the
+  * requested Hamming distance shares at least one chunk — the same
+  * guaranteed-recall blocking as the batch operator), so an arriving
+  * document is compared only against
   * its bucket's members, never the whole history — the same
   * candidate-generate + verify shape as the batch operator, re-expressed
   * as `flatMapGroupsWithState`.
@@ -32,20 +34,26 @@ object DocStreams {
   final case class ChunkRow(docId: Long, sig: Long, chunk: Int, chunkVal: Long)
   final case class SimHashHit(a: Long, b: Long, hamming: Int)
 
-  /** SimHash signature + 16-bit chunk explosion as column algebra —
+  /** SimHash signature + signature-chunk explosion as column algebra —
     * usable on a streaming DataFrame (stateless projection, fuses into
-    * the scan). Same hash pipeline as the batch `Dedup.simHashes`. */
+    * the scan). Same hash pipeline AND same chunk blocking as the batch
+    * `Dedup.simHashPairsFromSigs` (the chunk count governs the recall
+    * guarantee — see `Dedup.autoNumChunks`). */
   def simHashChunks(docs: DataFrame, idCol: String, textCol: String,
       hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        xxhash64(_)): Dataset[ChunkRow] = {
+        xxhash64(_),
+      numChunks: Int = 4): Dataset[ChunkRow] = {
     import docs.sparkSession.implicits._
+    require(64 % numChunks == 0, s"numChunks must divide 64: $numChunks")
+    val chunkBits = 64 / numChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     docs
       .select(col(idCol).cast("long").as("docId"),
         Dedup.simHashFromHashes(
           transform(Dedup.tokens(col(textCol)), t => hashFn(t))).as("sig"))
       .select(col("docId"), col("sig"), posexplode(
-        array((0 until 4).map(c =>
-          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+        array((0 until numChunks).map(c =>
+          shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask))): _*)))
       .toDF("docId", "sig", "chunk", "chunkVal")
       .as[ChunkRow]
   }
@@ -87,18 +95,6 @@ object DocStreams {
       }
   }
 
-  /** Drain-once runner: stream the documents table (with the same
-    * planted near-duplicates the batch gate uses), match, and land hits
-    * in an in-memory table. The gate query reads the distinct pair set,
-    * which must equal the batch `simHashPairs` answer — and therefore
-    * the DuckDB relational replay of the whole SimHash pipeline.
-    *
-    * NOTE the recall contract (`Dedup.simHashPairs`): under the 4 x
-    * 16-bit chunk blocking used here, recall is GUARANTEED only for
-    * hamming <= 3; the default maxHamming = 6 reports distances 4..6
-    * best-effort (a pair differing in all four chunks is missed by the
-    * streaming AND batch paths alike, so stream==batch parity — what
-    * this gate checks — still holds). */
   final case class VecBucketRow(vecId: Long, vec: Array[Float],
       probe: Int, bucket: Long)
   final case class EmbeddingHit(a: Long, b: Long, cosine: Double)
@@ -272,8 +268,19 @@ object DocStreams {
       .start()
   }
 
+  /** Drain-once runner: stream the documents table (with the same
+    * planted near-duplicates the batch gate uses), match, and land hits
+    * in an in-memory table. The gate query reads the distinct pair set,
+    * which must equal the batch `simHashPairs` answer — and therefore
+    * the DuckDB relational replay of the whole SimHash pipeline.
+    *
+    * ONE recall default with the batch path: the chunk blocking is
+    * `Dedup.autoNumChunks(maxHamming)`, so recall at the requested
+    * distance is GUARANTEED (maxHamming 3 → 4 x 16-bit chunks, 4..7 →
+    * 8 x 8-bit chunks), and the default distance is the batch
+    * operator's 3 — r5's streaming-only best-effort 6 is gone. */
   def runStreamingSimHashDedupOnce(spark: SparkSession, sfDir: String,
-      queryName: String, maxHamming: Int = 6): StreamingQuery = {
+      queryName: String, maxHamming: Int = 3): StreamingQuery = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val base = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -284,7 +291,7 @@ object DocStreams {
         col("text").substr(lit(1),
           greatest(length(col("text")) - 30, lit(10))).as("text"))
     val chunks = simHashChunks(base.unionAll(mutated), "doc_id", "text",
-      hashFn = Dedup.md5Long)
+      hashFn = Dedup.md5Long, numChunks = Dedup.autoNumChunks(maxHamming))
     simHashMatcher(chunks, maxHamming).toDF()
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)

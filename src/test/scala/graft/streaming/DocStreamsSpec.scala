@@ -47,10 +47,33 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("auto chunk blocking guarantees recall at the boundary distance") {
+    import spark.implicits._
+    // a hamming-4 pair whose differing bits land in all four 16-bit
+    // chunks — exactly the pair 4-chunk blocking is allowed to miss.
+    // The shared auto rule (maxHamming 4 -> 8 x 8-bit chunks) must find
+    // it in BOTH the batch operator and the streaming matcher.
+    val a = 0L
+    val b = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val sigs = Seq((1L, a), (2L, b)).toDF("docId", "sig")
+    assert(Dedup.simHashPairsFromSigs(sigs, maxHamming = 4, numChunks = 4)
+      .isEmpty, "adversarial pair unexpectedly found under 4-chunk blocking")
+    assert(Dedup.simHashPairsFromSigs(sigs, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet == Set((1L, 2L, 4)))
+    val chunks = Seq(1L -> a, 2L -> b).flatMap { case (id, s) =>
+      (0 until 8).map(c =>
+        DocStreams.ChunkRow(id, s, c, (s >>> (c * 8)) & 0xffL))
+    }.toDS()
+    val hits = DocStreams.simHashMatcher(chunks, maxHamming = 4)
+      .toDF().select("a", "b", "hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hits == Set((1L, 2L, 4)))
+  }
+
   test("drain-once runner equals the batch simHashPairs answer") {
     val dir = "/root/testdata/sf0.001"
     val q = DocStreams.runStreamingSimHashDedupOnce(spark, dir,
-      "simhash_stream_parity")
+      "simhash_stream_parity", maxHamming = 6)
     q.awaitTermination(120000)
     val streamed = spark.table("simhash_stream_parity")
       .select("a", "b", "hamming").distinct()
