@@ -25,6 +25,32 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Hot-key guardrail for the collect-sort-fold operators ([[funnel]],
+    * [[ewma]]): both materialize ONE key's full event sequence as an
+    * in-memory array — the right shape for a strict sequential
+    * recurrence, but a single pathological key (a bot user with 10⁸
+    * events) would OOM an executor with no indication of which key did
+    * it. The guard turns that into a fail-fast, diagnosable error at a
+    * configurable bound. 10M struct entries ≈ a few hundred MB — near
+    * the practical per-task ceiling; raise it only with executor memory
+    * to match, or pre-aggregate/trim the offending key upstream. */
+  val DefaultMaxEventsPerKey: Int = 10000000
+
+  /** Wrap a collected per-key sequence so exceeding `maxEvents` raises a
+    * descriptive error (key + count) instead of exhausting memory much
+    * later in the fold. The guard is a row-local branch on the already-
+    * computed array size — zero cost for healthy keys and it cannot
+    * perturb the fold's arithmetic. */
+  private def guarded(seqCol: Column, keyCol: Column, maxEvents: Int,
+      op: String): Column =
+    when(size(seqCol) <= maxEvents, seqCol)
+      .otherwise(raise_error(concat(
+        lit(s"$op: key "), keyCol.cast("string"),
+        lit(" has "), size(seqCol).cast("string"),
+        lit(s" events, over the maxEventsPerKey bound $maxEvents — " +
+          "an executor-memory hazard; trim or pre-aggregate the key, " +
+          "or raise the bound with matching executor memory"))))
+
   /** Strict-order funnel: a user reaches step `i` when they performed
     * steps `0..i` in time order (each step at or after the moment the
     * previous step was first reached). Returns one row per step:
@@ -38,9 +64,11 @@ object EventAnalytics {
     * textbook N-way-join funnel shuffles the log once PER STEP).
     */
   def funnel(events: DataFrame, userCol: String, timeCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxEventsPerKey: Int = DefaultMaxEventsPerKey): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
+    require(maxEventsPerKey > 0, "maxEventsPerKey must be positive")
     val stepIdx = steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col(typeCol) === s, lit(i)).otherwise(acc)
@@ -50,7 +78,9 @@ object EventAnalytics {
       .select(col(userCol).as("u"),
         struct(col(timeCol).as("ts"), stepIdx.as("step")).as("e"))
       .groupBy(col("u"))
-      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .agg(array_sort(collect_list(col("e"))).as("es0"))
+      .select(col("u"),
+        guarded(col("es0"), col("u"), maxEventsPerKey, "funnel").as("es"))
       // fold: state = number of consecutive steps already reached; an
       // event advances it iff it is exactly the next step in order.
       // Sorting by (ts, step) makes the equal-timestamp case
@@ -166,20 +196,24 @@ object EventAnalytics {
     * identical doubles — no rounding policy needed. Returns one row per
     * key: (key, n_events, ewma). */
   def ewma(events: DataFrame, keyCol: String, timeCol: String,
-      tieCol: String, valueCol: String, alpha: Double): DataFrame = {
+      tieCol: String, valueCol: String, alpha: Double,
+      maxEventsPerKey: Int = DefaultMaxEventsPerKey): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(maxEventsPerKey > 0, "maxEventsPerKey must be positive")
     val seq0 = events
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         array_sort(collect_list(struct(col(timeCol).as("t"),
           col(tieCol).as("tie"), col(valueCol).cast("double").as("v"))))
-          .as("__seq"))
+          .as("__seq0"))
+      .withColumn("__seq",
+        guarded(col("__seq0"), col(keyCol), maxEventsPerKey, "ewma"))
       .withColumn("__vs", transform(col("__seq"), e => e.getField("v")))
     seq0
       .withColumn("ewma", aggregate(
         slice(col("__vs"), lit(2), size(col("__vs")) - 1),
         element_at(col("__vs"), 1),
         (s, x) => lit(alpha) * x + lit(1.0 - alpha) * s))
-      .drop("__seq", "__vs")
+      .drop("__seq0", "__seq", "__vs")
   }
 }

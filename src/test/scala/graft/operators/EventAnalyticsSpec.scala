@@ -145,6 +145,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 3L, 4.0), (2L, 2L, 15.0), (3L, 1L, 5.5)))
   }
 
+  test("hot key over maxEventsPerKey fails fast with the key in the message") {
+    val hot = (1 to 6).map(i =>
+      (99L, ts(f"2026-01-01 10:00:${i % 60}%02d"), i.toLong, 1.0))
+    val ok = Seq((1L, ts("2026-01-01 10:00:00"), 1L, 2.0))
+    val events = (hot ++ ok).toDF("user_id", "ts", "event_id", "value")
+    val e = intercept[Exception] {
+      EventAnalytics.ewma(events, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, maxEventsPerKey = 5).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("ewma: key 99 has 6 events"), msg)
+    // healthy data under the same bound is untouched
+    assert(EventAnalytics.ewma(ok.toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", alpha = 0.5,
+      maxEventsPerKey = 5).count() == 1)
+    // funnel shares the guard
+    val f = intercept[Exception] {
+      EventAnalytics.funnel(
+        hot.toDF("user_id", "ts", "event_id", "event_type")
+          .withColumn("event_type", lit("signup")),
+        "user_id", "ts", "event_type", Seq("signup"),
+        maxEventsPerKey = 5).collect()
+    }
+    val fmsg = Option(f.getMessage).getOrElse("") +
+      Option(f.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(fmsg.contains("funnel: key 99 has 6 events"), fmsg)
+  }
+
   test("ewma plan is join-free with one shuffle on the key") {
     val events = Seq((1L, ts("2026-01-01 10:00:00"), 1L, 1.0))
       .toDF("user_id", "ts", "event_id", "value")
