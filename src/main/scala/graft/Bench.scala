@@ -41,10 +41,10 @@ object Bench {
       // warm BOTH gate configurations: generated code is shape-specific
       // (the probe-sketch array length and bit count are baked into the
       // codegen source), so a bits=6/probes=2 warm-up leaves the
-      // bits=10/probes=40 recall gate paying its JIT on the clock —
+      // bits=10/probes=20 recall gate paying its JIT on the clock —
       // that was most of q_ann_lsh_recall's 9.65 s driver-vs-clean gap
       pipeline.VectorOps.lshNeighborPairs(emb, "vec_id", "embedding",
-        bits = 10, minCosine = 0.9, probes = 40,
+        bits = 10, minCosine = 0.9, probes = 20,
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
       pipeline.VectorOps.lshNeighborPairs(emb, "vec_id", "embedding",
         bits = 10, minCosine = 0.9, probes = 2,

