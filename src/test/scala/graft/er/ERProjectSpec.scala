@@ -43,6 +43,99 @@ class ERProjectSpec extends AnyFunSuite {
     assert(ERProject.effectiveSweepsPerJob(conf(thin = 1, burnIn = 0, spj = 5)) == 5)
   }
 
+  test("verbatim dblink-syntax HOCON config runs end to end") {
+    val dir = Files.createTempDirectory("erhocon").toString
+    writeFixture(dir)
+    // the reference's examples/RLdata500.conf shape, verbatim syntax:
+    // substitutions, comments, optional commas, nested step parameters
+    val conf =
+      s"""dblink : {
+         |
+         |    // Define distortion hyperparameters (to be referenced below)
+         |    lowDistortion : {alpha : 0.5, beta : 50.0}
+         |
+         |    constSimFn : {
+         |        name : "ConstantSimilarityFn",
+         |    }
+         |
+         |    levSimFn : {
+         |        name : "LevenshteinSimilarityFn",
+         |        parameters : {
+         |            threshold : 7.0
+         |            maxSimilarity : 10.0
+         |        }
+         |    }
+         |
+         |    data : {
+         |        path : "$dir/records.csv"
+         |        recordIdentifier : "rec_id",
+         |        entityIdentifier : "ent_id" // optional
+         |        nullValue : "NA"
+         |        matchingAttributes : [
+         |            {name : "fname", similarityFunction : $${dblink.levSimFn}, distortionPrior : $${dblink.lowDistortion}},
+         |            {name : "by", similarityFunction : $${dblink.constSimFn}, distortionPrior : $${dblink.lowDistortion}}
+         |        ]
+         |    }
+         |
+         |    randomSeed : 319158
+         |    expectedMaxClusterSize : 10
+         |
+         |    partitioner : {
+         |        name : "KDTreePartitioner",
+         |        parameters : {
+         |            numLevels : 1,
+         |            matchingAttributes : ["fname"]
+         |        }
+         |    }
+         |
+         |    outputPath : "$dir/out/"
+         |
+         |    checkpointPath : "/tmp/spark_checkpoint/"
+         |
+         |    steps : [
+         |        {name : "sample", parameters : {
+         |            sampleSize : 4,
+         |            burninInterval : 4,
+         |            thinningInterval : 2,
+         |            resume : false,
+         |            sampler : "PCG-I"
+         |        }},
+         |        {name : "summarize", parameters : {
+         |            lowerIterationCutoff : 0,
+         |            quantities : ["cluster-size-distribution"]
+         |        }},
+         |        {name : "evaluate", parameters : {
+         |            lowerIterationCutoff : 4,
+         |            metrics : ["pairwise", "cluster"],
+         |            useExistingSMPC : false
+         |        }}
+         |    ]
+         |}""".stripMargin
+    val confPath = s"$dir/project.conf"
+    Files.writeString(Paths.get(confPath), conf)
+    val parsed = ERProject.loadConf(confPath)
+    assert(parsed.idColumn == "rec_id")
+    assert(parsed.entityIdColumn.contains("ent_id"))
+    assert(parsed.seed == 319158L)
+    assert(parsed.attributes.map(_.name) == Seq("fname", "by"))
+    assert(parsed.attributes.head.similarity == "levenshtein")
+    assert(parsed.attributes.head.threshold == 7.0)
+    assert(parsed.attributes(1).similarity == "constant")
+    assert(parsed.partitioner == "kdtree" && parsed.numLevels == 1)
+    assert(parsed.splitAttributes == Seq("fname"))
+    assert(parsed.sampler == "pcg1")
+    // sampleSize=4 recorded samples, burn-in 4, thinning 2 -> 12 sweeps
+    assert(parsed.sweeps == 12 && parsed.burnIn == 4 && parsed.thin == 2)
+    assert(parsed.steps == Seq("sample", "summarize", "evaluate"))
+
+    val smpc = ERProject.run(spark, parsed)
+    assert(smpc.isDefined)
+    assert(Files.exists(Paths.get(s"$dir/out/diagnostics.csv")))
+    assert(Files.exists(Paths.get(s"$dir/out/evaluation-results.txt")))
+    val eval = Files.readString(Paths.get(s"$dir/out/evaluation-results.txt"))
+    assert(eval.contains("precision:") && eval.contains("adjusted-rand-index:"))
+  }
+
   test("config-driven sample/summarize/evaluate run + resume") {
     val dir = Files.createTempDirectory("erproject").toString
     writeFixture(dir)
