@@ -24,13 +24,13 @@ object Bench {
       import org.apache.spark.sql.functions.col
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text")).limit(64)
-      // warm the GATE band configuration (threshold=0.8, 32 bands x 4
-      // rows — a 128-long minhash signature), not the library default
+      // warm the GATE band configuration (threshold=0.8, 16 bands x 4
+      // rows — a 64-long minhash signature), not the library default
       // (8 x 4, signature 32): the generated code bakes the signature
       // length and band slicing in, so warming the default shape left
       // q_dedup_minhash_lsh paying its band+verify JIT on the clock
       pipeline.Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-        threshold = 0.8, shingleSize = 3, bands = 32, rowsPerBand = 4,
+        threshold = 0.8, shingleSize = 3, bands = 16, rowsPerBand = 4,
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()
       pipeline.Dedup.nearDuplicatePairs(docs, "doc_id", "text",
         persistLevel = org.apache.spark.storage.StorageLevel.NONE).count()

