@@ -77,14 +77,23 @@ object Bench {
     } catch { case _: Throwable => (0L, 0L) }
     // sorted: stable execution order makes per-query timings comparable
     // across rounds (Map hash order reshuffles under query renames)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY="q_a q_b": time just the named queries (local
+    // iteration on a perf-watch subset; the driver sets no filter)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val (st0, tot0) = stealSample()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // a crashed query must NOT read as a fast success: its name goes to
+      // the `failed` list and it is EXCLUDED from the total and the
+      // per-query map — otherwise a regression that crashes queries would
+      // *improve* the bench (r6: five NTZ crashes recorded as 0.06 s wins)
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          // surface failures loudly — a swallowed error otherwise reads as
-          // a fast query
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val (st1, tot1) = stealSample()
@@ -99,10 +108,12 @@ object Bench {
       spark.experimental.extraOptimizations = Nil
       try spark.conf.unset(graft.plans.BandedRangeJoinRule.ConfKey)
       catch { case _: Throwable => () }
-      (name, dt, stealPct)
+      (name, dt, stealPct, ok)
     }
-    val results = timed.map { case (n, dt, _) => n -> dt }.toMap
-    val steals = timed.map { case (n, _, sp) => n -> sp }.toMap
+    val failed = timed.collect { case (n, _, _, false) => n }.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val results = timed.collect { case (n, dt, _, true) => n -> dt }.toMap
+    val steals = timed.collect { case (n, _, sp, true) => n -> sp }.toMap
     // ms precision keeps the one-line JSON under ~1900 chars for 72
     // queries, so the driver's 2000-char stdout tail captures the whole
     // line even when its JSON parse step fails
@@ -116,7 +127,7 @@ object Bench {
     // the driver recorded "parsed": null every round.
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(
       new java.io.File(sfDir).getName).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"failed":$failedJson}""")
     // The driver captures only the LAST 2000 chars of stdout; the full
     // per-query line above outgrew that at ~98 queries, so every round's
     // BENCH json recorded "parsed": null. Emit a final COMPACT line —
@@ -132,7 +143,7 @@ object Bench {
       val smap = slow.map { case (n, _) =>
         s"\"" + n + "\":" + r3(steals.getOrElse(n, 0.0)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n":${results.size},"queries":$qmap,"steal_pct":$smap}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n":${results.size},"failed":$failedJson,"queries":$qmap,"steal_pct":$smap}"""
     }
     val compact = (10 to 0 by -1).map(compactLine).find(_.length < 1500)
       .getOrElse(compactLine(0))

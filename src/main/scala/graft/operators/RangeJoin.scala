@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Interval-containment (range) join at scale — absent from the reference
   * (SURVEY §2.3 "no range/interval joins") and planned by vanilla Spark
@@ -17,18 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Epoch-micros view of an event-time column in any lake flavor:
+    * TIMESTAMP passes to `unix_micros` directly; TIMESTAMP_NTZ first
+    * casts to TimestampType (lossless under the session-UTC convention,
+    * and monotone under any zone — which is all banding needs); a LONG
+    * column is taken as micros already. */
+  private def microsOf(dt: DataType, c: Column): Column = dt match {
+    case LongType => c
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _ => unix_micros(c)
+  }
+
   /** Rows of `left` joined to every `right` interval containing their
     * timestamp: leftTime ∈ [start, end). Timestamps compare at
-    * microsecond precision. */
+    * microsecond precision; both sides must use the SAME timestamp
+    * flavor (the exact containment filter compares them directly). */
   def bandedIntervalJoin(left: DataFrame, leftTimeCol: String,
       right: DataFrame, startCol: String, endCol: String,
       bandMicros: Long): DataFrame = {
     require(bandMicros > 0, "bandMicros must be positive")
     val lb = left.withColumn("__band",
-      floor(unix_micros(col(leftTimeCol)) / bandMicros))
+      floor(microsOf(left.schema(leftTimeCol).dataType, col(leftTimeCol))
+        / bandMicros))
     val rb = right.withColumn("__band", explode(sequence(
-      floor(unix_micros(col(startCol)) / bandMicros),
-      floor(unix_micros(col(endCol)) / bandMicros))))
+      floor(microsOf(right.schema(startCol).dataType, col(startCol))
+        / bandMicros),
+      floor(microsOf(right.schema(endCol).dataType, col(endCol))
+        / bandMicros))))
     lb.join(rb, "__band")
       .filter(col(leftTimeCol) >= col(startCol) &&
         col(leftTimeCol) < col(endCol))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule (SURVEY §4.2 tier (c): custom `Rule[LogicalPlan]`)
   * rewriting non-equi interval-containment joins
@@ -41,9 +41,16 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Timestamp → epoch micros; integral columns pass through. */
+  /** Timestamp → epoch micros; integral columns pass through.
+    * TIMESTAMP_NTZ (the no-timezone parquet flavor) routes through an
+    * explicit session-zone Cast to TimestampType — exact microsecond
+    * banding preserved (a direct long cast would truncate to seconds),
+    * and the zone mapping is monotone, which is all banding requires.
+    * The Cast carries the zone because this runs post-ResolveTimeZone. */
   private def micros(e: Expression): Option[Expression] = e.dataType match {
     case TimestampType => Some(UnixMicros(e))
+    case TimestampNTZType =>
+      Some(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))))
     case LongType => Some(e)
     case _ => None
   }

@@ -20,11 +20,14 @@ object EventStreams {
   final case class SessionSummary(user_id: Long, nEvents: Int,
       totalValue: Double, startTs: Long, endTs: Long)
 
-  /** Watermarked tumbling-window aggregation (event-time). */
+  /** Watermarked tumbling-window aggregation (event-time). Accepts any
+    * event-time flavor a parquet lake produces (nanos-long / NTZ / UTC
+    * micros) — watermarks require TimestampType, so `ts` is normalized
+    * on entry. */
   def windowedCounts(events: DataFrame,
       windowLength: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
-    events
+    graft.Tables.normalizeEventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -103,14 +106,13 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     // the file stream source requires a directory: point it at the sf dir
-    // and glob-filter to the events file
-    val stream = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
-    val withTs =
-      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    // and glob-filter to the events file; normalize whichever timestamp
+    // flavor (nanos-long / NTZ / UTC micros) the file carries — the
+    // watermark below requires TimestampType
+    val withTs = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
     // Complete mode: append would withhold windows newer than the final
     // watermark; this job drains everything available and stops.
     windowedCounts(withTs)
@@ -132,11 +134,11 @@ object EventStreams {
     * engine. */
   def viewClickPairs(views: DataFrame, clicks: DataFrame,
       window: String = "2 hours", watermark: String = "4 hours"): DataFrame = {
-    val v = views
+    val v = graft.Tables.normalizeEventTime(views, "ts")
       .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
         col("ts").as("view_ts"))
       .withWatermark("view_ts", watermark)
-    val c = clicks
+    val c = graft.Tables.normalizeEventTime(clicks, "ts")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
@@ -157,16 +159,12 @@ object EventStreams {
       queryName: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
-    def side(eventType: String): DataFrame = {
-      val s = spark.readStream.schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(eventsDir)
-      val withTs =
-        if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else s
-      withTs.filter(col("event_type") === eventType)
-    }
+    def side(eventType: String): DataFrame =
+      graft.Tables.normalizeEventTime(
+          spark.readStream.schema(fileSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(eventsDir), "ts")
+        .filter(col("event_type") === eventType)
     // A stream-stream join keeps FOUR state stores per shuffle
     // partition; per-batch commit cost is per-store, not per-row, so 32
     // partitions cost ~128 store commits a micro-batch. 8 partitions
@@ -238,10 +236,12 @@ object EventStreams {
     * requirement). Duplicates within the horizon are dropped; a
     * re-arrival after its state expired is re-emitted — that is the
     * `dropDuplicatesWithinWatermark` contract, proven by the state-aging
-    * spec. `events` must carry an event-time `ts` column. */
+    * spec. `events` must carry an event-time `ts` column (any parquet
+    * flavor — normalized to TimestampType on entry). */
   def dedupWithinWatermark(events: DataFrame, watermark: String,
       keys: Seq[String]): DataFrame =
-    events.withWatermark("ts", watermark)
+    graft.Tables.normalizeEventTime(events, "ts")
+      .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
   /** Drain-once runner for `dedupWithinWatermark` over the events
@@ -253,13 +253,10 @@ object EventStreams {
       queryName: String, watermark: String = "2 hours"): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
-    val stream = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
-    val withTs =
-      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
     dedupWithinWatermark(
         withTs.select(col("ts"), col("user_id"), col("event_type")),
         watermark, Seq("user_id", "event_type"))
@@ -314,16 +311,15 @@ object EventStreams {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
-    val stream = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
-    val tsUs =
-      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000")
-      else unix_micros(col("ts"))
+    // normalize first (nanos-long / NTZ / UTC micros all become
+    // TimestampType), then take exact integral micros for the fold key
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
     streamingEwma(
-        stream.select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
-          col("value")).as[MetricEvent], alpha)
+        stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value")).as[MetricEvent], alpha)
       .writeStream.outputMode(OutputMode.Update)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -16,21 +16,49 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects:
-    // read nanos as long, then truncate to microsecond timestamps (the
-    // same truncation DuckDB applies, keeping oracle parity). The flag
-    // has no per-read option, so it must be a session conf; set it only
-    // for the one table that needs it (consulted at scan time too, so it
-    // cannot be unset after planning) — loading any other table leaves
-    // session state untouched.
+    // events.ts has shipped in THREE parquet flavors across testdata
+    // generations: TIMESTAMP(NANOS) (vanilla Spark rejects it — read
+    // nanos as long and truncate to micros, the same truncation DuckDB
+    // applies), TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark reads
+    // TIMESTAMP_NTZ, which watermarks and unix_micros reject), and plain
+    // UTC-adjusted micros. A 100 TB lake contains all three, so the
+    // loader normalizes every flavor to TimestampType here — under the
+    // engine's session-UTC convention the NTZ cast is lossless.
+    // The nanos flag has no per-read option, so it must be a session
+    // conf; set it only for the one table that needs it (consulted at
+    // scan time too, so it cannot be unset after planning) — loading any
+    // other table leaves session state untouched.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       // integral `div`, not `/`: nano ticks exceed double's 53-bit mantissa
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    else normalizeNtz(df)
   }
+
+  /** Cast every TIMESTAMP_NTZ column to TimestampType — lossless under
+    * the session-UTC convention every graft session sets, and required
+    * before watermarking or `unix_micros` (both reject NTZ). */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
+  /** Normalize an event-time column read straight from parquet (the
+    * streaming runners build their own readStream scans, so they cannot
+    * go through [[load]]): legacy nanos-as-long → micros timestamps; NTZ
+    * → session-zone timestamps; UTC-adjusted micros pass through. */
+  def normalizeEventTime(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        // integral `div`: nano ticks exceed double's 53-bit mantissa
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
 
   /** Fan a small-but-CPU-heavy input out to every core before an
     * expensive per-row projection. Small compressed scans are often a

@@ -45,6 +45,21 @@ class PlanSpec extends AnyFunSuite {
       val equi = clicks.join(ev.select(col("event_id").as("e2")),
         col("event_id") === col("e2"))
       assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+      // TIMESTAMP_NTZ arm: the no-timezone parquet flavor must get the
+      // SAME rewrite (a silently-skipped rule leaves the quadratic
+      // nested-loop plan in place while still returning correct rows)
+      import org.apache.spark.sql.types.TimestampNTZType
+      val clicksN = clicks.withColumn("ts", col("ts").cast(TimestampNTZType))
+      val winsN = wins
+        .withColumn("w_start", col("w_start").cast(TimestampNTZType))
+        .withColumn("w_end", col("w_end").cast(TimestampNTZType))
+      val ntz = clicksN.join(winsN,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .select(col("event_id"), col("w_user"))
+      val ntzPlan = ntz.queryExecution.executedPlan.toString
+      assert(!ntzPlan.contains("BroadcastNestedLoopJoin"), ntzPlan.take(3000))
+      val gotN = ntz.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(gotN.toSeq == expected.toSeq, "NTZ rewrite changed the answer")
     } finally {
       spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "0")
       spark.experimental.extraOptimizations = Nil

@@ -33,4 +33,35 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!banded.exists(_._2 == 101L))   // 1µs window catches no grid point
     assert(!banded.contains((6L, 100L)))   // end boundary excluded (3600s)
   }
+
+  test("banded interval join accepts TIMESTAMP_NTZ inputs (no-timezone parquet flavor)") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val left = (0L until 50L).map(i => (i, ts(i * 600L * 1000000L)))
+      .toDF("id", "t").withColumn("t", col("t").cast(TimestampNTZType))
+    val right = Seq(
+      (100L, ts(0L), ts(3600L * 1000000L)),
+      (102L, ts(7200L * 1000000L), ts(36000L * 1000000L))
+    ).toDF("rid", "s", "e")
+      .withColumn("s", col("s").cast(TimestampNTZType))
+      .withColumn("e", col("e").cast(TimestampNTZType))
+    val banded = RangeJoin
+      .bandedIntervalJoin(left, "t", right, "s", "e", bandMicros = 1800L * 1000000L)
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    val nested = left.join(right, col("t") >= col("s") && col("t") < col("e"))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == nested && banded.nonEmpty)
+  }
+
+  test("banded interval join accepts raw long-micros columns") {
+    val left = (0L until 50L).map(i => (i, i * 600L * 1000000L)).toDF("id", "t")
+    val right = Seq(
+      (100L, 0L, 3600L * 1000000L),
+      (102L, 7200L * 1000000L, 36000L * 1000000L)).toDF("rid", "s", "e")
+    val banded = RangeJoin
+      .bandedIntervalJoin(left, "t", right, "s", "e", bandMicros = 1800L * 1000000L)
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    val nested = left.join(right, col("t") >= col("s") && col("t") < col("e"))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == nested && banded.nonEmpty)
+  }
 }

@@ -7,15 +7,43 @@ import graft.TestSpark
 class EventStreamsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("streaming windowed counts match the batch equivalent") {
+  /** The sf0.001 events table re-materialized as a bare single-file
+    * `events.parquet` (the driver's layout) in BOTH parquet timestamp
+    * flavors: UTC-adjusted micros (Spark TimestampType) and
+    * no-timezone micros (TIMESTAMP_NTZ). Real lakes contain both, and
+    * the driver's testdata has shipped as each at different times — so
+    * every stream-vs-batch parity case below runs against each flavor. */
+  lazy val flavorDirs: Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("events_flavors").toFile
+    base.deleteOnExit()
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    Seq(
+      "ltz" -> src,
+      "ntz" -> src.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    ).map { case (name, df) =>
+      val dir = new java.io.File(base, name); dir.mkdirs()
+      val stage = new java.io.File(base, name + "_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, "events.parquet").toPath)
+      name -> dir.getAbsolutePath
+    }.toMap
+  }
+
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] streaming windowed counts match the batch equivalent") {
     import org.apache.spark.sql.functions._
-    val q = EventStreams.runWindowedCountsOnce(spark,
-      "/root/testdata/sf0.001", "stream_counts")
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runWindowedCountsOnce(spark, dir,
+      s"stream_counts_$flavor")
     q.awaitTermination(120000)
-    val streamed = spark.table("stream_counts")
+    val streamed = spark.table(s"stream_counts_$flavor")
       .select("window_start", "event_type", "n", "sum_value")
 
-    val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = graft.Tables.load(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
@@ -54,12 +82,14 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("bounded dedup over the events file equals batch DISTINCT") {
-    val q = EventStreams.runStreamingDedupBoundedOnce(spark,
-      "/root/testdata/sf0.001", "stream_dedup_bounded_spec")
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] bounded dedup over the events file equals batch DISTINCT") {
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runStreamingDedupBoundedOnce(spark, dir,
+      s"stream_dedup_bounded_spec_$flavor")
     q.awaitTermination(120000)
-    val streamed = spark.table("stream_dedup_bounded_spec")
-    val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val streamed = spark.table(s"stream_dedup_bounded_spec_$flavor")
+    val batch = graft.Tables.load(spark, dir, "events")
       .select("user_id", "event_type").distinct()
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
@@ -93,13 +123,15 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming ewma drain equals the batch operator bitwise") {
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] streaming ewma drain equals the batch operator bitwise") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
-    val q = EventStreams.runStreamingEwmaOnce(spark, dir, "ewma_drain_test")
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runStreamingEwmaOnce(spark, dir,
+      s"ewma_drain_test_$flavor")
     q.awaitTermination(120000)
-    val streamed = spark.table("ewma_drain_test")
+    val streamed = spark.table(s"ewma_drain_test_$flavor")
       .select("user_id", "n_events", "ewma")
       .as[(Long, Long, Double)].collect().toSet
     val batch = graft.operators.EventAnalytics.ewma(
@@ -134,12 +166,13 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.user_id == 1L && s.nEvents == 2 && s.totalValue == 3.0)
   }
 
-  test("stream-stream interval join drains the same pairs as the batch join") {
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] stream-stream interval join drains the same pairs as the batch join") {
     import org.apache.spark.sql.functions._
-    val dir = "/root/testdata/sf0.001"
-    val q = EventStreams.runStreamStreamJoinOnce(spark, dir, "ssj_spec")
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runStreamStreamJoinOnce(spark, dir, s"ssj_spec_$flavor")
     graft.queries.StreamingQueries.drained(q, timeoutMs = 120000)
-    val streamed = spark.table("ssj_spec")
+    val streamed = spark.table(s"ssj_spec_$flavor")
       .select("user_id", "view_id", "click_id", "gap_us")
     val ev = graft.Tables.load(spark, dir, "events")
     val batch = EventStreams.viewClickPairs(
