@@ -65,6 +65,29 @@ object Bench {
         Array.fill(16)(0.toShort), 8000f))
       pipeline.Multimodal.decodeAviDib(pipeline.Multimodal.encodeAviDib(
         4, 4, 2, (f, x, y) => f + x + y))
+      // ...but the image gate decodes on EXECUTOR threads through a
+      // typed Dataset map, which the driver-side registry poke above
+      // does not JIT — run the gate's own encode->stats shape on 64
+      // rows so q_image_decode's first execution (r6 driver: 4.5 s vs
+      // 1.1 s clean median) measures decoding, not codegen+JIT
+      locally {
+        import spark.implicits._
+        val media = spark.range(0, 64).as[Long].map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id / 16) % 8).toInt
+          pipeline.Multimodal.MediaRow(id, "image",
+            pipeline.Multimodal.encodePng(pipeline.Multimodal.grayImage(w, h,
+              (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)), w, h)
+        }
+        pipeline.Multimodal.extractImageStats(media).toDF().count()
+      }
+      // the dedup-clusters gate chains the (warmed) LSH pair stage into
+      // the connected-components label-propagation loop — warm the
+      // loop's localCheckpoint + iterate machinery on a toy edge set so
+      // the first full-corpus run (first of the sorted dedup family)
+      // is not charged its JIT (r6 driver: 8.0 s vs 3.5 s clean median)
+      graft.operators.ConnectedComponents.components(
+        spark.range(0, 64).selectExpr("id AS a", "(id % 7) AS b")).count()
       spark.catalog.clearCache()
     }
     // /proc/stat (steal, total) jiffies — sampled around each query so a
