@@ -11,6 +11,14 @@ object Bench {
       .config("spark.sql.maxPlanStringLength", "16384")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry whole-stage-codegen class cache (a STATIC
+      // conf) thrashes under a 131-query suite: by the time the late
+      // heavy queries run, their JIT-warmed generated classes have been
+      // LRU-evicted and they re-pay compile+JIT on the clock (observed:
+      // q_semantic_dedup 3.5 s with a short query list, 16 s in the full
+      // suite at 0% steal). One compiled class is a few hundred KB of
+      // metaspace — thousands are affordable on any driver
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/executor warm-up so the first timed query isn't

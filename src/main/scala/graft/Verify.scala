@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.maxPlanStringLength", "16384")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 131 queries thrash the default 100-entry codegen class cache
+      // (static conf) — see Bench.scala for the measurement
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

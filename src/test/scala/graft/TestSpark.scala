@@ -14,5 +14,8 @@ object TestSpark {
     .config("spark.sql.maxPlanStringLength", "16384")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // 131-query suites thrash the default 100-entry codegen class cache
+    // (static conf) — see Bench.scala for the measurement
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     .getOrCreate()
 }
