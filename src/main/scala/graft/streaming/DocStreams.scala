@@ -189,11 +189,13 @@ object DocStreams {
           .as("embedding"))
     val buckets = vecBuckets(base.unionAll(planted), "vec_id", "embedding",
       bits = 10, probes = 20)
-    embeddingMatcher(buckets, minCosine = 0.9).toDF()
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      embeddingMatcher(buckets, minCosine = 0.9).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Streaming LM-perplexity scoring: documents arrive as a stream and
@@ -216,12 +218,14 @@ object DocStreams {
       .parquet(sfDir)
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 2 === 1)
-    graft.pipeline.TextAnalysis.perplexityScores(
-        stream, lm, "doc_id", "text")
-      .writeStream.outputMode(OutputMode.Complete)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      graft.pipeline.TextAnalysis.perplexityScores(
+          stream, lm, "doc_id", "text")
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Streaming exact ingest dedup against a STATIC corpus — the
@@ -294,11 +298,13 @@ object DocStreams {
           greatest(length(col("text")) - 30, lit(10))).as("text"))
     val chunks = simHashChunks(base.unionAll(mutated), "doc_id", "text",
       hashFn = Dedup.md5Long, numChunks = Dedup.autoNumChunks(maxHamming))
-    simHashMatcher(chunks, maxHamming).toDF()
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      simHashMatcher(chunks, maxHamming).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Stateless streaming mixture sampling: the deterministic

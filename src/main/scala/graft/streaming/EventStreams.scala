@@ -115,11 +115,13 @@ object EventStreams {
         .parquet(eventsDir), "ts")
     // Complete mode: append would withhold windows newer than the final
     // watermark; this job drains everything available and stops.
-    windowedCounts(withTs)
-      .writeStream.outputMode(OutputMode.Complete)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      windowedCounts(withTs)
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Attribution pairs: (view, click) of the same user with the click
@@ -167,18 +169,14 @@ object EventStreams {
         .filter(col("event_type") === eventType)
     // A stream-stream join keeps FOUR state stores per shuffle
     // partition; per-batch commit cost is per-store, not per-row, so 32
-    // partitions cost ~128 store commits a micro-batch. 8 partitions
-    // carry this stream's state volume comfortably and quarter the
-    // fixed cost (the query captures the conf in its cloned session at
-    // start; the batch session's setting is restored immediately).
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try viewClickPairs(side("view"), side("click"))
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // partitions cost ~128 store commits a micro-batch — see StreamConf.
+    StreamConf.withStreamShuffle(spark) {
+      viewClickPairs(side("view"), side("click"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Drain-once runner for the STREAM-STATIC join: the event stream
@@ -218,15 +216,17 @@ object EventStreams {
       queryName: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
-    spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Bounded-state streaming dedup: each key's state lives only until
@@ -257,14 +257,16 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    dedupWithinWatermark(
-        withTs.select(col("ts"), col("user_id"), col("event_type")),
-        watermark, Seq("user_id", "event_type"))
-      .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      dedupWithinWatermark(
+          withTs.select(col("ts"), col("user_id"), col("event_type")),
+          watermark, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   final case class MetricEvent(user_id: Long, ts_us: Long, event_id: Long,
@@ -317,12 +319,14 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    streamingEwma(
-        stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_id"), col("value")).as[MetricEvent], alpha)
-      .writeStream.outputMode(OutputMode.Update)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      streamingEwma(
+          stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")).as[MetricEvent], alpha)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 }

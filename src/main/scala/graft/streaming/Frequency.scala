@@ -95,10 +95,12 @@ object Frequency {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .select(col("user_id")).as[Long]
-    spaceSavingSketch(users, shards, capacity).toDF()
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamConf.withStreamShuffle(spark) {
+      spaceSavingSketch(users, shards, capacity).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 }
