@@ -20,11 +20,38 @@ import org.apache.spark.sql.SparkSession
   * `start()`; the batch session's setting is restored immediately
   * after, so no batch query observes the pin.
   */
-private[streaming] object StreamConf {
+object StreamConf {
+
+  /** Opt-in state-store backend selector, read by every stateful
+    * drain-once runner: set to `"rocksdb"` to run the query's state in
+    * RocksDB (`RocksDBStateStoreProvider`) instead of the default
+    * executor-heap HDFS-backed store. Heap state must FIT in executor
+    * memory — the 100 TB posture for large keyed state (exact global
+    * dedup, wide CDC snapshots, big session maps) is RocksDB: state
+    * lives off-heap/on-disk with incremental checkpointing, so state
+    * size is bounded by local disk, not heap. The gate queries run
+    * identically under either backend (asserted by spec); the default
+    * stays heap because at drain-once fixture scale RocksDB's
+    * per-store open/compaction overhead only costs time. */
+  val StateStoreKey = "spark.graft.streaming.stateStore"
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   def withStreamShuffle[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if (spark.conf.getOption(StateStoreKey).contains("rocksdb"))
+      spark.conf.set(providerKey, RocksDbProvider)
+    try f finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => try spark.conf.unset(providerKey)
+          catch { case _: Throwable => () }
+      }
+    }
   }
 }
