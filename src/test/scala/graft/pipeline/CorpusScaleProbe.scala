@@ -20,6 +20,10 @@ object CorpusScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // match the Bench session: the probe times 27 query executions,
+      // which thrash the default 100-entry codegen class cache
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
