@@ -474,6 +474,25 @@ object Pipeline {
         .orderBy("source", "lang")
     }),
 
+    // ORC round-trip (the second columnar lake format, beyond the
+    // parquet/CSV/JSONL legs): documents written as ORC, read back
+    // through a filtered aggregation whose predicate must reach the ORC
+    // scan (OrcSpec asserts the pushed plan) — the oracle replays the
+    // same query over the parquet originals, so the round trip through
+    // the other container must be value-exact.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString
+      graft.sources.Orc.write(t(s, dir, "documents"), tmp, partitions = 8)
+      graft.sources.Orc.read(s, tmp)
+        .filter(col("n_chars") >= 200)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("source", "lang")
+    }),
+
     // Accent folding (native codegen Expression): accents are
     // synthesized onto the ASCII corpus with translate, stripped with
     // the native expression, and the roundtrip must restore the
@@ -1747,6 +1766,14 @@ object Pipeline {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
 
     "q_strip_accents" ->
