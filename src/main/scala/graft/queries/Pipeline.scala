@@ -493,6 +493,34 @@ object Pipeline {
         .orderBy("source", "lang")
     }),
 
+    // Schema evolution under PLANNED additive change — every multi-year
+    // lake has early files missing later columns. Two parquet
+    // generations are written (gen1 predates the `lang` column), then
+    // read as ONE dataset via mergeSchema (footer-merge only — O(files)
+    // metadata, no data pass); rows from old files surface the missing
+    // column as NULL, which the query folds explicitly. Distinct from
+    // UNPLANNED drift, which `sources/Orc` argues should fail loudly:
+    // evolution is additive and declared, drift is neither.
+    "q_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evo").toString
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+          col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/gen1", s"$tmp/gen2")
+        .groupBy(coalesce(col("lang"), lit("pre_schema")).as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+    }),
+
     // Accent folding (native codegen Expression): accents are
     // synthesized onto the ASCII corpus with translate, stripped with
     // the native expression, and the roundtrip must restore the
@@ -1775,6 +1803,13 @@ object Pipeline {
         |FROM documents WHERE n_chars >= 200
         |GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang
+        |       ELSE 'pre_schema' END AS lang,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q_strip_accents" ->
       """WITH a AS (SELECT doc_id, text,
