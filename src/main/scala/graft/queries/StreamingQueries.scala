@@ -79,6 +79,30 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming conversion funnel: the batch fold carried as one
+    // integer of state per user. The drained per-user reach reduces to
+    // the SAME (step, step_name, users) table as the batch operator —
+    // and must therefore match the identical DuckDB min-time-join
+    // replay that gates q_funnel.
+    "q_stream_funnel" -> ((s, dir) => {
+      val name = s"stream_funnel_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamingFunnelOnce(s, dir, name)
+      drained(q)
+      val steps = Seq("signup", "click", "purchase")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("reach").desc)
+      val reach = s.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      val stepSums = steps.indices.map(i =>
+        sum((col("reach") > i).cast("long")).as(s"s$i"))
+      val stackArgs = steps.indices
+        .map(i => s"$i, '${steps(i)}', s$i").mkString(", ")
+      reach.agg(stepSums.head, stepSums.tail: _*)
+        .select(expr(s"stack(${steps.size}, $stackArgs) " +
+          "as (step, step_name, users)"))
+        .orderBy("step")
+    }),
+
     // Stateless streaming mixture sampling: the batch hash-threshold
     // policy applied to the document stream — zero state, and the
     // drained sample must equal the batch/relational replay exactly.
@@ -229,6 +253,10 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // identical replay to the batch funnel gate — the streaming fold
+    // must converge to the same per-step user counts
+    "q_stream_funnel" -> Relational.oracles("q_funnel"),
+
     // same relational replay as the batch SimHash gate — the streaming
     // matcher must converge to the identical pair set
     "q_stream_simhash_dedup" -> Pipeline.oracles("q_dedup_simhash"),

@@ -269,6 +269,65 @@ object EventStreams {
     }
   }
 
+  final case class FunnelEvent(user_id: Long, ts_us: Long, step: Int)
+  final case class FunnelReach(user_id: Long, reach: Int)
+
+  /** Streaming conversion funnel — the batch
+    * `operators/EventAnalytics.funnel` fold carried as ONE integer of
+    * state per user (the number of consecutive steps already reached; an
+    * event advances it iff its step is exactly the next one). Each
+    * micro-batch sorts its own events by (event-time, step) — the same
+    * tie rule as the batch fold — and advances the carried state,
+    * emitting the user's updated reach. Correct whenever batches arrive
+    * in per-key event-time order (an AvailableNow drain, or any log
+    * replayed in order) — the same contract as [[streamingEwma]]. */
+  def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Int, FunnelReach](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.step))
+          var reach = state.getOption.getOrElse(0)
+          var i = 0
+          while (i < sorted.length) {
+            if (sorted(i).step == reach) reach += 1
+            i += 1
+          }
+          state.update(reach)
+          FunnelReach(uid, reach)
+      }
+  }
+
+  /** Drain-once runner for [[streamingFunnel]] over the events parquet:
+    * event types map to their step index, non-funnel events are
+    * filtered before the stateful fold (state exists only for users
+    * that touched the funnel). */
+  def runStreamingFunnelOnce(spark: SparkSession, eventsDir: String,
+      queryName: String,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    StreamConf.withStreamShuffle(spark) {
+      streamingFunnel(
+          stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            stepIdx.as("step"))
+            .filter(col("step") >= 0).as[FunnelEvent])
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   final case class MetricEvent(user_id: Long, ts_us: Long, event_id: Long,
       value: Double)
   final case class EwmaState(n: Long, s: Double)

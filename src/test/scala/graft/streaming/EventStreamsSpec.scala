@@ -200,6 +200,60 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Set(11L, 12L), s"got $got")
   }
 
+  test("streaming funnel carries reach across batches; out-of-order within a batch sorts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.streamingFunnel(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream_test").start()
+    try {
+      // batch 1 arrives out of storage order WITHIN the batch:
+      // sorted (signup@1000, click@2000) -> reach 2
+      mem.addData(
+        EventStreams.FunnelEvent(1L, 2000L, 1),
+        EventStreams.FunnelEvent(1L, 1000L, 0),
+        // user 2 clicks before signing up: reach stays 0, then 1
+        EventStreams.FunnelEvent(2L, 1000L, 1),
+        EventStreams.FunnelEvent(2L, 2000L, 0))
+      q.processAllAvailable()
+      // batch 2 continues user 1 later in event time — state must carry
+      mem.addData(EventStreams.FunnelEvent(1L, 3000L, 2))
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream_test")
+        .groupBy("user_id").agg(max(col("reach")).as("reach"))
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(last === Seq((1L, 3), (2L, 1)))
+    } finally q.stop()
+  }
+
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] streaming funnel drain equals the batch operator") {
+    import org.apache.spark.sql.functions._
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runStreamingFunnelOnce(spark, dir,
+      s"funnel_drain_$flavor")
+    graft.queries.StreamingQueries.drained(q, timeoutMs = 120000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("reach").desc)
+    val streamed = spark.table(s"funnel_drain_$flavor")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("user_id", "reach").filter(col("reach") > 0)
+    // batch operator reduces to step counts; rebuild them from the
+    // streamed per-user reach and compare
+    val fromStream = Seq(0, 1, 2).map(i =>
+      streamed.filter(col("reach") > i).count())
+    val batch = graft.operators.EventAnalytics.funnel(
+        graft.Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+      .orderBy("step").select("users")
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromStream == batch && batch.head > 0,
+      s"stream $fromStream vs batch $batch")
+  }
+
   test("stateful runner is backend-portable: RocksDB state store, identical answer") {
     import scala.jdk.CollectionConverters._
     spark.conf.set(StreamConf.StateStoreKey, "rocksdb")
