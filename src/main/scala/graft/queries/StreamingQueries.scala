@@ -239,6 +239,20 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Sessionization via the NATIVE session_window streaming
+    // aggregation (gap widened 1µs to align its merge predicate with
+    // the custom kernel's close predicate): the drained session table
+    // must equal the SAME relational oracle as q_sessionize — closing
+    // the custom-kernel / native-operator / relational-replay triangle.
+    "q_stream_session_window" -> ((s, dir) => {
+      val name = s"stream_sesswin_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runSessionWindowOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // The custom stateful sessionization kernel (splitSessions, shared
     // with the streaming flatMapGroupsWithState path) cross-checked
     // against the relational formulation: lag + cumulative break sum.
@@ -252,10 +266,29 @@ object StreamingQueries {
         .orderBy("user_id", "start_us")
     }))
 
+  // shared by q_sessionize (custom kernel) and q_stream_session_window
+  // (native operator): both must answer the same relational replay
+  private val sessionizeOracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |m AS (SELECT user_id, t,
+      |  CASE WHEN lag(t) OVER w IS NULL
+      |       OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |s AS (SELECT user_id, t, sum(brk) OVER
+      |  (PARTITION BY user_id ORDER BY t
+      |   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+      |  count(*) AS n
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_stream_session_window" -> sessionizeOracle,
+
     // identical replay to the batch funnel gate — the streaming fold
     // must converge to the same per-step user counts
     "q_stream_funnel" -> Relational.oracles("q_funnel"),
+
 
     // same relational replay as the batch SimHash gate — the streaming
     // matcher must converge to the identical pair set
@@ -360,17 +393,5 @@ object StreamingQueries {
         |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
-        |m AS (SELECT user_id, t,
-        |  CASE WHEN lag(t) OVER w IS NULL
-        |       OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-        |s AS (SELECT user_id, t, sum(brk) OVER
-        |  (PARTITION BY user_id ORDER BY t
-        |   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-        |SELECT user_id, min(t) AS start_us, max(t) AS end_us,
-        |  count(*) AS n
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, start_us""".stripMargin)
+    "q_sessionize" -> sessionizeOracle)
 }

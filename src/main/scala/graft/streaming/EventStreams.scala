@@ -269,6 +269,48 @@ object EventStreams {
     }
   }
 
+  /** Drain-once runner for sessionization via the NATIVE
+    * `session_window` streaming aggregation — the same session
+    * partitioning as the custom `splitSessions` kernel, so the drained
+    * sessions must equal `sessionizeBatch` AND its relational oracle.
+    *
+    * Boundary alignment: `session_window` MERGES an event into the
+    * session iff gap-to-previous < windowGap, while `splitSessions`
+    * CLOSES only when the gap is strictly greater than gapUs (equality
+    * stays). Widening the native gap by one microsecond makes the two
+    * predicates identical (e−prev < gap+1µs ⇔ e−prev ≤ gap). The
+    * emitted end is the window end minus that widened gap — i.e. the
+    * last event's timestamp, matching SessionRow.end_us. Complete mode
+    * (Update is unsupported for session windows) + AvailableNow: the
+    * drain emits every session's final state, open tails included,
+    * exactly like the batch kernel — Append would withhold sessions
+    * newer than the final watermark. */
+  def runSessionWindowOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, gapUs: Long = 30 * 60 * 1000000L): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    val gapPlus = gapUs + 1
+    StreamConf.withStreamShuffle(spark) {
+      stream
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), s"$gapPlus microseconds"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          (unix_micros(col("session_window.end")) - gapPlus).as("end_us"),
+          col("n"))
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   final case class FunnelEvent(user_id: Long, ts_us: Long, step: Int)
   final case class FunnelReach(user_id: Long, reach: Int)
 

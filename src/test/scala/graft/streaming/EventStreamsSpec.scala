@@ -254,6 +254,27 @@ class EventStreamsSpec extends AnyFunSuite {
       s"stream $fromStream vs batch $batch")
   }
 
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] native session_window drain equals the custom sessionize kernel") {
+    import org.apache.spark.sql.functions._
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runSessionWindowOnce(spark, dir,
+      s"sesswin_$flavor")
+    graft.queries.StreamingQueries.drained(q, timeoutMs = 120000)
+    val streamed = spark.table(s"sesswin_$flavor")
+      .select("user_id", "start_us", "end_us", "n")
+    import spark.implicits._
+    val batch = EventStreams.sessionizeBatch(
+        graft.Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStreams.Event]).toDF()
+      .select("user_id", "start_us", "end_us", "n")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "native session_window diverged from the splitSessions kernel")
+  }
+
   test("stateful runner is backend-portable: RocksDB state store, identical answer") {
     import scala.jdk.CollectionConverters._
     spark.conf.set(StreamConf.StateStoreKey, "rocksdb")
