@@ -493,6 +493,44 @@ object Pipeline {
         .orderBy("source", "lang")
     }),
 
+    // binaryFile ingest — the on-disk layout multimodal lakes actually
+    // have (one file per asset): a PNG corpus is materialized to disk
+    // from the q_image_decode closed form (executor-side writes — fine
+    // in local mode; on a cluster binaryFile points at the lake), read
+    // back through Spark's binaryFile source with a glob, ids recovered
+    // from file names, payloads decoded by the same pure-JVM codec —
+    // and the whole loop must match the q_image_decode pixel oracle
+    // restricted to the sampled ids.
+    "q_binary_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_png").toString
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter(col("doc_id") % 10 === 0)
+        .foreachPartition { (ids: Iterator[Long]) =>
+          ids.foreach { id =>
+            val w = (8 + id % 16).toInt
+            val h = (8 + (id / 16) % 8).toInt
+            val png = Multimodal.encodePng(Multimodal.grayImage(w, h,
+              (x, y) => ((x * 7 + y * 13 + id) % 256).toInt))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"$id.png"), png)
+          }
+        }
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(tmp)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          Multimodal.MediaRow(id, "image", bytes, 0, 0)
+        }
+      Multimodal.extractImageStats(media).toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("width"), col("height"), col("sumLuma").as("sum_luma"))
+        .orderBy("doc_id")
+    }),
+
     // Schema evolution under PLANNED additive change — every multi-year
     // lake has early files missing later columns. Two parquet
     // generations are written (gen1 predates the `lang` column), then
@@ -1803,6 +1841,22 @@ object Pipeline {
         |FROM documents WHERE n_chars >= 200
         |GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    "q_binary_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS INTEGER) AS width,
+        |    CAST(8 + (doc_id // 16) % 8 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    unnest(range(0, width * height)) AS g
+        |  FROM d)
+        |SELECT doc_id, width, height,
+        |  CAST(sum(((g % width) * 7 + (g // width) * 13 + doc_id) % 256)
+        |    AS BIGINT) AS sum_luma
+        |FROM px GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
 
     "q_schema_evolution" ->
       """SELECT CASE WHEN doc_id % 2 = 1 THEN lang
