@@ -87,7 +87,7 @@ object EventStreams {
 
   /** Split a time-sorted event list into (closed sessions, still-open
     * tail): a gap > gapMs closes the preceding session. */
-  private[streaming] def splitSessions(
+  private[graft] def splitSessions(
       sorted: List[(Long, Double)], gapMs: Long): (List[List[(Long, Double)]], List[(Long, Double)]) = {
     if (sorted.isEmpty) return (Nil, Nil)
     val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
@@ -323,18 +323,26 @@ object EventStreams {
     * emitting the user's updated reach. Correct whenever batches arrive
     * in per-key event-time order (an AvailableNow drain, or any log
     * replayed in order) — the same contract as [[streamingEwma]]. */
+  /** Pure funnel fold kernel: advance `reach0` over time-ordered step
+    * indices — an event advances iff it is exactly the next step.
+    * Splitting the ordered sequence at ANY point and folding the halves
+    * with the state carried between them gives the same result as one
+    * pass (PropertySpec proves it) — which is exactly why
+    * [[streamingFunnel]] can carry one integer across micro-batches. */
+  private[graft] def foldReach(reach0: Int, steps: Iterator[Int]): Int = {
+    var r = reach0
+    steps.foreach(s => if (s == r) r += 1)
+    r
+  }
+
   def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelReach] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[Int, FunnelReach](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) =>
           val sorted = rows.toArray.sortBy(r => (r.ts_us, r.step))
-          var reach = state.getOption.getOrElse(0)
-          var i = 0
-          while (i < sorted.length) {
-            if (sorted(i).step == reach) reach += 1
-            i += 1
-          }
+          val reach = foldReach(state.getOption.getOrElse(0),
+            sorted.iterator.map(_.step))
           state.update(reach)
           FunnelReach(uid, reach)
       }
@@ -386,6 +394,20 @@ object EventStreams {
     * watermark-delayed buffer instead). The fold runs the identical
     * double arithmetic as the batch operator, so converged values match
     * it bitwise. */
+  /** Pure EWMA fold kernel — the identical double arithmetic the batch
+    * operator runs, split-invariant over any batch boundary
+    * (PropertySpec proves the carried two-number state reproduces the
+    * one-pass fold bitwise). */
+  private[graft] def foldEwma(st0: EwmaState, alpha: Double,
+      xs: Iterator[Double]): EwmaState = {
+    var st = st0
+    xs.foreach { x =>
+      st = if (st.n == 0L) EwmaState(1L, x)
+      else EwmaState(st.n + 1L, alpha * x + (1.0 - alpha) * st.s)
+    }
+    st
+  }
+
   def streamingEwma(events: Dataset[MetricEvent],
       alpha: Double): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
@@ -393,14 +415,8 @@ object EventStreams {
       .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[MetricEvent], state: GroupState[EwmaState]) =>
           val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
-          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
-          var i = 0
-          while (i < sorted.length) {
-            val x = sorted(i).value
-            st = if (st.n == 0L) EwmaState(1L, x)
-            else EwmaState(st.n + 1L, alpha * x + (1.0 - alpha) * st.s)
-            i += 1
-          }
+          val st = foldEwma(state.getOption.getOrElse(EwmaState(0L, 0.0)),
+            alpha, sorted.iterator.map(_.value))
           state.update(st)
           EwmaOut(uid, st.n, st.s)
       }

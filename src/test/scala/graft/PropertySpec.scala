@@ -240,3 +240,78 @@ object CodecProperties extends Properties("graft.codecs") {
           Multimodal.dibPixel(frames(f), w, h, x, y) == px(f, x, y))))
     }
 }
+
+/** The cross-micro-batch state-carry laws behind the stateful streaming
+  * operators: each fold kernel must be split-invariant — folding the
+  * ordered event sequence in one pass equals folding ANY batch
+  * partition of it with the state carried between batches. This is the
+  * exact contract that lets streamingFunnel / streamingEwma /
+  * sessionize carry tiny per-key state across micro-batches. */
+object StreamFoldProperties extends Properties("graft.streaming.folds") {
+
+  import graft.streaming.EventStreams
+
+  private val stepSeq: Gen[List[Int]] =
+    Gen.listOf(Gen.choose(0, 4))
+
+  /** Splitting an ordered sequence at ANY batch boundary and carrying
+    * the single-integer state reproduces the one-pass fold — the law
+    * that makes streamingFunnel correct for in-order batch arrival. */
+  property("funnel fold is split-invariant (one pass == any batch split)") =
+    forAll(stepSeq, Gen.choose(0, 100)) { (steps, cut0) =>
+      val cut = if (steps.isEmpty) 0 else cut0 % (steps.length + 1)
+      val (b1, b2) = steps.splitAt(cut)
+      val onePass = EventStreams.foldReach(0, steps.iterator)
+      val carried = EventStreams.foldReach(
+        EventStreams.foldReach(0, b1.iterator), b2.iterator)
+      onePass == carried
+    }
+
+  property("funnel fold reach is bounded and monotone in prefix length") =
+    forAll(stepSeq) { steps =>
+      val reaches = steps.inits.toList.reverse
+        .map(p => EventStreams.foldReach(0, p.iterator))
+      reaches.zip(reaches.tail).forall { case (a, b) => b >= a } &&
+        reaches.last <= steps.length
+    }
+
+  private val valueSeq: Gen[List[Double]] =
+    Gen.listOf(Gen.choose(-1e6, 1e6))
+
+  /** The EWMA two-number state is split-invariant BITWISE — doubles, so
+    * this only holds because the carried state replays the identical
+    * arithmetic, which is exactly what the spec must pin. */
+  property("ewma fold is split-invariant bitwise") =
+    forAll(valueSeq, Gen.choose(0, 100), Gen.choose(0.01, 0.99)) {
+      (xs, cut0, alpha) =>
+        val cut = if (xs.isEmpty) 0 else cut0 % (xs.length + 1)
+        val (b1, b2) = xs.splitAt(cut)
+        val zero = EventStreams.EwmaState(0L, 0.0)
+        val onePass = EventStreams.foldEwma(zero, alpha, xs.iterator)
+        val carried = EventStreams.foldEwma(
+          EventStreams.foldEwma(zero, alpha, b1.iterator), alpha, b2.iterator)
+        onePass.n == carried.n &&
+          java.lang.Double.doubleToLongBits(onePass.s) ==
+            java.lang.Double.doubleToLongBits(carried.s)
+    }
+
+  /** splitSessions partitions its input exactly: concatenating closed
+    * sessions plus the open tail restores the event list; gaps inside a
+    * session never exceed the threshold; gaps between consecutive
+    * sessions always do. */
+  property("splitSessions partitions events with the gap invariant") =
+    forAll(Gen.listOf(Gen.choose(0L, 10000L)), Gen.choose(1L, 2000L)) {
+      (ts0, gap) =>
+        val sorted = ts0.sorted.map(t => (t, 1.0))
+        val (closed, open) = EventStreams.splitSessions(sorted, gap)
+        val sessions = closed ++ (if (open.nonEmpty) List(open) else Nil)
+        val rebuilt = sessions.flatten
+        def gapsOk(s: List[(Long, Double)]) =
+          s.zip(s.drop(1)).forall { case ((a, _), (b, _)) => b - a <= gap }
+        val boundariesOk = sessions.zip(sessions.drop(1)).forall {
+          case (s1, s2) => s2.head._1 - s1.last._1 > gap
+        }
+        rebuilt == sorted && sessions.forall(gapsOk) && boundariesOk &&
+          (sorted.isEmpty || open.nonEmpty)
+    }
+}
