@@ -458,8 +458,7 @@ object Pipeline {
     // any encoding loss (newlines, quotes, unicode escapes) or dropped
     // row surfaces as a hash mismatch.
     "q_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_jsonl").toString
+      val tmp = graft.util.Scratch.dir("jsonl")
       graft.sources.Jsonl.write(
         t(s, dir, "documents"), tmp, partitions = 8)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -481,8 +480,7 @@ object Pipeline {
     // same query over the parquet originals, so the round trip through
     // the other container must be value-exact.
     "q_orc_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_orc").toString
+      val tmp = graft.util.Scratch.dir("orc")
       graft.sources.Orc.write(t(s, dir, "documents"), tmp, partitions = 8)
       graft.sources.Orc.read(s, tmp)
         .filter(col("n_chars") >= 200)
@@ -494,27 +492,32 @@ object Pipeline {
     }),
 
     // binaryFile ingest — the on-disk layout multimodal lakes actually
-    // have (one file per asset): a PNG corpus is materialized to disk
-    // from the q_image_decode closed form (executor-side writes — fine
-    // in local mode; on a cluster binaryFile points at the lake), read
-    // back through Spark's binaryFile source with a glob, ids recovered
-    // from file names, payloads decoded by the same pure-JVM codec —
-    // and the whole loop must match the q_image_decode pixel oracle
-    // restricted to the sampled ids.
+    // have (one file per asset): a PNG corpus is materialized from the
+    // q_image_decode closed form, read back through Spark's binaryFile
+    // source with a glob, ids recovered from file names, payloads
+    // decoded by the same pure-JVM codec — and the whole loop must
+    // match the q_image_decode pixel oracle restricted to the sampled
+    // ids. The executor-side writes go through the Hadoop FS resolved
+    // from the fixture path — the SAME resolution binaryFile uses to
+    // read it back — so on a cluster a shared scratch root (HDFS/S3)
+    // makes the write and the read see one filesystem; only the
+    // default local scratch root is local-mode-specific.
     "q_binary_ingest" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_png").toString
+      val tmp = graft.util.Scratch.dir("png")
       t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter(col("doc_id") % 10 === 0)
         .foreachPartition { (ids: Iterator[Long]) =>
+          val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
           ids.foreach { id =>
             val w = (8 + id % 16).toInt
             val h = (8 + (id / 16) % 8).toInt
             val png = Multimodal.encodePng(Multimodal.grayImage(w, h,
               (x, y) => ((x * 7 + y * 13 + id) % 256).toInt))
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmp, s"$id.png"), png)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(tmp, s"$id.png"), true)
+            try out.write(png) finally out.close()
           }
         }
       val media = s.read.format("binaryFile")
@@ -541,8 +544,7 @@ object Pipeline {
     // evolution is additive and declared, drift is neither.
     "q_schema_evolution" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_evo").toString
+      val tmp = graft.util.Scratch.dir("evo")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$tmp/gen1")

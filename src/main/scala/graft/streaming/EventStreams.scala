@@ -274,13 +274,16 @@ object EventStreams {
     * partitioning as the custom `splitSessions` kernel, so the drained
     * sessions must equal `sessionizeBatch` AND its relational oracle.
     *
-    * Boundary alignment: `session_window` MERGES an event into the
-    * session iff gap-to-previous < windowGap, while `splitSessions`
-    * CLOSES only when the gap is strictly greater than gapUs (equality
-    * stays). Widening the native gap by one microsecond makes the two
-    * predicates identical (e−prev < gap+1µs ⇔ e−prev ≤ gap). The
-    * emitted end is the window end minus that widened gap — i.e. the
-    * last event's timestamp, matching SessionRow.end_us. Complete mode
+    * Boundary alignment: `session_window` merging is NON-strict — an
+    * event extends the session iff gap-to-previous ≤ windowGap (Spark's
+    * UpdatingSessionsIterator merges when the next start does not
+    * exceed the current end, and each event's window is [ts, ts+gap]) —
+    * exactly `splitSessions`' close-iff-diff>gapUs predicate, so the
+    * gap passes through UNCHANGED. The emitted end is the window end
+    * minus the gap — i.e. the last event's timestamp, matching
+    * SessionRow.end_us. (A deterministic boundary fixture in
+    * EventStreamsSpec pins events exactly gapUs and gapUs+1 µs apart:
+    * the first pair merges, the second splits.) Complete mode
     * (Update is unsupported for session windows) + AvailableNow: the
     * drain emits every session's final state, open tails included,
     * exactly like the batch kernel — Append would withhold sessions
@@ -293,16 +296,15 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    val gapPlus = gapUs + 1
     StreamConf.withStreamShuffle(spark) {
       stream
         .withWatermark("ts", "2 hours")
-        .groupBy(session_window(col("ts"), s"$gapPlus microseconds"),
+        .groupBy(session_window(col("ts"), s"$gapUs microseconds"),
           col("user_id"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("start_us"),
-          (unix_micros(col("session_window.end")) - gapPlus).as("end_us"),
+          (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
           col("n"))
         .writeStream.outputMode(OutputMode.Complete)
         .format("memory").queryName(queryName)

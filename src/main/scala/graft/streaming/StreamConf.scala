@@ -19,6 +19,18 @@ import org.apache.spark.sql.SparkSession
   * The streaming query clones the session and captures the conf at
   * `start()`; the batch session's setting is restored immediately
   * after, so no batch query observes the pin.
+  *
+  * The pin-start-restore sequence MUTATES the shared session conf, so
+  * it is serialized under a lock: two threads starting streams can no
+  * longer interleave their save/restore and clobber each other's
+  * values. A concurrent BATCH query planned by another thread during
+  * the (short) locked window could still observe the pinned value —
+  * full isolation would need the stream built from a cloned
+  * `newSession()`, which the memory-sink drain pattern rules out
+  * (memory sink tables are session-scoped temp views, and every gate
+  * reads them back from the parent session). Gates run sequentially;
+  * library users running concurrent mixed workloads should start
+  * streams from a dedicated session.
   */
 object StreamConf {
 
@@ -38,7 +50,7 @@ object StreamConf {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  def withStreamShuffle[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+  def withStreamShuffle[T](spark: SparkSession, n: Int = 8)(f: => T): T = synchronized {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption(providerKey)

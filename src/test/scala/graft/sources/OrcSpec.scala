@@ -12,7 +12,7 @@ class OrcSpec extends AnyFunSuite {
 
   test("ORC round-trip is value-exact against the parquet original") {
     val src = graft.Tables.load(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("orc_spec").toString
+    val tmp = graft.util.Scratch.dir("orc_spec")
     Orc.write(src, tmp, partitions = 4)
     val back = Orc.read(spark, tmp)
     assert(back.schema == src.schema)
@@ -22,7 +22,7 @@ class OrcSpec extends AnyFunSuite {
 
   test("predicates and projections reach the ORC scan") {
     val src = graft.Tables.load(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("orc_spec2").toString
+    val tmp = graft.util.Scratch.dir("orc_spec2")
     Orc.write(src, tmp, partitions = 4)
     val plan = Orc.read(spark, tmp)
       .filter(col("n_chars") >= 200)
@@ -38,7 +38,7 @@ class OrcSpec extends AnyFunSuite {
 
   test("writer sizes splittable units via repartition") {
     val src = graft.Tables.load(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("orc_spec3").toString
+    val tmp = graft.util.Scratch.dir("orc_spec3")
     Orc.write(src, tmp, partitions = 4)
     val files = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".orc"))

@@ -275,6 +275,47 @@ class EventStreamsSpec extends AnyFunSuite {
       "native session_window diverged from the splitSessions kernel")
   }
 
+  test("session_window boundary: gap-apart merges, gap+1µs-apart splits (native == kernel == hand oracle)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gapUs = 60L * 1000000L // 1 minute, µs
+    val t0 = 1700000000000000L // µs since epoch
+    def tsUs(us: Long) = { val t = new java.sql.Timestamp(us / 1000000L * 1000L); t.setNanos(((us % 1000000L) * 1000L).toInt); t }
+    // user 1: second event EXACTLY gapUs later (must merge), third event
+    // gapUs+1 after the second (must split). user 2: lone event.
+    val events = Seq(
+      EventStreams.Event(1L, tsUs(t0), 1L, "click", 1.0),
+      EventStreams.Event(2L, tsUs(t0 + gapUs), 1L, "click", 1.0),
+      EventStreams.Event(3L, tsUs(t0 + gapUs + gapUs + 1), 1L, "click", 1.0),
+      EventStreams.Event(4L, tsUs(t0), 2L, "view", 1.0))
+    val base = java.nio.file.Files.createTempDirectory("sesswin_boundary").toFile
+    base.deleteOnExit()
+    val stage = new java.io.File(base, "stage")
+    events.toDS().toDF().coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val dir = new java.io.File(base, "data"); dir.mkdirs()
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "events.parquet").toPath)
+
+    val q = EventStreams.runSessionWindowOnce(spark, dir.getAbsolutePath,
+      "sesswin_boundary", gapUs = gapUs)
+    graft.queries.StreamingQueries.drained(q, timeoutMs = 120000)
+    val got = spark.table("sesswin_boundary")
+      .select("user_id", "start_us", "end_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, t0, t0 + gapUs, 2L),                          // boundary pair merged
+      (1L, t0 + 2 * gapUs + 1, t0 + 2 * gapUs + 1, 1L),  // gap+1 split off
+      (2L, t0, t0, 1L))
+    assert(got == expected, s"native session_window boundary mismatch: $got")
+    // and the batch kernel computes the same sessions on the same fixture
+    val batch = EventStreams.sessionizeBatch(events.toDS(), gapUs)
+      .select("user_id", "start_us", "end_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch == expected, s"splitSessions kernel boundary mismatch: $batch")
+  }
+
   test("stateful runner is backend-portable: RocksDB state store, identical answer") {
     import scala.jdk.CollectionConverters._
     spark.conf.set(StreamConf.StateStoreKey, "rocksdb")
