@@ -214,6 +214,81 @@ object VectorOps {
       .toDF("cenId", "cenVec")
   }
 
+  /** Result of [[lloydKMeans]]: `centroids` (cenId, cenVec double
+    * array) after the final update, and `assignments`
+    * (cid, cell, distSq) of every corpus vector under those final
+    * centroids. */
+  final case class KMeansModel(centroids: DataFrame, assignments: DataFrame)
+
+  /** Deterministic Lloyd k-means over an embedding column — the
+    * oracle-checkable clustering path (contrast [[kmeansCentroids]],
+    * whose k-means|| init is seeded-random and not SQL-replayable).
+    * Used for cluster-balanced corpus sampling and as an exact,
+    * replayable centroid builder for IVF.
+    *
+    * Determinism contract, per iteration:
+    *  - init = the k lowest-id corpus vectors (double-promoted);
+    *  - assignment = argmin squared L2 against the broadcast centroids,
+    *    ascending centroid id as tiebreak — distances use the
+    *    double-promoted sequential fold of [[l2DistSq]], bitwise equal
+    *    to DuckDB's `list_reduce` replay;
+    *  - update = per-dimension mean ROUNDED to `roundDigits` decimals.
+    *    The rounding is what makes the whole loop engine-portable:
+    *    partial-aggregation sum order differs between engines at the
+    *    last ulp, and an unrounded centroid would propagate that into
+    *    every later distance. Rounded centroids are identical bytes on
+    *    both sides, so every subsequent distance is too.
+    *
+    * Scale shape: the per-iteration dataflow is one broadcast join
+    * (corpus × k centroids, no shuffle of vectors) plus one
+    * partial-aggregated shuffle of (cell, pos, sum, count) — k·dim rows
+    * per map partition, not corpus rows. Only the k×dim centroid model
+    * ever reaches the driver (the synchronization point every
+    * distributed Lloyd implementation has, MLlib included); assignments
+    * stay distributed. */
+  def lloydKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, roundDigits: Int = 6): KMeansModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = graft.Tables.fanOut(corpus)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    var cen: DataFrame = c.filter(col("cid") < k)
+      .select(col("cid").as("cenId"),
+        transform(col("cvec"), x => x.cast("double")).as("cenVec"))
+    for (_ <- 1 to iters) {
+      val next = nearestCell(c, cen)
+        .select(col("cell"), posexplode(col("cvec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), roundDigits).as("x"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("pos"), col("x"))).as("__px"))
+        .select(col("cell").as("cenId"),
+          transform(array_sort(col("__px")), p => p.getField("x"))
+            .as("cenVec"))
+      // truncate lineage at the model: k×dim doubles to the driver,
+      // re-emitted as a literal frame for the next broadcast join
+      val rows = next.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      cen = spark.createDataset(rows).toDF("cenId", "cenVec")
+    }
+    KMeansModel(cen, nearestCell(c, cen)
+      .select(col("cid"), col("cell"), col("distSq")))
+  }
+
+  /** Argmin-L2 cell assignment (broadcast centroids, native top-1
+    * aggregate — no window sort; ties on ascending centroid id),
+    * emitting the winning squared distance alongside. */
+  private def nearestCell(vectors: DataFrame, cen: DataFrame): DataFrame =
+    vectors.join(broadcast(cen))
+      .select(col("cid"), col("cvec"), col("cenId"),
+        l2DistSq(col("cvec"), col("cenVec")).as("distSq"))
+      .groupBy(col("cid"))
+      .agg(first(col("cvec")).as("cvec"),
+        graft.functions.TopK.top_k_by_score(
+          -col("distSq"), col("cenId").cast("long"), 1).as("__top"))
+      .select(col("cid"), col("cvec"),
+        element_at(col("__top"), 1).getField("id").as("cell"),
+        (-element_at(col("__top"), 1).getField("score")).as("distSq"))
+
   /** Random-hyperplane LSH sketch: `bits` sign bits from deterministic
     * pseudo-random hyperplanes (hyperplane component h_{b,i} derived from
     * xxhash64(b, i), mapped to [-1, 1]). Same-bucket vectors are

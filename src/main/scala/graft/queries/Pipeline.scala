@@ -239,6 +239,38 @@ object Pipeline {
         .orderBy("qid", "rank")
     }),
 
+    // Deterministic Lloyd k-means: init = k lowest-id vectors, two
+    // Lloyd updates (assign -> per-dim mean rounded to 6 decimals),
+    // final assignment under the updated centroids. The rounding makes
+    // the loop engine-portable (see VectorOps.lloydKMeans), so the
+    // DuckDB oracle replays BOTH iterations exactly — assignment,
+    // centroid means, distances — not just the output shape. Per
+    // iteration the corpus only ever broadcast-joins k centroids and
+    // shuffles k·dim partial sums; the k×dim model is the sole
+    // driver-side object.
+    "q_kmeans_assign" -> ((s, dir) => {
+      VectorOps.lloydKMeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .assignments
+        .select(col("cid").as("vec_id"), col("cell").as("cluster"),
+          round(col("distSq"), 6).as("dist_sq"))
+        .orderBy("vec_id")
+    }),
+
+    // Cluster-balanced sampling: k-means cluster the corpus, then draw
+    // a fixed per-cluster quota by md5-hash order — the diversity-
+    // preserving eval-carve (per-LABEL carving can't balance what has
+    // no labels). Reuses the replayable Lloyd loop, so the oracle
+    // replays clustering + draw end to end.
+    "q_cluster_balanced_sample" -> ((s, dir) => {
+      val asg = VectorOps.lloydKMeans(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .assignments
+        .select(col("cid").as("vec_id"), col("cell").as("cluster"))
+      Sampling.stratifiedSample(asg, "cluster", "vec_id", k = 5)
+        .orderBy("cluster", "vec_id")
+    }),
+
     // LSH-bucketed ANN pairs — the 100TB scale path. The corpus gets
     // planted near-duplicates (slightly perturbed copies): every
     // planted pair has cosine ≈ 0.99995, where the 10-bit x 2-probe
@@ -965,7 +997,58 @@ object Pipeline {
         .orderBy("vec_id"))
   )
 
+  /** DuckDB replay of `VectorOps.lloydKMeans` (k lowest-id init,
+    * `iters` assign+update rounds, round-6 centroid means, `dim`-wide
+    * vectors) as a CTE chain ending in `fin` (vec_id, cluster,
+    * dist_sq — one row per vector, the argmin assignment under the
+    * final centroids). Callers append the consuming SELECT. */
+  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |cen0 AS (SELECT vec_id AS cen_id, v AS cv FROM e WHERE vec_id < $k),
+              |""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++= s"""asg$it AS (
+                |  SELECT e.vec_id, e.v, cen_id, row_number() OVER (PARTITION BY e.vec_id
+                |    ORDER BY list_reduce(list_transform(list_zip(e.v, cv),
+                |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+                |      cen_id ASC) AS rk
+                |  FROM e, cen${it - 1}),
+                |a$it AS (SELECT vec_id, v, cen_id AS cell FROM asg$it WHERE rk = 1),
+                |cen$it AS (
+                |  SELECT cell AS cen_id, list(x ORDER BY i) AS cv
+                |  FROM (SELECT cell, i, round(avg(v[i]), 6) AS x
+                |        FROM a$it, range(1, ${dim + 1}) t(i) GROUP BY cell, i)
+                |  GROUP BY cell),
+                |""".stripMargin
+    }
+    sb ++= s"""sc AS (
+              |  SELECT e.vec_id, cen_id,
+              |    list_reduce(list_transform(list_zip(e.v, cv),
+              |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
+              |  FROM e, cen$iters),
+              |fin AS (SELECT vec_id, cen_id AS cluster, round(d, 6) AS dist_sq
+              |  FROM (SELECT vec_id, cen_id, d, row_number() OVER (PARTITION BY vec_id
+              |          ORDER BY d ASC, cen_id ASC) AS rk FROM sc)
+              |  WHERE rk = 1)
+              |""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans_assign" -> (kmeansOracleCtes(k = 8, iters = 2, dim = 64) +
+      "SELECT vec_id, cluster, dist_sq FROM fin ORDER BY vec_id"),
+
+    "q_cluster_balanced_sample" ->
+      (kmeansOracleCtes(k = 8, iters = 2, dim = 64) +
+        """SELECT cluster, vec_id FROM (
+          |  SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+          |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS srk
+          |  FROM fin) WHERE srk <= 5
+          |ORDER BY cluster, vec_id""".stripMargin),
+
     // Closed-form replay of the PNG encode→decode roundtrip: the Spark
     // side goes through the REAL ImageIO codec; DuckDB computes the same
     // pixel sums relationally. Lossless PNG makes them exactly equal.

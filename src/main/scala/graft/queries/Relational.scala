@@ -555,6 +555,26 @@ object Relational {
     // from_json with an explicit schema (the codegen-friendly typed
     // path — no per-row schema inference) projects the field, then a
     // plain aggregate. Oracle replays with DuckDB's JSON functions.
+    // Semi-structured props through the VARIANT type (Spark 4): parse
+    // once into the shredded binary encoding, extract typed fields with
+    // variant_get. Unlike the fixed-schema from_json path above this
+    // carries open schema — at lake scale the parse happens once at
+    // ingest and every later query pays only the typed extraction, not
+    // a JSON re-parse per query. The oracle replays the extraction with
+    // DuckDB's JSON path functions, so the VARIANT encode/decode loop
+    // must be value-exact.
+    "q_variant_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k") * col("k")).as("sum_k2"),
+          (max(col("k")) - min(col("k"))).as("range_k"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"))
+        .orderBy("event_type")
+    }),
+
     "q_events_props" -> ((s, dir) => {
       t(s, dir, "events")
         .select(col("event_type"),
@@ -1009,6 +1029,18 @@ object Relational {
         |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) + 1e-9, 2)
         |    AS hour_sum
         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_variant_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k * k) AS BIGINT) AS sum_k2,
+        |  max(k) - min(k) AS range_k,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_props" ->
       """WITH e AS (

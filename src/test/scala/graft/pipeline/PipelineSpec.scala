@@ -642,6 +642,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(!ivf.exists(r => r._1 == r._3))   // no self-matches
   }
 
+  test("Lloyd k-means: separates well-separated clusters; deterministic across runs") {
+    // 3 groups of 8 vectors around orthogonal anchors; ids interleave so
+    // the id<k init (k=3 → ids 0,1,2) seeds one vector PER group
+    val vecs = (0L until 24L).map { i =>
+      val g = (i % 3).toInt
+      val anchor = Array.tabulate(6)(d => if (d == g * 2) 10.0f else 0.0f)
+      (i, anchor.zipWithIndex.map { case (a, d) =>
+        a + 0.1f * math.sin(i * 31 + d * 7).toFloat })
+    }.toDF("vec_id", "embedding")
+    def run() = VectorOps.lloydKMeans(vecs, "vec_id", "embedding",
+        k = 3, iters = 3)
+      .assignments.select("cid", "cell").as[(Long, Long)].collect().toMap
+    val asg = run()
+    assert(asg.size == 24)
+    // purity: every group maps to exactly one cell, and cells differ
+    val cellsPerGroup = (0 until 3).map(g =>
+      asg.collect { case (id, cell) if id % 3 == g => cell }.toSet)
+    assert(cellsPerGroup.forall(_.size == 1),
+      s"group split across cells: $cellsPerGroup")
+    assert(cellsPerGroup.flatten.toSet.size == 3)
+    assert(run() == asg, "k-means not deterministic across executions")
+  }
+
+  test("Lloyd k-means: one update step equals the hand-computed rounded mean") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(11.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    // init: ids 0,1. assignment: {0,2}→0, {1,3}→1.
+    // updated centroids: (0.5, 0.5) and (10.5, 9.5).
+    val m = VectorOps.lloydKMeans(vecs, "vec_id", "embedding", k = 2, iters = 1)
+    val cen = m.centroids.select("cenId", "cenVec")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cen(0L) == Seq(0.5, 0.5) && cen(1L) == Seq(10.5, 9.5), cen.toString)
+    val asg = m.assignments.select("cid", "cell").as[(Long, Long)]
+      .collect().toMap
+    assert(asg == Map(0L -> 0L, 2L -> 0L, 1L -> 1L, 3L -> 1L))
+    // distSq under the final centroids: vector 0 at (0,0) vs (0.5,0.5)
+    val d0 = m.assignments.filter(col("cid") === 0)
+      .select("distSq").as[Double].head()
+    assert(math.abs(d0 - 0.5) < 1e-12)
+  }
+
+  test("variant extraction equals the fixed-schema from_json path") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val viaVariant = events.select(col("event_id"),
+      variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+    val viaJson = events.select(col("event_id"),
+      from_json(col("props"), "k BIGINT", Map.empty[String, String])
+        .getField("k").as("k"))
+    assert(viaVariant.exceptAll(viaJson).isEmpty
+      && viaJson.exceptAll(viaVariant).isEmpty)
+    assert(viaVariant.count() > 0)
+  }
+
   test("IVF index: append==assign-union; parquet roundtrip; stale format rejected") {
     val base = (0L until 24L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 131 + d * 17).toFloat))
