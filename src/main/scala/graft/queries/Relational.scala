@@ -597,6 +597,30 @@ object Relational {
         t(s, dir, "events"), "event_type", "value")
         .orderBy("event_type")
     }),
+    // Runtime bloom-filter join (row-level runtime filtering): the
+    // selective orders predicate plants a bloom filter that prunes
+    // lineitem rows BEFORE the shuffle — the arbitrary-key analogue of
+    // dynamic partition pruning, and at 100 TB the difference between
+    // shuffling the fact table and shuffling its joinable ~20%. The
+    // answer must equal the plain join (bloom false positives only cost
+    // a probe; the equi-join re-checks), which is what the oracle
+    // asserts; PlanSpec asserts the filter is genuinely in the executed
+    // plan. Executed eagerly inside the conf window (injection is an
+    // optimization-time rewrite).
+    "q_runtime_bloom_join" -> ((s, dir) =>
+      graft.operators.RuntimeFilter.withRuntimeBloom(s) {
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .join(t(s, dir, "orders")
+              .filter(col("o_totalprice") > 400000).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+          .localCheckpoint(true)
+      }),
+
     "q_skew_salted_distinct" -> ((s, dir) => {
       graft.operators.Skew.saltedCountDistinct(
         t(s, dir, "events"), "event_type", "user_id")
@@ -1056,6 +1080,13 @@ object Relational {
     "q_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_runtime_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_skew_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct

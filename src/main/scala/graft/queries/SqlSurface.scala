@@ -66,6 +66,20 @@ object SqlSurface {
         |ORDER BY g_rf, g_ls,
         |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    // explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    // for: two one-dimension margins plus the grand total, WITHOUT the
+    // (rf, ls) cross cells a CUBE would add. GROUPING() flags
+    // disambiguate margin NULLs from data NULLs, as in the CUBE gate.
+    "q_sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     // NTILE bucketing over a total order (unique tie-break key makes
     // the quartile assignment deterministic in both engines)
     "q_sql_ntile" ->

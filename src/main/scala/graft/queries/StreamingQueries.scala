@@ -185,6 +185,23 @@ object StreamingQueries {
         .orderBy("user_id", "view_id", "click_id")
     }),
 
+    // LEFT OUTER stream-stream join: same attribution correlation, plus
+    // the views that NEVER converted — emitted with null click columns
+    // only once the watermark proves no matching click can still
+    // arrive. The oracle replays the watermark semantics itself: an
+    // unmatched view surfaces iff final_watermark (= min of the two
+    // sides' max event times, minus the 4h delay) has passed
+    // view_ts + 2h; later unmatched views are correctly withheld by
+    // both the stream and the oracle.
+    "q_stream_join_outer" -> ((s, dir) => {
+      val name = s"stream_join_outer_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamStreamLeftJoinOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("user_id"), col("view_id"), col("click_id"), col("gap_us"))
+        .orderBy("user_id", "view_id", "click_id")
+    }),
+
     // STREAM-STATIC broadcast join: events enriched against the static
     // customer dimension inside the stream (stateless; the batch dim is
     // broadcast per micro-batch). Drained rows hash-match the plain
@@ -367,6 +384,28 @@ object StreamingQueries {
         | AND c.ts >= v.ts
         | AND c.ts < v.ts + INTERVAL 2 HOUR
         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
+    "q_stream_join_outer" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(vts) FROM v),
+        |    (SELECT max(cts) FROM c)) - INTERVAL 4 HOUR AS w),
+        |pairs AS (
+        |  SELECT v.user_id, view_id, click_id,
+        |    epoch_us(cts) - epoch_us(vts) AS gap_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |   AND cts >= vts AND cts < vts + INTERVAL 2 HOUR),
+        |expired AS (
+        |  SELECT v.user_id, view_id, CAST(NULL AS BIGINT) AS click_id,
+        |    CAST(NULL AS BIGINT) AS gap_us
+        |  FROM v, wm
+        |  WHERE vts + INTERVAL 2 HOUR < w
+        |    AND view_id NOT IN (SELECT view_id FROM pairs))
+        |SELECT user_id, view_id, click_id, gap_us FROM pairs
+        |UNION ALL SELECT * FROM expired
+        |ORDER BY user_id, view_id, click_id""".stripMargin,
 
     "q_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment

@@ -179,6 +179,55 @@ object EventStreams {
     }
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[viewClickPairs]]
+    * but views with NO click inside the window surface with null
+    * click columns — the "which impressions never converted" side of
+    * attribution, which the inner join cannot answer. Structured
+    * Streaming emits an unmatched left row only once the right-side
+    * watermark proves no matching click can still arrive (view_ts +
+    * window < watermark), so the null rows are late but exact; state
+    * stays bounded exactly as in the inner join. */
+  def viewClickPairsLeftOuter(views: DataFrame, clicks: DataFrame,
+      window: String = "2 hours", watermark: String = "4 hours"): DataFrame = {
+    val v = graft.Tables.normalizeEventTime(views, "ts")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = graft.Tables.normalizeEventTime(clicks, "ts")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""view_user = click_user AND
+         |click_ts >= view_ts AND
+         |click_ts < view_ts + interval $window""".stripMargin),
+      "left_outer")
+      .select(col("view_user").as("user_id"),
+        col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
+  /** Drain-once runner for the LEFT OUTER stream-stream join. */
+  def runStreamStreamLeftJoinOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    def side(eventType: String): DataFrame =
+      graft.Tables.normalizeEventTime(
+          spark.readStream.schema(fileSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(eventsDir), "ts")
+        .filter(col("event_type") === eventType)
+    StreamConf.withStreamShuffle(spark) {
+      viewClickPairsLeftOuter(side("view"), side("click"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Drain-once runner for the STREAM-STATIC join: the event stream
     * enriched against the static customer dimension (user_id+1 keys
     * into c_custkey at fixture scale). The static side is a plain batch

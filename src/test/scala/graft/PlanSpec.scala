@@ -66,6 +66,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter join: filter injected on the fact side, answer unchanged") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val ords = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+    def joined() = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    val baseline = joined().collect().toSet
+    graft.operators.RuntimeFilter.withRuntimeBloom(spark) {
+      val df = joined()
+      val got = df.collect().toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$plan")
+      assert(got == baseline,
+        "runtime-filtered join changed the answer")
+    }
+    // and the gate query itself executes under the filter (eager
+    // checkpoint inside the conf window) with the same result set
+    val gate = SparkEntry.queries("q_runtime_bloom_join")(spark, dir)
+    assert(gate.collect().toSet == baseline)
+  }
+
   test("filters and projection push into the parquet scan") {
     val plan = planOf("q_scan_filter_project")
     assert(plan.contains("PushedFilters:"))

@@ -183,6 +183,43 @@ class EventStreamsSpec extends AnyFunSuite {
       "stream-stream join diverged from the batch join")
   }
 
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] left-outer stream-stream join: pairs plus watermark-expired unmatched views") {
+    import org.apache.spark.sql.functions._
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runStreamStreamLeftJoinOnce(spark, dir,
+      s"oj_$flavor")
+    graft.queries.StreamingQueries.drained(q, timeoutMs = 180000)
+    val streamed = spark.table(s"oj_$flavor")
+      .select("user_id", "view_id", "click_id", "gap_us")
+
+    val ev = graft.Tables.normalizeEventTime(
+      graft.Tables.load(spark, dir, "events"), "ts")
+    def side(t: String) = ev.filter(col("event_type") === t)
+    val inner = EventStreams.viewClickPairs(side("view"), side("click"))
+    // final watermark = min of the two sides' max event times − 4h;
+    // an unmatched view is emitted iff view_ts + 2h < that watermark
+    val maxOf = (t: String) => side(t)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wmUs = math.min(maxOf("view"), maxOf("click")) - 4L * 3600 * 1000000L
+    val expiredUnmatched = side("view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("vts_us"))
+      .join(inner.select("view_id"), Seq("view_id"), "left_anti")
+      .filter(col("vts_us") + 2L * 3600 * 1000000L < wmUs)
+      .select(col("user_id"), col("view_id"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("gap_us"))
+    val expected = inner
+      .select("user_id", "view_id", "click_id", "gap_us")
+      .unionByName(expiredUnmatched)
+    assert(streamed.count() > 0 &&
+      streamed.filter(col("click_id").isNull).count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty
+      && expected.exceptAll(streamed).isEmpty,
+      "left-outer drain diverged from the watermark-semantics replay")
+  }
+
   test("interval join bounds: click before view or past the window excluded") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
