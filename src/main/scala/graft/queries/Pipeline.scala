@@ -859,6 +859,59 @@ object Pipeline {
         .orderBy("l_returnflag")
     }),
 
+    // Dynamic partition pruning: the corpus laid out partitionBy(source)
+    // — the lake layout every 100 TB corpus has — joined to a dimension
+    // whose FILTER is only known at run time. Spark's DPP turns the
+    // broadcast dim values into a partition filter on the fact scan, so
+    // only the 4 matching source partitions are read, not 20 (PlanSpec
+    // asserts dynamicpruning is in the plan). The oracle is the plain
+    // join — pruning is semantics-preserving.
+    "q_partition_prune_join" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("dpp")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      val dim = s.range(0, 20)
+        .select(concat(lit("src"), col("id")).as("source"),
+          (col("id") % 5).as("tier"))
+      s.read.parquet(tmp)
+        .join(broadcast(dim.filter(col("tier") === 2)), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("source")
+    }),
+
+    // Bucketed co-located join: both fact tables written bucketBy(8) on
+    // the join key — at 100 TB this is THE way to make a recurring
+    // fact-fact join shuffle-free (each bucket pair joins in place;
+    // PlanSpec asserts the shuffle-free sort-merge plan). The oracle is
+    // the plain join over the originals: bucketing changes layout, not
+    // semantics.
+    "q_bucketed_join" -> ((s, dir) => {
+      val wh = graft.util.Scratch.dir("bucketed")
+      s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").mode("overwrite")
+        .saveAsTable("graft_li_bucketed")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord").mode("overwrite")
+        .saveAsTable("graft_ord_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Per-language quality calibration: keep the top 25% of each
     // language by n_chars via an exact order-statistic cutoff (no
     // interpolation — tie-stable across engines).
@@ -2121,6 +2174,22 @@ object Pipeline {
         |  min(l_linenumber) AS min_l_linenumber,
         |  max(l_linenumber) AS max_l_linenumber
         |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
+
+    "q_partition_prune_join" ->
+      """WITH dim AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS source
+        |  FROM range(0, 20) t(i) WHERE i % 5 = 2)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents JOIN dim USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_zone_map_prune" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

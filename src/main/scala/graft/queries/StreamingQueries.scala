@@ -202,6 +202,25 @@ object StreamingQueries {
         .orderBy("user_id", "view_id", "click_id")
     }),
 
+    // foreachBatch production sink: the stream lands in parquet through
+    // the batch writer (the sink real pipelines use for MERGE/JDBC/
+    // multi-table targets), then the LANDED FILES are aggregated — so
+    // the gate proves the sink delivered exactly the source rows, per
+    // the batch oracle over the original events.
+    "q_stream_foreachbatch_sink" -> ((s, dir) => {
+      val root = graft.util.Scratch.dir(
+        s"fbsink_${runCounter.incrementAndGet()}")
+      val q = EventStreams.runForeachBatchSinkOnce(s, dir,
+        s"$root/data", s"$root/chk")
+      drained(q)
+      s.read.parquet(s"$root/data")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // STREAM-STATIC broadcast join: events enriched against the static
     // customer dimension inside the stream (stateless; the batch dim is
     // broadcast per micro-batch). Drained rows hash-match the plain
@@ -384,6 +403,12 @@ object StreamingQueries {
         | AND c.ts >= v.ts
         | AND c.ts < v.ts + INTERVAL 2 HOUR
         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
+    "q_stream_foreachbatch_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_join_outer" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts

@@ -253,6 +253,30 @@ object EventStreams {
       .start()
   }
 
+  /** Drain-once runner for the foreachBatch PRODUCTION sink path: the
+    * stream lands in parquet via `foreachBatch` (the sink every real
+    * pipeline uses when the target needs batch-writer semantics —
+    * MERGE, JDBC, multi-table fan-out). The checkpoint location makes
+    * re-runs resume instead of re-emit; within one drain each batch id
+    * is delivered exactly once, so the landed rows equal the source
+    * (asserted by the gate's batch oracle over the landed files). */
+  def runForeachBatchSinkOnce(spark: SparkSession, eventsDir: String,
+      dataDir: String, checkpointDir: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(dataDir); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ingest dedup: emit each (user_id, event_type) key the
     * first time it is seen — the stateful exact-dedup stage of a
     * streaming training-data pipeline. State here is unbounded (keyed

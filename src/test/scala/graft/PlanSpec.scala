@@ -91,6 +91,36 @@ class PlanSpec extends AnyFunSuite {
     assert(gate.collect().toSet == baseline)
   }
 
+  test("dynamic partition pruning: fact scan carries a dynamicpruning partition filter") {
+    val df = SparkEntry.queries("q_partition_prune_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
+  test("bucketed join: co-located, no exchange under the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
+      df.collect()
+      // AQE prints Final + Initial sections; count exchanges in the
+      // FINAL plan only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      // without bucketing this plan has 4 exchanges (both join inputs +
+      // agg + orderBy); bucketed scans leave only the post-join two
+      val exchanges = "Exchange (hash|range)partitioning".r
+        .findAllIn(plan).size
+      assert(exchanges <= 2,
+        s"join inputs shuffled despite bucketing ($exchanges exchanges):\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan not bucket-aware:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filters and projection push into the parquet scan") {
     val plan = planOf("q_scan_filter_project")
     assert(plan.contains("PushedFilters:"))
