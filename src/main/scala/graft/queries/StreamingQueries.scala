@@ -202,6 +202,22 @@ object StreamingQueries {
         .orderBy("user_id", "view_id", "click_id")
     }),
 
+    // CHAINED stateful aggregation (hourly counts re-windowed into
+    // daily roll-ups inside ONE streaming query — two state cascades,
+    // a Spark 3.4+ capability that previously needed an intermediate
+    // sink). Append mode emits a day only when the watermark closes
+    // ALL its hours, so the oracle replays the watermark rule: days
+    // whose end precedes max(ts) − 2h.
+    "q_stream_chained_agg" -> ((s, dir) => {
+      val name = s"stream_chained_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runChainedAggOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("day_start"), col("event_type"), col("max_hourly"),
+          col("sum_n"), col("n_hours"))
+        .orderBy("day_start", "event_type")
+    }),
+
     // foreachBatch production sink: the stream lands in parquet through
     // the batch writer (the sink real pipelines use for MERGE/JDBC/
     // multi-table targets), then the LANDED FILES are aggregated — so
@@ -403,6 +419,20 @@ object StreamingQueries {
         | AND c.ts >= v.ts
         | AND c.ts < v.ts + INTERVAL 2 HOUR
         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
+    "q_stream_chained_agg" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+        |h AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY hs, event_type),
+        |d AS (SELECT CAST(date_trunc('day', hs) AS TIMESTAMP)
+        |      AS day_start, event_type,
+        |    max(n) AS max_hourly, CAST(sum(n) AS BIGINT) AS sum_n,
+        |    count(*) AS n_hours
+        |  FROM h GROUP BY day_start, event_type)
+        |SELECT day_start, event_type, max_hourly, sum_n, n_hours
+        |FROM d, wm WHERE day_start + INTERVAL 1 DAY < w
+        |ORDER BY day_start, event_type""".stripMargin,
 
     "q_stream_foreachbatch_sink" ->
       """SELECT event_type, count(*) AS n,

@@ -253,6 +253,41 @@ object EventStreams {
       .start()
   }
 
+  /** CHAINED stateful aggregation — two windowed aggregations in ONE
+    * streaming query (hourly counts per event type, then daily
+    * roll-ups of those hourly rows), using `window_time` to re-window
+    * the first aggregation's output on its event-time column. Until
+    * Spark 3.4 this required two queries with an intermediate sink;
+    * chained it is one state cascade, and the daily row for a day
+    * emits only once the watermark closes ALL of its hours — which is
+    * why Append is the only legal mode and why the oracle filters to
+    * days whose end the final watermark passed. */
+  def runChainedAggOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      stream
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(window_time(col("window")), "1 day"),
+          col("event_type"))
+        .agg(max(col("n")).as("max_hourly"), sum(col("n")).as("sum_n"),
+          count(lit(1)).as("n_hours"))
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("max_hourly"), col("sum_n"), col("n_hours"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Drain-once runner for the foreachBatch PRODUCTION sink path: the
     * stream lands in parquet via `foreachBatch` (the sink every real
     * pipeline uses when the target needs batch-writer semantics —

@@ -220,6 +220,51 @@ class EventStreamsSpec extends AnyFunSuite {
       "left-outer drain diverged from the watermark-semantics replay")
   }
 
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] chained windowed aggregation drains watermark-closed days only") {
+    import org.apache.spark.sql.functions._
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runChainedAggOnce(spark, dir, s"chained_$flavor")
+    graft.queries.StreamingQueries.drained(q, timeoutMs = 180000)
+    val streamed = spark.table(s"chained_$flavor")
+      .select("day_start", "event_type", "max_hourly", "sum_n", "n_hours")
+    val ev = graft.Tables.normalizeEventTime(
+      graft.Tables.load(spark, dir, "events"), "ts")
+    val wmUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) -
+      2L * 3600 * 1000000L
+    val expected = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window.start"), "1 day"), col("event_type"))
+      .agg(max(col("n")).as("max_hourly"), sum(col("n")).as("sum_n"),
+        count(lit(1)).as("n_hours"))
+      .filter(unix_micros(col("window.end")) < wmUs)
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("max_hourly"), col("sum_n"), col("n_hours"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty
+      && expected.exceptAll(streamed).isEmpty,
+      "chained-agg drain diverged from the watermark-filtered batch replay")
+  }
+
+  test("foreachBatch sink is exactly-once across a checkpointed re-run") {
+    val dir = flavorDirs("ltz")
+    val root = java.nio.file.Files.createTempDirectory("fb_once").toFile
+    root.deleteOnExit()
+    val data = new java.io.File(root, "data").getAbsolutePath
+    val chk = new java.io.File(root, "chk").getAbsolutePath
+    val q1 = EventStreams.runForeachBatchSinkOnce(spark, dir, data, chk)
+    graft.queries.StreamingQueries.drained(q1, timeoutMs = 180000)
+    val after1 = spark.read.parquet(data).count()
+    // same checkpoint, same source: the batch ids are already committed,
+    // so the re-run must land NOTHING new
+    val q2 = EventStreams.runForeachBatchSinkOnce(spark, dir, data, chk)
+    graft.queries.StreamingQueries.drained(q2, timeoutMs = 180000)
+    val after2 = spark.read.parquet(data).count()
+    assert(after1 > 0 && after2 == after1,
+      s"checkpointed re-run re-emitted rows: $after1 -> $after2")
+  }
+
   test("interval join bounds: click before view or past the window excluded") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
