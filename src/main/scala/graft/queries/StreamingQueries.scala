@@ -79,6 +79,40 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // State-store INTROSPECTION (ops tooling): the bounded-dedup
+    // query's checkpoint read back through Spark's statestore data
+    // source. The batch-0 snapshot — before the closing batch's
+    // watermark evicts aged keys — must hold exactly the distinct key
+    // set, which is the oracle. (The post-drain snapshot is empty:
+    // every key's horizon passed, proving the state really is
+    // bounded.)
+    "q_state_introspect" -> ((s, dir) => {
+      val n = runCounter.incrementAndGet()
+      val chk = graft.util.Scratch.dir(s"state_chk_$n")
+      val q = EventStreams.runStreamingDedupBoundedOnce(s, dir,
+        s"state_introspect_$n", checkpointDir = Some(chk))
+      drained(q)
+      s.read.format("statestore").option("batchId", 0).load(chk)
+        .select(col("key.user_id").as("user_id"),
+          col("key.event_type").as("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // The SAME EWMA on Spark 4's transformWithState API (named
+    // ValueState via a StatefulProcessor, RocksDB-backed): must
+    // converge to bitwise the same fold — identical oracle.
+    "q_stream_ewma_tws" -> ((s, dir) => {
+      val name = s"stream_ewma_tws_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.EventStreams.runStreamingEwmaTwsOnce(s, dir, name)
+      drained(q)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("user_id", "n_events", "ewma")
+        .orderBy("user_id")
+    }),
+
     // Streaming conversion funnel: the batch fold carried as one
     // integer of state per user. The drained per-user reach reduces to
     // the SAME (step, step_name, users) table as the batch operator —
@@ -382,6 +416,16 @@ object StreamingQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_stream_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (s, x) -> 0.25 * x + 0.75 * s) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_state_introspect" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_ewma_tws" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  list_reduce(list(value ORDER BY ts, event_id),
         |    (s, x) -> 0.25 * x + 0.75 * s) AS ewma

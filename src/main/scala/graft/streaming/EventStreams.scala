@@ -358,7 +358,8 @@ object EventStreams {
     * equals batch DISTINCT — which makes this oracle-checkable while
     * still exercising the bounded-state operator. */
   def runStreamingDedupBoundedOnce(spark: SparkSession, eventsDir: String,
-      queryName: String, watermark: String = "2 hours"): StreamingQuery = {
+      queryName: String, watermark: String = "2 hours",
+      checkpointDir: Option[String] = None): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val withTs = graft.Tables.normalizeEventTime(
@@ -366,13 +367,14 @@ object EventStreams {
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
     StreamConf.withStreamShuffle(spark) {
-      dedupWithinWatermark(
+      val w = dedupWithinWatermark(
           withTs.select(col("ts"), col("user_id"), col("event_type")),
           watermark, Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
+      checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
         .start()
     }
   }
@@ -530,6 +532,64 @@ object EventStreams {
           state.update(st)
           EwmaOut(uid, st.n, st.s)
       }
+  }
+
+  /** The same per-key EWMA recurrence on the `transformWithState` API
+    * (Spark 4's arbitrary-stateful-processing surface, successor to
+    * mapGroupsWithState): explicit named `ValueState` through a
+    * `StatefulProcessor`, schema'd state the state-store READER can
+    * introspect, optional TTL/timers. Must converge to bitwise the
+    * SAME fold as [[streamingEwma]] — the gate reuses that oracle. */
+  class EwmaTwsProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, MetricEvent, EwmaOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[MetricEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[EwmaOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+      val prev = if (st.exists()) st.get() else EwmaState(0L, 0.0)
+      val next = foldEwma(prev, alpha, sorted.iterator.map(_.value))
+      st.update(next)
+      Iterator.single(EwmaOut(key, next.n, next.s))
+    }
+  }
+
+  /** Drain-once runner for the [[EwmaTwsProcessor]] EWMA.
+    * transformWithState requires the RocksDB state store — the runner
+    * pins it for this query and restores the session's choice after. */
+  def runStreamingEwmaTwsOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, alpha: Double = 0.25): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    val prev = spark.conf.getOption(StreamConf.StateStoreKey)
+    spark.conf.set(StreamConf.StateStoreKey, "rocksdb")
+    try StreamConf.withStreamShuffle(spark) {
+      stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value")).as[MetricEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new EwmaTwsProcessor(alpha),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally prev match {
+      case Some(v) => spark.conf.set(StreamConf.StateStoreKey, v)
+      case None => try spark.conf.unset(StreamConf.StateStoreKey)
+        catch { case _: Throwable => () }
+    }
   }
 
   /** Drain-once runner for [[streamingEwma]] over the events parquet
