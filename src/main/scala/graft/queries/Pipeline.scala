@@ -537,11 +537,20 @@ object Pipeline {
     "q_binary_ingest" -> ((s, dir) => {
       import s.implicits._
       val tmp = graft.util.Scratch.dir("png")
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .filter(col("doc_id") % 10 === 0)
+      // fan out FIRST: the filtered ids arrive on the parquet file's 1-2
+      // input partitions, and per-file create cost is per-TASK serial —
+      // unspread, 500 files write on one thread (measured 5-6 s; spread
+      // across the cluster's slots it is parallel). Checksums off: the
+      // .crc sidecars double the file ops and the binaryFile read-back
+      // never consults them.
+      graft.Tables.fanOut(
+          t(s, dir, "documents").select(col("doc_id"))
+            .filter(col("doc_id") % 10 === 0))
+        .as[Long]
         .foreachPartition { (ids: Iterator[Long]) =>
           val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+            graft.util.Scratch.hadoopConf)
+          fs.setWriteChecksum(false)
           ids.foreach { id =>
             val w = (8 + id % 16).toInt
             val h = (8 + (id / 16) % 8).toInt
@@ -893,13 +902,18 @@ object Pipeline {
       val wh = graft.util.Scratch.dir("bucketed")
       s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
       s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      // pre-shuffle onto the bucket key so the write runs 8-way (one
+      // task per bucket, one file per bucket) instead of on the parquet
+      // file's 1-2 input partitions each spraying all 8 buckets
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(8, col("l_orderkey"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/li").mode("overwrite")
         .saveAsTable("graft_li_bucketed")
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/ord").mode("overwrite")
         .saveAsTable("graft_ord_bucketed")

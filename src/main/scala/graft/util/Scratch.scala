@@ -28,6 +28,13 @@ object Scratch {
     d.toString
   }
 
+  /** One Hadoop `Configuration` per executor JVM — constructing one
+    * parses the XML resource chain (tens of ms), which a per-partition
+    * `new Configuration()` pays 32× per stage. Read-only after init, so
+    * sharing across tasks is safe. */
+  lazy val hadoopConf: org.apache.hadoop.conf.Configuration =
+    new org.apache.hadoop.conf.Configuration()
+
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
