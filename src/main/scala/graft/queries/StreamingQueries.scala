@@ -271,6 +271,21 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // FULL OUTER stream-stream join: never-converted views AND
+    // never-preceded clicks surface with nulls, each once the
+    // watermark proves no match can arrive. The oracle replays BOTH
+    // eviction bounds: view emitted when view_ts + 2h passed, click
+    // when click_ts itself passed (a matching view can be as late as
+    // the click).
+    "q_stream_join_full" -> ((s, dir) => {
+      val name = s"stream_join_full_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamStreamFullJoinOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("user_id"), col("view_id"), col("click_id"), col("gap_us"))
+        .orderBy("user_id", "view_id", "click_id")
+    }),
+
     // STREAM-STATIC broadcast join: events enriched against the static
     // customer dimension inside the stream (stateless; the batch dim is
     // broadcast per micro-batch). Drained rows hash-match the plain
@@ -504,6 +519,35 @@ object StreamingQueries {
         |    AND view_id NOT IN (SELECT view_id FROM pairs))
         |SELECT user_id, view_id, click_id, gap_us FROM pairs
         |UNION ALL SELECT * FROM expired
+        |ORDER BY user_id, view_id, click_id""".stripMargin,
+
+    "q_stream_join_full" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(vts) FROM v),
+        |    (SELECT max(cts) FROM c)) - INTERVAL 4 HOUR AS w),
+        |pairs AS (
+        |  SELECT v.user_id, view_id, click_id,
+        |    epoch_us(cts) - epoch_us(vts) AS gap_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |   AND cts >= vts AND cts < vts + INTERVAL 2 HOUR),
+        |vexp AS (
+        |  SELECT v.user_id, view_id, CAST(NULL AS BIGINT) AS click_id,
+        |    CAST(NULL AS BIGINT) AS gap_us
+        |  FROM v, wm
+        |  WHERE vts + INTERVAL 2 HOUR < w
+        |    AND view_id NOT IN (SELECT view_id FROM pairs)),
+        |cexp AS (
+        |  SELECT c.user_id, CAST(NULL AS BIGINT) AS view_id, click_id,
+        |    CAST(NULL AS BIGINT) AS gap_us
+        |  FROM c, wm
+        |  WHERE cts < w
+        |    AND click_id NOT IN (SELECT click_id FROM pairs))
+        |SELECT user_id, view_id, click_id, gap_us FROM pairs
+        |UNION ALL SELECT * FROM vexp
+        |UNION ALL SELECT * FROM cexp
         |ORDER BY user_id, view_id, click_id""".stripMargin,
 
     "q_stream_static_join" ->

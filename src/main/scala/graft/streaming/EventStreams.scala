@@ -208,6 +208,54 @@ object EventStreams {
           .as("gap_us"))
   }
 
+  /** FULL OUTER stream-stream interval join: both the views that never
+    * converted AND the clicks no view preceded surface with nulls on
+    * the absent side, each only after the watermark proves no match can
+    * arrive. For an unmatched click the eviction bound is the click's
+    * own timestamp (a matching view may lie anywhere in
+    * (click_ts − window, click_ts], so the click is provably unmatched
+    * once the watermark passes click_ts). */
+  def viewClickPairsFullOuter(views: DataFrame, clicks: DataFrame,
+      window: String = "2 hours", watermark: String = "4 hours"): DataFrame = {
+    val v = graft.Tables.normalizeEventTime(views, "ts")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = graft.Tables.normalizeEventTime(clicks, "ts")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""view_user = click_user AND
+         |click_ts >= view_ts AND
+         |click_ts < view_ts + interval $window""".stripMargin),
+      "full_outer")
+      .select(coalesce(col("view_user"), col("click_user")).as("user_id"),
+        col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
+  /** Drain-once runner for the FULL OUTER stream-stream join. */
+  def runStreamStreamFullJoinOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    def side(eventType: String): DataFrame =
+      graft.Tables.normalizeEventTime(
+          spark.readStream.schema(fileSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(eventsDir), "ts")
+        .filter(col("event_type") === eventType)
+    StreamConf.withStreamShuffle(spark) {
+      viewClickPairsFullOuter(side("view"), side("click"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Drain-once runner for the LEFT OUTER stream-stream join. */
   def runStreamStreamLeftJoinOnce(spark: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
