@@ -656,6 +656,35 @@ object Relational {
             w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running"),
           row_number().over(w).as("seq"))
         .orderBy("user_id", "seq")
+    }),
+
+    // Iterative graph centrality: damped PageRank (operators/PageRank,
+    // 2 shuffles/iteration, edge partitioning reused across rounds) over
+    // the deterministic co-order supplier ring graph — within each
+    // multi-supplier order, suppliers sorted by key link to their
+    // successor, wrapping around, so every node has out-degree >= 1 and
+    // the oracle needs no dangling term. Ranks are scaled by N (so they
+    // are O(1)) and rounded; the DuckDB oracle unrolls the same three
+    // power-iteration rounds as plain SQL.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+      val wOrd = Window.partitionBy(col("o")).orderBy(col("sk"))
+      val wAll = Window.partitionBy(col("o"))
+      val edges = pairs
+        .withColumn("nxt", coalesce(lead(col("sk"), 1).over(wOrd),
+          first(col("sk")).over(wOrd)))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .where(col("k") > 1)
+        .select(col("sk").as("src"), col("nxt").as("dst"))
+      val ranks = graft.operators.PageRank.run(edges, iterations = 3)
+      ranks.crossJoin(broadcast(ranks.agg(
+          count(lit(1)).cast("double").as("__n"))))
+        .select(col("node"),
+          round(col("rank") * col("__n"), 6).as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("node"))
+        .limit(20)
     })
   )
 
@@ -676,6 +705,45 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // three power-iteration rounds unrolled as plain SQL; the ring
+    // construction guarantees no dangling nodes, so the Spark operator's
+    // dangling term is identically zero and the recurrences agree
+    "q_graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk)) AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS k
+        |  FROM pairs),
+        |edges AS (SELECT sk AS src, nxt AS dst FROM w WHERE k > 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS node, sum(r.r / o.d) AS c
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (1 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn),
+        |c2 AS (SELECT e.dst AS node, sum(r.r / o.d) AS c
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (1 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn),
+        |c3 AS (SELECT e.dst AS node, sum(r.r / o.d) AS c
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         (1 - 0.85) / nn.n + 0.85 * coalesce(c3.c, 0) AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn)
+        |SELECT node, round(r * nn.n, 6) AS rank_scaled
+        |FROM r3, nn
+        |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,

@@ -103,6 +103,83 @@ object SqlSurface {
         |                    AND l2.l_tax > 0.07 AND l2.l_quantity < 2)
         |ORDER BY s_suppkey""".stripMargin,
 
+    // recursive CTE (Spark 4's UnionLoop execution): hierarchy walk over
+    // the deterministic decimal-digit tree parent(k) = floor(k / 10) —
+    // each iteration is one hash join of the frontier against customer,
+    // so at warehouse scale the recursion is as deep as the key space is
+    // wide (4-5 levels), never row-count-deep. The k >= 10 guard excludes
+    // the root's parent(0) = 0 self-loop that would never terminate.
+    "q_sql_recursive_tree" ->
+      """WITH RECURSIVE tree(k, depth, bal) AS (
+        |  SELECT c_custkey, 0, c_acctbal FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+        |  FROM customer c JOIN tree t
+        |    ON CAST(floor(c.c_custkey / 10) AS BIGINT) = t.k
+        |  WHERE c.c_custkey >= 10)
+        |SELECT depth, count(*) AS n, min(k) AS min_key, max(k) AS max_key,
+        |  round(sum(bal), 2) AS sum_bal
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // correlated LATERAL subquery with ORDER BY + LIMIT: per-group top-N
+    // as a join operand (the relational form of the top-1-per-key family;
+    // Spark plans it as a broadcast outer over the 25-row nation side)
+    "q_sql_lateral_topn" ->
+      """SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_custkey""".stripMargin,
+
+    // ANSI three-valued IN/NOT IN: the WHERE subquery is null-free, so
+    // NOT IN plans as a plain anti join with ANSI-identical semantics;
+    // the projected IN list carries a literal NULL, so maybe_in is TRUE
+    // on a match and NULL (never FALSE) otherwise — Spark's In expression
+    // is three-valued. Deliberately NOT the *subquery* form in the
+    // projection: Spark's ExistenceJoin rewrite returns FALSE where ANSI
+    // (and DuckDB) say NULL — `SELECT 5 IN (SELECT CAST(NULL AS INT))` is
+    // false on Spark 4.1.2, NULL on DuckDB — a measured engine deviation
+    // a shared-text gate cannot bridge.
+    "q_sql_not_in_nulls" ->
+      """SELECT s_suppkey, s_name,
+        |  (s_nationkey IN (0, 1, 2, NULL)) AS maybe_in
+        |FROM supplier
+        |WHERE s_suppkey NOT IN
+        |  (SELECT l_suppkey FROM lineitem
+        |   WHERE l_quantity >= 50 AND l_tax > 0.07)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // navigation + distribution window-function suite over a named
+    // WINDOW clause: lag/lead/first_value/last_value (explicit
+    // unbounded frame — the default frame stops at CURRENT ROW, a
+    // classic silent-wrong-answer), nth_value, percent_rank, cume_dist,
+    // and a bounded ROWS frame moving sum. Picks are bit-exact between
+    // engines; only the float sum and the rank ratios are rounded.
+    "q_sql_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER win AS prev_price,
+        |  lead(o_totalprice) OVER win AS next_price,
+        |  first_value(o_totalprice) OVER win AS first_price,
+        |  last_value(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_price,
+        |  nth_value(o_totalprice, 2) OVER win AS second_price,
+        |  round(percent_rank() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
+        |    AS pr,
+        |  round(cume_dist() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
+        |    AS cd,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 2) AS moving_sum
+        |FROM orders
+        |WHERE o_custkey % 50 = 7
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     // CASE + HAVING + grouped expression
     "q_sql_order_buckets" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Dense-array reference: the same damped power iteration computed
+    * with plain Scala loops (uniform dangling redistribution). */
+  private def reference(edges: Seq[(Int, Int)], nNodes: Int, iters: Int,
+      d: Double = 0.85): Array[Double] = {
+    val out = Array.fill(nNodes)(0)
+    edges.foreach { case (s, _) => out(s) += 1 }
+    var r = Array.fill(nNodes)(1.0 / nNodes)
+    for (_ <- 0 until iters) {
+      val contrib = Array.fill(nNodes)(0.0)
+      edges.foreach { case (s, t) => contrib(t) += r(s) / out(s) }
+      val dangling = (0 until nNodes).filter(out(_) == 0).map(r).sum
+      r = Array.tabulate(nNodes)(v =>
+        (1 - d) / nNodes + d * (contrib(v) + dangling / nNodes))
+    }
+    r
+  }
+
+  test("matches dense reference on a graph with a dangling node") {
+    // 0 -> 1 -> 2 -> 0 cycle; 3 points into the cycle; 4 is dangling
+    // (reached from 2 but no out-edges)
+    val edges = Seq((0, 1), (1, 2), (2, 0), (3, 1), (2, 4))
+    val df = edges.toDF("src", "dst")
+    val got = PageRank.run(df, iterations = 5)
+      .as[(Int, Double)].collect().toMap
+    val want = reference(edges, 5, 5)
+    assert(got.keySet == Set(0, 1, 2, 3, 4))
+    for ((v, r) <- got) assert(math.abs(r - want(v)) < 1e-12,
+      s"node $v: got $r want ${want(v)}")
+    // mass conservation: dangling redistribution keeps sum(r) = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("zero iterations returns the uniform start") {
+    val df = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val got = PageRank.run(df, iterations = 0).as[(Int, Double)]
+      .collect().toMap
+    assert(got == Map(1 -> 1.0 / 3, 2 -> 1.0 / 3, 3 -> 1.0 / 3))
+  }
+
+  test("star graph ranks hub and cycle leaf above plain leaves") {
+    val leaves = (1 to 8)
+    // leaves -> hub 0, hub cycles mass back to leaf 1: the hub and leaf
+    // 1 trade the aggregate mass between rounds, so BOTH must outrank
+    // the plain leaves (which only ever hold the teleport floor)
+    val edges = leaves.map(l => (l, 0)) :+ (0, 1)
+    val got = PageRank.run(edges.toDF("src", "dst"), iterations = 10)
+      .as[(Int, Double)].collect().toMap
+    assert((2 to 8).forall(l => got(0) > got(l)))
+    assert((2 to 8).forall(l => got(1) > got(l)))
+    val want = reference(edges, 9, 10)
+    for ((v, r) <- got) assert(math.abs(r - want(v)) < 1e-12)
+  }
+}
