@@ -685,6 +685,38 @@ object Relational {
           round(col("rank") * col("__n"), 6).as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("node"))
         .limit(20)
+    }),
+
+    // Materialized-view maintenance (operators/IncrementalAgg): the fact
+    // table arrives as three date-partitioned batches; per-group partials
+    // are folded in two successive merges (state ∪ delta1, then ∪ delta2
+    // — exercising associativity on real data) and finalized without ever
+    // re-scanning history. The oracle recomputes from scratch: incremental
+    // must equal recompute.
+    "q_incremental_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val li = t(s, dir, "lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val c1 = to_timestamp(lit("1995-06-01"))
+      val c2 = to_timestamp(lit("1997-01-01"))
+      val state0 = IncrementalAgg.partials(
+        li.where(col("l_shipdate") < c1), keys, ms)
+      val d1 = IncrementalAgg.partials(
+        li.where(col("l_shipdate") >= c1 && col("l_shipdate") < c2), keys, ms)
+      val d2 = IncrementalAgg.partials(
+        li.where(col("l_shipdate") >= c2), keys, ms)
+      val state = IncrementalAgg.merge(
+        IncrementalAgg.merge(state0, d1, keys, ms), d2, keys, ms)
+      IncrementalAgg.finalized(state, keys, ms)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"),
+          col("min_l_quantity").as("min_qty"),
+          col("max_l_quantity").as("max_qty"),
+          round(col("avg_l_quantity"), 4).as("avg_qty"),
+          round(col("sum_l_extendedprice"), 2).as("sum_price"),
+          round(col("avg_l_extendedprice"), 4).as("avg_price"))
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
@@ -744,6 +776,18 @@ object Relational {
         |SELECT node, round(r * nn.n, 6) AS rank_scaled
         |FROM r3, nn
         |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+
+    // full recompute — the incremental fold must match it exactly
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
