@@ -45,19 +45,40 @@ object PageRank {
       .repartition(shufflePartitions, col("src"))
       .localCheckpoint(true)
 
-    val nodes = e.select(col("src").as("node"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+    // ONE materialized node table carrying out-degree (0 = dangling):
+    // the rank recurrence joins/aggregates against this every round, and
+    // carrying outdeg on the rank rows lets the dangling mass fall out
+    // of a plain conditional sum over ranks — no per-iteration anti or
+    // semi join. Pinned to the node hash layout the loop's left join and
+    // the contrib aggregation both use. The loop is driver-latency
+    // bound at small |V| (each materialization is a job), so everything
+    // that CAN be folded into an existing pass is.
+    val meta = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .repartition(shufflePartitions, col("node"))
       .localCheckpoint(true)
-    val n = nodes.count().toDouble
 
-    // out-degree, co-partitioned with the edges (same key, same count)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // each edge annotated with its source's fan-out — this join never
-    // moves the edge side (both sides are hash-partitioned on src)
-    val fanout = e.join(outdeg, "src").localCheckpoint(true)
+    // |V| and whether any node dangles, in one pass; when none do —
+    // common for crawl graphs closed by construction, like the gate's
+    // ring graph — the dangling term is dropped from every iteration
+    val stats = meta.agg(count(lit(1)).as("n"),
+      count(when(col("outdeg") === 0, lit(1))).as("nDangling")).head()
+    val n = stats.getLong(0).toDouble
+    val hasDangling = stats.getLong(1) > 0L
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // each edge annotated with its source's fan-out — both sides are
+    // already hash-partitioned on the join key, so nothing moves
+    val fanout = e.join(meta.select(col("node").as("src"), col("outdeg")),
+      "src").localCheckpoint(true)
+
+    // uniform start: a projection over the checkpointed meta (no job)
+    var ranks = meta.select(col("node"), lit(1.0 / n).as("rank"),
+      col("outdeg"))
 
     for (_ <- 0 until iterations) {
       // rank mass arriving at each dst: shuffle 1 (ranks to src
@@ -66,20 +87,27 @@ object PageRank {
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-      // rank held by dangling nodes (no out-edges), as a 1-row frame —
-      // broadcast cross join keeps the scalar in-plan, no collect
-      val dangling = ranks
-        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("danglingMass"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
+      val base = meta.join(contrib, Seq("node"), "left")
+      ranks = (if (!hasDangling) {
+        base.select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("danglingMass") / lit(n))).as("rank"))
-        .localCheckpoint(true)
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
+          col("outdeg"))
+      } else {
+        // dangling rank this round as a 1-row conditional sum over the
+        // rank table itself — in-plan via broadcast cross join, no
+        // collect and no join against a dangling-node set
+        val dangling = ranks.agg(coalesce(
+          sum(when(col("outdeg") === 0, col("rank"))), lit(0.0))
+          .as("danglingMass"))
+        base.crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                col("danglingMass") / lit(n))).as("rank"),
+            col("outdeg"))
+      }).localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 }

@@ -667,17 +667,20 @@ object Relational {
     // are O(1)) and rounded; the DuckDB oracle unrolls the same three
     // power-iteration rounds as plain SQL.
     "q_graph_pagerank" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
+      // ring edges in ONE shuffle: collect_set per order (dedup + the
+      // window's grouping in the same agg; order sizes are bounded, so
+      // no hot-key risk), sort in-row, zip each supplier with its
+      // successor wrapping around — equivalent to the oracle's
+      // distinct + lead/first_value windows at one shuffle less
+      val edges = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .distinct()
-      val wOrd = Window.partitionBy(col("o")).orderBy(col("sk"))
-      val wAll = Window.partitionBy(col("o"))
-      val edges = pairs
-        .withColumn("nxt", coalesce(lead(col("sk"), 1).over(wOrd),
-          first(col("sk")).over(wOrd)))
-        .withColumn("k", count(lit(1)).over(wAll))
-        .where(col("k") > 1)
-        .select(col("sk").as("src"), col("nxt").as("dst"))
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("sk"))).as("sks"))
+        .where(size(col("sks")) > 1)
+        .select(col("sks"), concat(slice(col("sks"), 2, Int.MaxValue),
+          slice(col("sks"), 1, 1)).as("nxts"))
+        .select(explode(arrays_zip(col("sks"), col("nxts"))).as("z"))
+        .select(col("z.sks").as("src"), col("z.nxts").as("dst"))
       val ranks = graft.operators.PageRank.run(edges, iterations = 3)
       ranks.crossJoin(broadcast(ranks.agg(
           count(lit(1)).cast("double").as("__n"))))
