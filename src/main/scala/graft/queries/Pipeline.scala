@@ -816,6 +816,22 @@ object Pipeline {
     // lineitem — the relational form of file-skipping metadata. Zones
     // are floor(quantity/4) × linenumber cells with 2 low Morton bits
     // merged; the oracle replays the interleave bit-sum relationally.
+    // Compaction planning (operators/Compaction): documents stand in
+    // for a file catalog (source = table partition, n_chars = bytes);
+    // sequential level binning at a 100 KB target, summarized per
+    // output bin. Metadata-scale: one window + one aggregation.
+    "q_compaction_plan" -> ((s, dir) => {
+      val cat = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      graft.operators.Compaction.summarize(
+          graft.operators.Compaction.plan(cat, Seq("source"), "doc_id",
+            "n_chars", targetBytes = 100000L),
+          Seq("source"), "doc_id", "n_chars")
+        .select(col("source"), col("bin"), col("n_files"),
+          col("total_bytes"), col("first_key"), col("last_key"))
+        .orderBy("source", "bin")
+    }),
+
     "q_zone_map_index" -> ((s, dir) =>
       graft.operators.Layout.zoneMapIndex(
           t(s, dir, "lineitem").select(
@@ -2150,6 +2166,24 @@ object Pipeline {
         |    (((xb >> i) & 1) << (2 * i)) +
         |    (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS morton
         |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the sequential level-binning rule stated as one window pass; the
+    // CAST keeps DuckDB's integer sum at BIGINT to match Spark
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bytes_before
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(floor(bytes_before / 100000.0) AS BIGINT) AS bin FROM f)
+        |SELECT source, bin, count(*) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS first_key, max(doc_id) AS last_key
+        |FROM b GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
 
     "q_zone_map_index" ->
       """WITH src AS (
