@@ -344,6 +344,36 @@ object Pipeline {
     // floor -> exact dedup keep-min-id) over a corpus with planted
     // exact duplicates; every stage is replayed in the DuckDB oracle,
     // so the whole pipeline is hash-checked end to end.
+    // Data-quality expectations (pipeline/Quality): deterministic
+    // corruption planted into lineitem (nulled flags, tripled discounts,
+    // a duplicated key slice, dangling order keys), then a four-rule
+    // audit — all row-local rules share ONE scan, uniqueness is one
+    // groupBy, referential integrity one broadcast anti join. The oracle
+    // replays the corruption and counts each violation class.
+    "q_dq_audit" -> ((s, dir) => {
+      import graft.pipeline.Quality
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_discount"))
+      val base = li.unionAll(li.where(col("l_orderkey") % 103 === 0))
+      val c = base.select(
+        when(col("l_orderkey") % 101 === 0, lit(null))
+          .otherwise(col("l_returnflag")).as("rf"),
+        when(col("l_orderkey") % 97 === 0, col("l_discount") * 3)
+          .otherwise(col("l_discount")).as("disc"),
+        when(col("l_orderkey") % 107 === 0, col("l_orderkey") + 5000000L)
+          .otherwise(col("l_orderkey")).as("okey"),
+        col("l_orderkey").as("okey0"), col("l_linenumber").as("ln"))
+      Quality.audit(c, Seq(
+          Quality.Check("not_null_returnflag", col("rf").isNull),
+          Quality.Check("discount_in_range",
+            col("disc") < 0 || col("disc") > 0.1),
+          Quality.Unique("unique_order_line", Seq("okey0", "ln")),
+          Quality.InDim("orderkey_in_orders", "okey",
+            t(s, dir, "orders"), "o_orderkey")))
+        .orderBy("rule")
+    }),
+
     "q_curation_pipeline" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dups = d.filter(col("doc_id") % 25 === 0)
@@ -1679,6 +1709,39 @@ object Pipeline {
         |FROM q ORDER BY doc_id""".stripMargin,
 
     // Curation replayed stage by stage: the q_doc_clean regex chain on a
+    // corruption replayed inline; CASTs pin DuckDB's widened integer
+    // aggregates back to BIGINT
+    "q_dq_audit" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_discount
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_discount
+        |  FROM lineitem WHERE l_orderkey % 103 = 0),
+        |c AS (
+        |  SELECT
+        |    CASE WHEN l_orderkey % 101 = 0 THEN NULL
+        |         ELSE l_returnflag END AS rf,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN l_discount * 3
+        |         ELSE l_discount END AS disc,
+        |    CASE WHEN l_orderkey % 107 = 0 THEN l_orderkey + 5000000
+        |         ELSE l_orderkey END AS okey,
+        |    l_orderkey AS okey0, l_linenumber AS ln
+        |  FROM base)
+        |SELECT 'discount_in_range' AS rule,
+        |  CAST(count(CASE WHEN disc < 0 OR disc > 0.1 THEN 1 END)
+        |    AS BIGINT) AS n_violations FROM c
+        |UNION ALL
+        |SELECT 'not_null_returnflag',
+        |  CAST(count(CASE WHEN rf IS NULL THEN 1 END) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'orderkey_in_orders', CAST(count(*) AS BIGINT) FROM c
+        |WHERE okey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'unique_order_line', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM c GROUP BY okey0, ln) WHERE n > 1
+        |ORDER BY rule""".stripMargin,
+
     // dup-planted corpus, the q_doc_profile scoring formulas applied to
     // the CLEANED text, the same filters, then group-by-content keep-min.
     "q_curation_pipeline" ->
