@@ -690,6 +690,26 @@ object Relational {
         .limit(20)
     }),
 
+    // Triangle census (operators/Triangles, degree-ordered orientation
+    // so wedge fan-out is bounded by O(sqrt|E|) even on hub nodes) over
+    // the co-order supplier clique graph on a 1-in-20 order sample; the
+    // per-order pair expansion happens in-row on the bounded
+    // collect_set array — one shuffle, no self-join of the pair table.
+    "q_graph_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("sk"))).as("sks"))
+        .where(size(col("sks")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sks, (x, i) ->
+            |  transform(slice(sks, i + 2, size(sks) - i - 1), y ->
+            |    named_struct('src', x, 'dst', y))))""".stripMargin)).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      graft.operators.Triangles.globalCount(edges)
+    }),
+
     // Sketch algebra: distinct-intersection estimate by HLL
     // inclusion-exclusion (|A∩B| ≈ hll(A) + hll(B) - hll(A∪B)) — three
     // mergeable sketches built in ONE scan via conditional columns, so
@@ -809,6 +829,32 @@ object Relational {
         |SELECT node, round(r * nn.n, 6) AS rank_scaled
         |FROM r3, nn
         |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+
+    // triangle count restated as the canonical three-way join on
+    // id-ordered edges — orientation-free, so it cross-checks the
+    // degree-ordered counting rather than replaying it
+    "q_graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |ce AS (
+        |  SELECT DISTINCT x.sk AS a, y.sk AS b
+        |  FROM pairs x JOIN pairs y ON x.o = y.o AND x.sk < y.sk),
+        |deg AS (
+        |  SELECT v, count(*) AS d FROM
+        |    (SELECT a AS v FROM ce UNION ALL SELECT b AS v FROM ce) t
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+        |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |wed AS (
+        |  SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT)
+        |    AS n_wedges FROM deg),
+        |edg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ce)
+        |SELECT n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
+        |FROM edg, wed, tri""".stripMargin,
 
     "q_approx_intersection" ->
       """SELECT count(*) AS n_exact, TRUE AS within_bound
