@@ -44,6 +44,16 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming data-quality monitor: pipeline/Quality's row-local rules
+    // as a Complete-mode aggregation over the event stream — O(rules)
+    // state however long the stream runs; must equal the batch audit.
+    "q_stream_dq_monitor" -> ((s, dir) => {
+      val name = s"stream_dq_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runQualityMonitorOnce(s, dir, name)
+      drained(q)
+      s.table(name).orderBy("rule")
+    }),
+
     // Streaming CDC merge: the q_merge_upsert change feed folded into
     // per-key state via mapGroupsWithState; the converged snapshot must
     // hash-match the batch merge's relational replay.
@@ -399,6 +409,21 @@ object StreamingQueries {
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, user_id ASC
         |LIMIT 20""".stripMargin,
+
+    "q_stream_dq_monitor" ->
+      """SELECT 'event_type_allowed' AS rule,
+        |  CAST(count(CASE WHEN event_type NOT IN
+        |    ('view', 'click', 'signup', 'purchase') THEN 1 END) AS BIGINT)
+        |    AS n_violations FROM events
+        |UNION ALL
+        |SELECT 'props_not_null',
+        |  CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value_in_range',
+        |  CAST(count(CASE WHEN value < 0 OR value > 400 THEN 1 END)
+        |    AS BIGINT) FROM events
+        |ORDER BY rule""".stripMargin,
 
     "q_stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

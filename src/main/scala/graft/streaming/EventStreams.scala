@@ -124,6 +124,35 @@ object EventStreams {
     }
   }
 
+  /** Continuous data-quality monitoring: the row-local rule classes of
+    * [[graft.pipeline.Quality]] run unchanged over a stream, because a
+    * conditional-count audit is a plain aggregation — Complete mode
+    * keeps one running count per rule (O(|rules|) state regardless of
+    * stream length). Key-uniqueness and referential rules are
+    * deliberately absent: they would need per-key state, a different
+    * operator (the CDC merge family covers that shape). */
+  def runQualityMonitorOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val ev = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+    StreamConf.withStreamShuffle(spark) {
+      graft.pipeline.Quality.audit(ev, Seq(
+          graft.pipeline.Quality.Check("event_type_allowed",
+            !col("event_type").isin("view", "click", "signup", "purchase")),
+          graft.pipeline.Quality.Check("props_not_null",
+            col("props").isNull),
+          graft.pipeline.Quality.Check("value_in_range",
+            col("value") < 0 || col("value") > 400)))
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Attribution pairs: (view, click) of the same user with the click
     * inside [view_ts, view_ts + `window`). Written as a plain
     * DataFrame transform so the SAME join runs batch (spark.read) or as
