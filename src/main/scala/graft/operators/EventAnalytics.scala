@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Time-grid resampling to OHLC bars (open/high/low/close + count),
+    * the standard downsample for any metric stream: ONE hash
+    * aggregation — open and close ride `min_by`/`max_by` keyed on the
+    * (ts, tie) struct order, so no window, no sort, no second pass over
+    * the log. The tie column makes first/last well-defined under equal
+    * timestamps; at warehouse scale the shuffle carries only
+    * |keys × buckets| result rows thanks to map-side partials. */
+  def resampleOhlc(events: DataFrame, keys: Seq[String], bucket: Column,
+      tsCol: String, tieCol: String, valueCol: String): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    events
+      .groupBy(keys.map(col) :+ bucket.as("bucket"): _*)
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Hot-key guardrail for the collect-sort-fold operators ([[funnel]],
     * [[ewma]]): both materialize ONE key's full event sequence as an
     * in-memory array — the right shape for a strict sequential

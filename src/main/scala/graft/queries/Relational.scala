@@ -312,6 +312,18 @@ object Relational {
     // Event-sequence analytics (beyond the reference): strict-order
     // funnel — one shuffle on the user key, per-user sorted fold, no
     // per-step self-joins. Oracle replays with sequential min-CTEs.
+    // Time-series downsampling to daily OHLC bars per event type — one
+    // hash aggregation, open/close via min_by/max_by on the (ts,
+    // event_id) struct order (no window, no sort); the oracle replays
+    // first/last with ascending/descending row_number windows.
+    "q_events_ohlc" -> ((s, dir) => {
+      graft.operators.EventAnalytics.resampleOhlc(
+          t(s, dir, "events"), Seq("event_type"),
+          date_trunc("day", col("ts")), "ts", "event_id", "value")
+        .withColumnRenamed("bucket", "day")
+        .orderBy("event_type", "day")
+    }),
+
     "q_funnel" -> ((s, dir) => {
       graft.operators.EventAnalytics.funnel(
         t(s, dir, "events"), "user_id", "ts", "event_type",
@@ -1068,6 +1080,27 @@ object Relational {
         |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)
         |ORDER BY step""".stripMargin,
+
+    "q_events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, event_id,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, day, value,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH cohorts AS (

@@ -181,4 +181,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "value", alpha = 0.25).queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1500))
   }
+
+  test("resampleOhlc picks open/close by (ts, tie) order, one row per bucket") {
+    import org.apache.spark.sql.functions.{col, floor => ffloor}
+    // key k1 bucket 0: ts 1,2,2,3 — tie breaks the ts=2 pair
+    val events = Seq(
+      ("k1", 3L, 1L, 30.0), ("k1", 1L, 1L, 10.0),
+      ("k1", 2L, 2L, 99.0), ("k1", 2L, 1L, 5.0),
+      ("k1", 12L, 1L, 7.0),                       // bucket 1, single event
+      ("k2", 4L, 1L, 50.0), ("k2", 5L, 1L, 40.0)
+    ).toDF("k", "ts", "tie", "v")
+    val got = EventAnalytics.resampleOhlc(events, Seq("k"),
+        ffloor(col("ts") / 10).as("b"), "ts", "tie", "v")
+      .select("k", "bucket", "open", "high", "low", "close", "n")
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("k1", 0L, 10.0, 99.0, 5.0, 30.0, 4L),
+      ("k1", 1L, 7.0, 7.0, 7.0, 7.0, 1L),
+      ("k2", 0L, 50.0, 50.0, 40.0, 40.0, 2L)))
+  }
+
+  test("resampleOhlc plan is a single aggregation — no window, no join") {
+    import org.apache.spark.sql.functions.{col, floor => ffloor}
+    val events = Seq(("k", 1L, 1L, 1.0)).toDF("k", "ts", "tie", "v")
+    val plan = EventAnalytics.resampleOhlc(events, Seq("k"),
+        ffloor(col("ts") / 10).as("b"), "ts", "tie", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1500))
+  }
 }
