@@ -1,17 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank over a directed edge list — the iterative-graph centrality
   * companion to [[ConnectedComponents]]' label propagation. Power
   * iteration on the damped transition matrix:
   *
-  *   r' = (1 - d) / N  +  d * (M^T r  +  danglingMass / N)
+  *   r' = (1 - d) * t  +  d * (M^T r  +  danglingMass * t)
   *
-  * where dangling mass is the rank held by nodes with no out-edges
-  * (redistributed uniformly, the standard convention, so sum(r) stays
-  * 1 every iteration).
+  * where t is the teleport distribution — uniform 1/N for classic
+  * PageRank ([[run]]), or concentrated on a seed set for personalized
+  * PageRank ([[runPersonalized]], the similar-nodes / recommendation
+  * query). Dangling mass (rank held by nodes with no out-edges) returns
+  * through t, the standard convention, so sum(r) stays 1 every
+  * iteration.
   *
   * Execution shape per iteration — exactly two shuffles, both keyed on
   * node id: (1) ranks join the out-degree-annotated edge list on `src`
@@ -33,7 +36,20 @@ object PageRank {
     * dst), after `iterations` damped power-iteration rounds from the
     * uniform start. Ranks sum to 1. */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85)
-      : DataFrame = {
+      : DataFrame =
+    core(edges, None, iterations, damping)
+
+  /** Personalized PageRank: teleport (and the start vector) uniform
+    * over `seeds` (column `node`) instead of all nodes — rank
+    * concentrates in the seeds' neighborhoods, ranking nodes by
+    * proximity to the seed set. Seeds outside the graph are ignored;
+    * the seed table is broadcast (seed sets are query-sized). */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame =
+    core(edges, Some(seeds), iterations, damping)
+
+  private def core(edges: DataFrame, seeds: Option[DataFrame],
+      iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val spark = edges.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -47,38 +63,66 @@ object PageRank {
 
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
 
-    // ONE materialized node table carrying out-degree (0 = dangling):
-    // the rank recurrence joins/aggregates against this every round, and
-    // carrying outdeg on the rank rows lets the dangling mass fall out
-    // of a plain conditional sum over ranks — no per-iteration anti or
-    // semi join. Pinned to the node hash layout the loop's left join and
-    // the contrib aggregation both use. The loop is driver-latency
-    // bound at small |V| (each materialization is a job), so everything
-    // that CAN be folded into an existing pass is.
-    val meta = e.select(col("src").as("node"))
+    // ONE materialized node table carrying out-degree (0 = dangling)
+    // and the seed flag: the rank recurrence joins/aggregates against
+    // this every round, and carrying outdeg on the rank rows lets the
+    // dangling mass fall out of a plain conditional sum over ranks — no
+    // per-iteration anti or semi join. Pinned to the node hash layout
+    // the loop's left join and the contrib aggregation both use. The
+    // loop is driver-latency bound at small |V| (each materialization
+    // is a job), so everything that CAN be folded into an existing
+    // pass is.
+    val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .repartition(shufflePartitions, col("node"))
+    val meta = (seeds match {
+      case Some(s) => nodes
+        .join(broadcast(s.select(col("node")).distinct()
+          .withColumn("__seed", lit(true))), Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          coalesce(col("__seed"), lit(false)).as("isSeed"))
+      case None => nodes.withColumn("isSeed", lit(true))
+    }).repartition(shufflePartitions, col("node"))
       .localCheckpoint(true)
 
-    // |V| and whether any node dangles, in one pass; when none do —
-    // common for crawl graphs closed by construction, like the gate's
-    // ring graph — the dangling term is dropped from every iteration
+    // |V|, dangling presence, and |seeds ∩ V| in one pass; a
+    // dangling-free graph — common for crawl graphs closed by
+    // construction, like the gate's ring graph — drops the dangling
+    // term from every iteration
     val stats = meta.agg(count(lit(1)).as("n"),
-      count(when(col("outdeg") === 0, lit(1))).as("nDangling")).head()
+      count(when(col("outdeg") === 0, lit(1))).as("nDangling"),
+      count(when(col("isSeed"), lit(1))).as("nSeeds")).head()
     val n = stats.getLong(0).toDouble
     val hasDangling = stats.getLong(1) > 0L
+    val nSeeds = stats.getLong(2).toDouble
+    require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
+
+    // teleport value per node. The uniform case keeps the single
+    // driver-computed constant (1-d)/n — bit-compatible with the
+    // classic recurrence — rather than (1-d)*(1/n), which rounds
+    // differently in IEEE arithmetic.
+    val resetTerm: Column = seeds match {
+      case None => lit((1.0 - damping) / n)
+      case Some(_) => lit(1.0 - damping) *
+        when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+    }
+    val teleport: Column = seeds match {
+      case None => lit(1.0 / n)
+      case Some(_) =>
+        when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+    }
 
     // each edge annotated with its source's fan-out — both sides are
     // already hash-partitioned on the join key, so nothing moves
     val fanout = e.join(meta.select(col("node").as("src"), col("outdeg")),
       "src").localCheckpoint(true)
 
-    // uniform start: a projection over the checkpointed meta (no job)
-    var ranks = meta.select(col("node"), lit(1.0 / n).as("rank"),
-      col("outdeg"))
+    // start at the teleport distribution: a projection over the
+    // checkpointed meta (no job)
+    var ranks = meta.select(col("node"), teleport.as("rank"),
+      col("outdeg"), col("isSeed"))
 
     for (_ <- 0 until iterations) {
       // rank mass arriving at each dst: shuffle 1 (ranks to src
@@ -90,9 +134,9 @@ object PageRank {
       val base = meta.join(contrib, Seq("node"), "left")
       ranks = (if (!hasDangling) {
         base.select(col("node"),
-          (lit((1.0 - damping) / n) +
+          (resetTerm +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
-          col("outdeg"))
+          col("outdeg"), col("isSeed"))
       } else {
         // dangling rank this round as a 1-row conditional sum over the
         // rank table itself — in-plan via broadcast cross join, no
@@ -102,10 +146,10 @@ object PageRank {
           .as("danglingMass"))
         base.crossJoin(broadcast(dangling))
           .select(col("node"),
-            (lit((1.0 - damping) / n) +
+            (resetTerm +
               lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-                col("danglingMass") / lit(n))).as("rank"),
-            col("outdeg"))
+                col("danglingMass") * teleport)).as("rank"),
+            col("outdeg"), col("isSeed"))
       }).localCheckpoint(true)
     }
     ranks.select(col("node"), col("rank"))

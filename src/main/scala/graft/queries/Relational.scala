@@ -25,6 +25,25 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Co-order supplier ring graph shared by the PageRank gates: within
+    * each multi-supplier order, suppliers sorted by key link to their
+    * successor, wrapping around, so every node has out-degree >= 1 and
+    * the oracles need no dangling term. Built in ONE shuffle:
+    * collect_set per order (dedup + the window's grouping in the same
+    * agg; order sizes are bounded, so no hot-key risk), sort in-row,
+    * zip each supplier with its successor — equivalent to the oracle's
+    * distinct + lead/first_value windows at one shuffle less. */
+  private def ringEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("sk"))).as("sks"))
+      .where(size(col("sks")) > 1)
+      .select(col("sks"), concat(slice(col("sks"), 2, Int.MaxValue),
+        slice(col("sks"), 1, 1)).as("nxts"))
+      .select(explode(arrays_zip(col("sks"), col("nxts"))).as("z"))
+      .select(col("z.sks").as("src"), col("z.nxts").as("dst"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2/P: projection + predicate, both pushed into the parquet scan.
     "q_scan_filter_project" -> ((s, dir) => {
@@ -679,21 +698,26 @@ object Relational {
     // are O(1)) and rounded; the DuckDB oracle unrolls the same three
     // power-iteration rounds as plain SQL.
     "q_graph_pagerank" -> ((s, dir) => {
-      // ring edges in ONE shuffle: collect_set per order (dedup + the
-      // window's grouping in the same agg; order sizes are bounded, so
-      // no hot-key risk), sort in-row, zip each supplier with its
-      // successor wrapping around — equivalent to the oracle's
-      // distinct + lead/first_value windows at one shuffle less
-      val edges = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .groupBy(col("o"))
-        .agg(sort_array(collect_set(col("sk"))).as("sks"))
-        .where(size(col("sks")) > 1)
-        .select(col("sks"), concat(slice(col("sks"), 2, Int.MaxValue),
-          slice(col("sks"), 1, 1)).as("nxts"))
-        .select(explode(arrays_zip(col("sks"), col("nxts"))).as("z"))
-        .select(col("z.sks").as("src"), col("z.nxts").as("dst"))
-      val ranks = graft.operators.PageRank.run(edges, iterations = 3)
+      val ranks = graft.operators.PageRank.run(ringEdges(s, dir),
+        iterations = 3)
+      ranks.crossJoin(broadcast(ranks.agg(
+          count(lit(1)).cast("double").as("__n"))))
+        .select(col("node"),
+          round(col("rank") * col("__n"), 6).as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("node"))
+        .limit(20)
+    }),
+
+    // Personalized PageRank: teleport concentrated on the 1-in-100
+    // supplier seed set, so rank measures proximity to the seeds —
+    // the similar-nodes / recommendation query. Same loop shape as
+    // q_graph_pagerank; the oracle unrolls the seeded recurrence.
+    "q_graph_ppr" -> ((s, dir) => {
+      val edges = ringEdges(s, dir)
+      val seeds = edges.select(col("src").as("node"))
+        .where(col("node") % 100 === 0).distinct()
+      val ranks = graft.operators.PageRank.runPersonalized(edges, seeds,
+        iterations = 3)
       ranks.crossJoin(broadcast(ranks.agg(
           count(lit(1)).cast("double").as("__n"))))
         .select(col("node"),
@@ -838,6 +862,54 @@ object Relational {
         |r3 AS (SELECT nodes.node,
         |         (1 - 0.85) / nn.n + 0.85 * coalesce(c3.c, 0) AS r
         |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn)
+        |SELECT node, round(r * nn.n, 6) AS rank_scaled
+        |FROM r3, nn
+        |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+
+    // the seeded recurrence unrolled: teleport CASE replaces the 1/n
+    // constant; the ring construction leaves no dangling mass
+    "q_graph_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk)) AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS k
+        |  FROM pairs),
+        |edges AS (SELECT sk AS src, nxt AS dst FROM w WHERE k > 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
+        |       WHERE node % 100 = 0),
+        |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT node,
+        |         CASE WHEN node % 100 = 0 THEN 1.0 / ns.s ELSE 0.0 END AS r
+        |       FROM nodes, ns),
+        |c1 AS (SELECT e.dst AS node, sum(r.r / o.d) AS c
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (1 - 0.85) * (CASE WHEN nodes.node % 100 = 0
+        |                       THEN 1.0 / ns.s ELSE 0.0 END)
+        |           + 0.85 * coalesce(c1.c, 0) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, ns),
+        |c2 AS (SELECT e.dst AS node, sum(r.r / o.d) AS c
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (1 - 0.85) * (CASE WHEN nodes.node % 100 = 0
+        |                       THEN 1.0 / ns.s ELSE 0.0 END)
+        |           + 0.85 * coalesce(c2.c, 0) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, ns),
+        |c3 AS (SELECT e.dst AS node, sum(r.r / o.d) AS c
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         (1 - 0.85) * (CASE WHEN nodes.node % 100 = 0
+        |                       THEN 1.0 / ns.s ELSE 0.0 END)
+        |           + 0.85 * coalesce(c3.c, 0) AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, ns)
         |SELECT node, round(r * nn.n, 6) AS rank_scaled
         |FROM r3, nn
         |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
