@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source hop distances (unweighted single-source shortest paths
+  * generalized to a seed set) over a directed edge list — BFS by
+  * frontier propagation, the fourth member of the graph family next to
+  * [[ConnectedComponents]], [[PageRank]] and [[Triangles]].
+  *
+  * Each round expands ONLY the newest frontier (nodes first reached in
+  * the previous round) one hop along the edges and min-merges into the
+  * distance table — in unweighted BFS the first discovery is already
+  * minimal, so a node never re-enters the frontier and total join work
+  * across all rounds is O(|E|) regardless of depth. The edge table is
+  * hash-partitioned on `src` once and reused every round; distances are
+  * lineage-truncated per round like every driver-paced loop here.
+  *
+  * `maxHops` bounds the rounds (and the result: unreached nodes are
+  * absent, not null) — the warehouse-friendly contract, since the
+  * interesting question at scale is almost always "what is within K
+  * hops", not the full eccentricity.
+  */
+object ShortestPaths {
+
+  /** (node, dist) for every node within `maxHops` directed hops of any
+    * seed (column `node`); dist = 0 for the seeds themselves. */
+  def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(shufflePartitions, col("src"))
+      .localCheckpoint(true)
+
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+
+    var k = 1
+    var frontierEmpty = false
+    while (k <= maxHops && !frontierEmpty) {
+      val frontier = dist.where(col("dist") === k - 1)
+        .select(col("node").as("src"))
+      val reached = e.join(frontier, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+      dist = dist.unionByName(reached).localCheckpoint(true)
+      // one count on the checkpointed table decides early exit — a
+      // fully-explored graph stops before maxHops rounds
+      frontierEmpty = dist.where(col("dist") === k).isEmpty
+      k += 1
+    }
+    dist
+  }
+}

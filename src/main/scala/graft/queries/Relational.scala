@@ -726,6 +726,21 @@ object Relational {
         .limit(20)
     }),
 
+    // Multi-source BFS (operators/ShortestPaths): hop distances from
+    // the 1-in-100 supplier seed set, frontier-only propagation so the
+    // total join work is O(|E|) across all rounds; capped at 3 hops,
+    // summarized per distance ring.
+    "q_graph_hop_distances" -> ((s, dir) => {
+      val edges = ringEdges(s, dir)
+      val seeds = edges.select(col("src").as("node"))
+        .where(col("node") % 100 === 0).distinct()
+      graft.operators.ShortestPaths.hopDistances(edges, seeds, maxHops = 3)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy("dist")
+    }),
+
     // Triangle census (operators/Triangles, degree-ordered orientation
     // so wedge fan-out is bounded by O(sqrt|E|) even on hub nodes) over
     // the co-order supplier clique graph on a 1-in-20 order sample; the
@@ -865,6 +880,40 @@ object Relational {
         |SELECT node, round(r * nn.n, 6) AS rank_scaled
         |FROM r3, nn
         |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+
+    // BFS levels unrolled as frontier CTEs with NOT IN de-duplication
+    "q_graph_hop_distances" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk)) AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS k
+        |  FROM pairs),
+        |edges AS (SELECT sk AS src, nxt AS dst FROM w WHERE k > 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |f0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % 100 = 0),
+        |n1 AS (SELECT DISTINCT e.dst AS node
+        |       FROM edges e JOIN f0 ON e.src = f0.node),
+        |f1 AS (SELECT node, 1 AS dist FROM n1
+        |       WHERE node NOT IN (SELECT node FROM f0)),
+        |n2 AS (SELECT DISTINCT e.dst AS node
+        |       FROM edges e JOIN f1 ON e.src = f1.node),
+        |f2 AS (SELECT node, 2 AS dist FROM n2
+        |       WHERE node NOT IN (SELECT node FROM f0
+        |                          UNION ALL SELECT node FROM f1)),
+        |n3 AS (SELECT DISTINCT e.dst AS node
+        |       FROM edges e JOIN f2 ON e.src = f2.node),
+        |f3 AS (SELECT node, 3 AS dist FROM n3
+        |       WHERE node NOT IN (SELECT node FROM f0
+        |                          UNION ALL SELECT node FROM f1
+        |                          UNION ALL SELECT node FROM f2)),
+        |d AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+        |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        |SELECT dist, count(*) AS n, min(node) AS min_node,
+        |  max(node) AS max_node
+        |FROM d GROUP BY dist ORDER BY dist""".stripMargin,
 
     // the seeded recurrence unrolled: teleport CASE replaces the 1/n
     // constant; the ring construction leaves no dangling mass
