@@ -96,6 +96,18 @@ object Bench {
       // is not charged its JIT (r6 driver: 8.0 s vs 3.5 s clean median)
       graft.operators.ConnectedComponents.components(
         spark.range(0, 64).selectExpr("id AS a", "(id % 7) AS b")).count()
+      // same story for the other driver-paced graph loops: run each on
+      // a toy edge set so the gate executions measure graph work, not
+      // the loop machinery's first-execution JIT
+      locally {
+        val toy = spark.range(0, 64)
+          .selectExpr("id AS src", "((id + 1) % 64) AS dst")
+        val seeds = spark.range(0, 2).selectExpr("id * 32 AS node")
+        graft.operators.PageRank.run(toy, iterations = 1).count()
+        graft.operators.PageRank.runPersonalized(toy, seeds, 1).count()
+        graft.operators.Triangles.globalCount(toy).count()
+        graft.operators.ShortestPaths.hopDistances(toy, seeds, 2).count()
+      }
       spark.catalog.clearCache()
     }
     // /proc/stat (steal, total) jiffies — sampled around each query so a
