@@ -44,6 +44,25 @@ object EventAnalytics {
         count(lit(1)).as("n"))
   }
 
+  /** Statistical anomaly detection: flag events whose value deviates
+    * from the per-key mean by more than `k` sample standard deviations.
+    * Two passes over the log, both cheap: ONE aggregation builds the
+    * per-key (mean, stddev) profile — O(|keys|) rows, broadcastable —
+    * and the flagging join streams the log against it map-side.
+    * Thresholds are rounded (6 places) BEFORE comparison so the flag is
+    * reproducible across engines and runs: raw mean/stddev are
+    * float-order-sensitive, and an unrounded threshold would let the
+    * last ulp decide a boundary row. */
+  def anomalies(events: DataFrame, keys: Seq[String], valueCol: String,
+      k: Double): DataFrame = {
+    val profile = events.groupBy(keys.map(col): _*)
+      .agg(round(avg(col(valueCol)), 6).as("mean"),
+        round(stddev_samp(col(valueCol)), 6).as("std"))
+    events.join(broadcast(profile), keys)
+      .withColumn("is_anomaly",
+        abs(col(valueCol) - col("mean")) > lit(k) * col("std"))
+  }
+
   /** Hot-key guardrail for the collect-sort-fold operators ([[funnel]],
     * [[ewma]]): both materialize ONE key's full event sequence as an
     * in-memory array — the right shape for a strict sequential

@@ -331,6 +331,22 @@ object Relational {
     // Event-sequence analytics (beyond the reference): strict-order
     // funnel — one shuffle on the user key, per-user sorted fold, no
     // per-step self-joins. Oracle replays with sequential min-CTEs.
+    // Statistical anomaly detection: per-type mean/stddev profile (one
+    // aggregation, broadcast back over the log), events beyond 3 sigma
+    // flagged. Thresholds are rounded before comparison so the flag
+    // cannot be decided by the last ulp of a float-order-sensitive
+    // stddev — both engines compare against identical rounded values,
+    // which the gate also outputs to pin that agreement.
+    "q_events_anomalies" -> ((s, dir) => {
+      graft.operators.EventAnalytics.anomalies(
+          t(s, dir, "events"), Seq("event_type"), "value", k = 3.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("is_anomaly"), lit(1))).as("n_anomalies"),
+          first(col("mean")).as("mean"), first(col("std")).as("std"))
+        .orderBy("event_type")
+    }),
+
     // Time-series downsampling to daily OHLC bars per event type — one
     // hash aggregation, open/close via min_by/max_by on the (ts,
     // event_id) struct order (no window, no sort); the oracle replays
@@ -1201,6 +1217,19 @@ object Relational {
         |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)
         |ORDER BY step""".stripMargin,
+
+    "q_events_anomalies" ->
+      """WITH p AS (
+        |  SELECT event_type, round(avg(value), 6) AS mean,
+        |    round(stddev_samp(value), 6) AS std
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(count(CASE WHEN abs(e.value - p.mean) > 3 * p.std
+        |             THEN 1 END) AS BIGINT) AS n_anomalies,
+        |  p.mean AS mean, p.std AS std
+        |FROM events e JOIN p ON e.event_type = p.event_type
+        |GROUP BY e.event_type, p.mean, p.std
+        |ORDER BY e.event_type""".stripMargin,
 
     "q_events_ohlc" ->
       """WITH e AS (

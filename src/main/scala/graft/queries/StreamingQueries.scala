@@ -44,6 +44,17 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming OHLC bars: the batch resample aggregation drained over
+    // the event stream in Complete mode (one bar of state per key x
+    // bucket); must hash-match the batch operator's daily bars.
+    "q_stream_ohlc" -> ((s, dir) => {
+      val name = s"stream_ohlc_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runOhlcOnce(s, dir, name)
+      drained(q)
+      s.table(name).withColumnRenamed("bucket", "day")
+        .orderBy("event_type", "day")
+    }),
+
     // Streaming data-quality monitor: pipeline/Quality's row-local rules
     // as a Complete-mode aggregation over the event stream — O(rules)
     // state however long the stream runs; must equal the batch audit.
@@ -409,6 +420,27 @@ object StreamingQueries {
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, user_id ASC
         |LIMIT 20""".stripMargin,
+
+    "q_stream_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, event_id,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, day, value,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_stream_dq_monitor" ->
       """SELECT 'event_type_allowed' AS rule,

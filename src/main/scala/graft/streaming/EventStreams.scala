@@ -124,6 +124,29 @@ object EventStreams {
     }
   }
 
+  /** Streaming OHLC resampling: [[graft.operators.EventAnalytics
+    * .resampleOhlc]] runs unchanged over the stream — min_by/max_by on
+    * the (ts, tie) struct order are ordinary declarative aggregates, so
+    * Complete mode keeps one bar per (key, bucket) of state and the
+    * drained result must equal the batch bars bitwise. */
+  def runOhlcOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val ev = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      graft.operators.EventAnalytics.resampleOhlc(ev, Seq("event_type"),
+          date_trunc("day", col("ts")), "ts", "event_id", "value")
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Continuous data-quality monitoring: the row-local rule classes of
     * [[graft.pipeline.Quality]] run unchanged over a stream, because a
     * conditional-count audit is a plain aggregation — Complete mode

@@ -182,6 +182,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1500))
   }
 
+  test("anomalies flags exactly the values beyond k rounded sigmas") {
+    import org.apache.spark.sql.functions.col
+    // k1: ninety-nine 10.0s and one 1000.0 — mean 19.9, stddev exactly
+    // 99.0, so the outlier sits at z = 9.9 and the tens at z = 0.1
+    // (note a single outlier among n points can never exceed
+    // z = (n-1)/sqrt(n), so n must be large enough for 3 sigma);
+    // k2: constant values, stddev 0, nothing can flag
+    val events = (Seq.fill(99)(("k1", 10.0)) :+ (("k1", 1000.0))) ++
+      Seq.fill(4)(("k2", 5.0))
+    val got = EventAnalytics.anomalies(events.toDF("k", "v"),
+        Seq("k"), "v", k = 3.0)
+      .where(col("is_anomaly")).select("k", "v")
+      .as[(String, Double)].collect().toSet
+    assert(got == Set(("k1", 1000.0)))
+  }
+
   test("resampleOhlc picks open/close by (ts, tie) order, one row per bucket") {
     import org.apache.spark.sql.functions.{col, floor => ffloor}
     // key k1 bucket 0: ts 1,2,2,3 — tie breaks the ts=2 pair
