@@ -180,6 +180,20 @@ object SqlSurface {
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // linear-regression aggregate family (regr_slope / intercept / r2 /
+    // count + corr) — single-pass stable co-moment aggregates in both
+    // engines; rounded because the co-moments are float-order-sensitive
+    "q_sql_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_qp
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // CASE + HAVING + grouped expression
     "q_sql_order_buckets" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
