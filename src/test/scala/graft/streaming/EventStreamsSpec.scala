@@ -51,6 +51,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  for (flavor <- Seq("ltz", "ntz"))
+  test(s"[$flavor] streaming OHLC bars match the batch resample") {
+    import org.apache.spark.sql.functions._
+    val dir = flavorDirs(flavor)
+    val q = EventStreams.runOhlcOnce(spark, dir, s"stream_ohlc_$flavor")
+    q.awaitTermination(120000)
+    val streamed = spark.table(s"stream_ohlc_$flavor")
+      .select("event_type", "bucket", "open", "high", "low", "close", "n")
+    val batch = graft.operators.EventAnalytics.resampleOhlc(
+      graft.Tables.load(spark, dir, "events"), Seq("event_type"),
+      date_trunc("day", col("ts")), "ts", "event_id", "value")
+      .select("event_type", "bucket", "open", "high", "low", "close", "n")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bounded dedup: in-horizon dups dropped, expired keys re-emit") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
