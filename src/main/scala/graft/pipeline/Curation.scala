@@ -112,4 +112,25 @@ object Curation {
     docs.withColumn("pct_rank", percent_rank().over(
       Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))))
   }
+
+  /** Winsorization: clamp `valueCol` into its per-group interpolated
+    * [pLo, pHi] percentile band — outlier damping before a score feeds
+    * a mixture weight or a training objective. Adds `<value>_w` (the
+    * clamped value) plus the `w_lo` / `w_hi` cutoffs.
+    *
+    * The cutoff table is one exact-percentile aggregation broadcast
+    * back over the data, so the data side stays a map-side join at any
+    * scale. Exact `percentile` buffers each group's values — fine for
+    * bounded groups (per-source scores); at warehouse scale swap in
+    * `approx_percentile` or a precomputed cutoff table, same join. */
+  def winsorize(docs: DataFrame, keys: Seq[String], valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad band [$pLo, $pHi]")
+    val cuts = docs.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $pLo)").as("w_lo"),
+        expr(s"percentile($valueCol, $pHi)").as("w_hi"))
+    docs.join(broadcast(cuts), keys)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("w_lo")), col("w_hi")))
+  }
 }

@@ -47,6 +47,39 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Winsorization (pipeline/Curation): per-group values clamped into
+    // the interpolated [p05, p95] percentile band — outlier damping
+    // before scores feed mixture weights. The cutoff table is one
+    // exact-percentile aggregation broadcast back over the data. The
+    // oracle recomputes the cutoffs with the explicit (n-1)p rank
+    // interpolation (bit-identical to Spark's percentile) and replays
+    // the clamp.
+    "q_winsorize" -> ((s, dir) => {
+      graft.pipeline.Curation.winsorize(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice_w")), 2).as("sum_w"),
+          round(first(col("w_lo")) + 1e-9, 4).as("lo"),
+          round(first(col("w_hi")) + 1e-9, 4).as("hi"))
+        .orderBy("l_returnflag")
+    }),
+
+    // BM25 relevance ranking (pipeline/Search): query terms filtered
+    // INSIDE the token array before the explode, so the shuffle carries
+    // O(matches) not O(tokens); corpus stats and per-term document
+    // frequencies ride as broadcasts. The oracle replays the identical
+    // formula relationally.
+    "q_bm25_topk" -> ((s, dir) => {
+      graft.pipeline.Search.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "merge", "scan"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Exact-dedup hashing: md5 content hash per doc (oracle-checked —
     // proves byte-identical hashing across engines).
     "q_doc_content_hash" -> ((s, dir) => {
@@ -1194,6 +1227,74 @@ object Pipeline {
     "q_doc_content_hash" ->
       """SELECT doc_id, md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cutoffs by explicit rank interpolation (the q_quantiles shared
+    // formula — bit-identical to Spark's exact percentile), clamp
+    // replayed relationally; +1e-9 pushes decimal-exact half-way
+    // cutoffs consistently up on both engines
+    "q_winsorize" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS rf, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    0.05 AS p, 'lo' AS m FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE),
+        |    0.95, 'hi' FROM lineitem),
+        |r AS (
+        |  SELECT rf, m, p, v,
+        |    CAST(row_number() OVER (PARTITION BY rf, m ORDER BY v)
+        |      AS DOUBLE) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY rf, m) AS DOUBLE) AS n
+        |  FROM src),
+        |pick AS (
+        |  SELECT rf, m,
+        |    sum(CASE WHEN rn = floor(1 + (n - 1) * p) THEN v END) AS lov,
+        |    sum(CASE WHEN rn = floor(1 + (n - 1) * p) + 1 THEN v END) AS hiv,
+        |    max(1 + (n - 1) * p - floor(1 + (n - 1) * p)) AS g
+        |  FROM r GROUP BY rf, m),
+        |cuts AS (
+        |  SELECT rf,
+        |    max(CASE WHEN m = 'lo'
+        |        THEN lov + g * (coalesce(hiv, lov) - lov) END) AS lo,
+        |    max(CASE WHEN m = 'hi'
+        |        THEN lov + g * (coalesce(hiv, lov) - lov) END) AS hi
+        |  FROM pick GROUP BY rf)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  round(sum(least(greatest(CAST(l.l_extendedprice AS DOUBLE),
+        |    c.lo), c.hi)), 2) AS sum_w,
+        |  round(max(c.lo) + 1e-9, 4) AS lo,
+        |  round(max(c.hi) + 1e-9, 4) AS hi
+        |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.rf
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    // identical BM25 arithmetic, stated relationally: same operand
+    // order, same ln(1 + (N - df + 0.5)/(df + 0.5)) idf, constants
+    // written as the literals the Scala side computes
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+        |      FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            avg(dl) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('vector', 'merge', 'scan')
+        |  GROUP BY doc_id, dl, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+        |        (tf.tf * 2.2) /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+        |      AS score
+        |  FROM tf JOIN dfr USING (term), stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 6) AS score
+        |FROM scores ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH grams AS (

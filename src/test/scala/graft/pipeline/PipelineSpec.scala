@@ -317,6 +317,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) === 0.0)   // singleton group
   }
 
+  test("winsorize clamps into the interpolated per-group band") {
+    // group a: values 0,10,20,...,100 (n=11); p10 cutoff = 10.0 exactly
+    // (rank 1 + 10*0.1 = 2.0, g=0), p90 = 90.0
+    val df = (0 to 10).map(i => ("a", i.toLong, i * 10.0)).toDF("g", "id", "v")
+    val out = graft.pipeline.Curation.winsorize(df, Seq("g"), "v", 0.1, 0.9)
+      .select("id", "v_w", "w_lo", "w_hi")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.forall { case (_, _, lo, hi) => lo == 10.0 && hi == 90.0 })
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(byId(0L) == 10.0 && byId(10L) == 90.0) // clamped ends
+    assert(byId(5L) == 50.0)                      // interior untouched
+    // fractional rank interpolates: p25 of 0..100 = 25.0
+    val q = graft.pipeline.Curation.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+      .select("w_lo").distinct().as[Double].collect()
+    assert(q.toSeq == Seq(25.0))
+  }
+
   test("crossGroupMatrix canonicalizes group pairs and counts the diagonal") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (5L, 6L))
       .toDF("a", "b")
