@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   *
   *   score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
   *
-  * Execution shape: query terms are filtered INSIDE the token array
-  * (row-local higher-order `filter` before the explode), so the explode
-  * emits only matching occurrences — at corpus scale the shuffle
-  * carries O(matches), not O(tokens). Corpus stats (N, avgdl) are one
-  * 1-row aggregate kept in-plan via broadcast cross join; per-term
-  * document frequencies are a |terms|-row broadcast. One full corpus
-  * pass total.
+  * Execution shape: the corpus is tokenized exactly ONCE — per-term
+  * frequencies are counted inside the token array (row-local
+  * higher-order filters, no token explode) into a materialized per-doc
+  * summary of 2 + |terms| numbers, which then feeds the corpus stats,
+  * the document frequencies, and the scoring join. At corpus scale the
+  * only full-width pass is that first projection; everything after
+  * moves O(docs with a match) summary rows, with stats and df riding
+  * as 1-row / |terms|-row broadcasts.
   *
   * Tokenization matches [[TextAnalysis.tokenCount]]: lowercase,
   * whitespace-split — the parity contract the relational oracle
@@ -28,26 +29,40 @@ object Search {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(lower(col(textCol))), "\\s+").as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).as("dl"))
+    // ONE tokenization pass: doc length plus an in-row count per query
+    // term (row-local HOF filters — no explode, no shuffle of token
+    // occurrences), materialized so the stats aggregate, the df
+    // aggregate, and the scoring all read the tiny per-doc summary
+    // (2 + |terms| numbers per doc) instead of re-tokenizing the corpus
+    // per branch
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === lit(t))).as(s"__tf$i") }
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .select(col("doc_id") +: size(col("toks")).as("dl") +: tfCols: _*)
+      .localCheckpoint(true)
 
-    // N and avgdl in one pass over the doc-length projection
-    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+    // N and avgdl, plus per-term document frequency, each one cheap
+    // aggregate of the summary
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
+    val dfAggs = terms.indices.map(i =>
+      count(when(col(s"__tf$i") > 0, lit(1))).as(s"__df$i"))
+    val dfs = perDoc.agg(dfAggs.head, dfAggs.tail: _*)
 
-    // only query-term occurrences leave the row: HOF filter, then explode
-    val qt = typedLit(terms)
-    val tf = toks
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => array_contains(qt, t))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // melt to (doc_id, dl, term index, tf) and score
+    val stackArgs = terms.indices
+      .map(i => s"$i, CAST(__tf$i AS DOUBLE)").mkString(", ")
+    val tf = perDoc
+      .selectExpr("doc_id", "dl",
+        s"stack(${terms.size}, $stackArgs) AS (ti, tf)")
+      .where(col("tf") > 0)
+    val dfLong = dfs.selectExpr(
+      s"stack(${terms.size}, ${terms.indices
+        .map(i => s"$i, __df$i").mkString(", ")}) AS (ti, df)")
 
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-
-    tf.join(broadcast(df), "term")
+    tf.join(broadcast(dfLong), "ti")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
