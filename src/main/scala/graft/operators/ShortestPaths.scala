@@ -55,4 +55,40 @@ object ShortestPaths {
     }
     dist
   }
+
+  /** Bounded-round Bellman-Ford: minimum-WEIGHT distances from the
+    * seed set using at most `rounds` edges (columns src, dst, w).
+    * Unlike [[hopDistances]] there is no frontier-only shortcut — a
+    * later round may find a cheaper longer-hop path to an
+    * already-reached node, so every round relaxes the FULL distance
+    * table against the edges (the classic dynamic-programming
+    * recurrence d_k(v) = min(d_{k-1}(v), min_{(u,v)} d_{k-1}(u) + w)).
+    * Per round: one join keyed on the reused edge partitioning plus one
+    * min-aggregation — O(rounds * |E|) total, the Bellman-Ford bound.
+    * With rounds >= |V| - 1 and non-negative weights this is full
+    * single-source shortest paths; the bounded form is the
+    * warehouse-scale contract (cheapest path within K legs). */
+  def boundedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(shufflePartitions, col("src"))
+      .localCheckpoint(true)
+
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0.0))
+      .localCheckpoint(true)
+
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist")), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

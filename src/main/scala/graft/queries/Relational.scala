@@ -724,6 +724,21 @@ object Relational {
         .limit(20)
     }),
 
+    // Bounded Bellman-Ford (operators/ShortestPaths.boundedDistances):
+    // cheapest path within 3 legs over the ring graph with the
+    // deterministic weight (src+dst)%7+1 — a later round may undercut a
+    // direct edge with a cheaper two-leg path, which hop-BFS cannot
+    // express. Weights are integer-valued doubles, so distances are
+    // exact and need no rounding.
+    "q_graph_cheapest_paths" -> ((s, dir) => {
+      val e = ringEdges(s, dir).withColumn("w",
+        ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      val seeds = e.select(col("src").as("node"))
+        .where(col("node") % 100 === 0).distinct()
+      graft.operators.ShortestPaths.boundedDistances(e, seeds, rounds = 3)
+        .orderBy(col("dist"), col("node")).limit(25)
+    }),
+
     // Personalized PageRank: teleport concentrated on the 1-in-100
     // supplier seed set, so rank measures proximity to the seeds —
     // the similar-nodes / recommendation query. Same loop shape as
@@ -896,6 +911,35 @@ object Relational {
         |SELECT node, round(r * nn.n, 6) AS rank_scaled
         |FROM r3, nn
         |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+
+    // the Bellman-Ford recurrence unrolled: three relax-then-min rounds
+    "q_graph_cheapest_paths" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk)) AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS k
+        |  FROM pairs),
+        |edges AS (SELECT sk AS src, nxt AS dst FROM w WHERE k > 1),
+        |we AS (SELECT src, dst,
+        |         CAST((src + dst) % 7 + 1 AS DOUBLE) AS wt FROM edges),
+        |d0 AS (SELECT DISTINCT src AS node, 0.0 AS dist FROM edges
+        |       WHERE src % 100 = 0),
+        |r1 AS (SELECT e.dst AS node, min(d.dist + e.wt) AS dist
+        |       FROM we e JOIN d0 d ON e.src = d.node GROUP BY e.dst),
+        |d1 AS (SELECT node, min(dist) AS dist FROM
+        |       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
+        |r2 AS (SELECT e.dst AS node, min(d.dist + e.wt) AS dist
+        |       FROM we e JOIN d1 d ON e.src = d.node GROUP BY e.dst),
+        |d2 AS (SELECT node, min(dist) AS dist FROM
+        |       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
+        |r3 AS (SELECT e.dst AS node, min(d.dist + e.wt) AS dist
+        |       FROM we e JOIN d2 d ON e.src = d.node GROUP BY e.dst),
+        |d3 AS (SELECT node, min(dist) AS dist FROM
+        |       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node)
+        |SELECT node, dist FROM d3 ORDER BY dist, node LIMIT 25""".stripMargin,
 
     // BFS levels unrolled as frontier CTEs with NOT IN de-duplication
     "q_graph_hop_distances" ->

@@ -37,4 +37,27 @@ class ShortestPathsSpec extends AnyFunSuite {
   test("maxHops 0 returns just the seeds") {
     assert(dists(Seq((1L, 2L)), Seq(1L), 0) == Map(1L -> 0))
   }
+
+  private def wdists(edges: Seq[(Long, Long, Double)], seeds: Seq[Long],
+      rounds: Int) =
+    ShortestPaths.boundedDistances(edges.toDF("src", "dst", "w"),
+      seeds.toDF("node"), rounds).as[(Long, Double)].collect().toMap
+
+  test("weighted: a cheaper two-leg path beats the direct edge") {
+    // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5
+    val edges = Seq((1L, 3L, 10.0), (1L, 2L, 2.0), (2L, 3L, 3.0))
+    assert(wdists(edges, Seq(1L), 1) == Map(1L -> 0.0, 2L -> 2.0, 3L -> 10.0))
+    assert(wdists(edges, Seq(1L), 2) == Map(1L -> 0.0, 2L -> 2.0, 3L -> 5.0))
+  }
+
+  test("weighted: multi-seed minimum and a relaxation chain") {
+    // chain 1->2->3->4 weight 1 each; seed 4 reaches nothing (directed)
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+    val got = wdists(edges, Seq(1L, 3L), 3)
+    assert(got == Map(1L -> 0.0, 3L -> 0.0, 2L -> 1.0, 4L -> 1.0))
+  }
+
+  test("weighted: zero rounds returns the seeds at distance zero") {
+    assert(wdists(Seq((1L, 2L, 5.0)), Seq(2L), 0) == Map(2L -> 0.0))
+  }
 }
