@@ -104,4 +104,45 @@ object Merge {
         col(timeCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current")): _*)
   }
+
+  /** Point-in-time join — the feature-store correctness pattern: each
+    * fact picks the [[scd2History]] dimension version valid at the
+    * fact's own timestamp (half-open [valid_from, valid_to)), adding
+    * `pit_<value>` (NULL for facts before any version).
+    *
+    * NOT a non-equi interval join (which Catalyst would plan as a
+    * nested-loop): because a well-formed SCD2 history TILES time —
+    * valid_to is exactly the next valid_from — "version valid at t" is
+    * "latest valid_from at or before t", so the join becomes one union
+    * + one keyed window: state and fact rows interleave in (time, kind)
+    * order (states first at equal instants, so a fact on a boundary
+    * sees the NEW version, matching the half-open interval) and each
+    * fact takes the last non-null carried value. One shuffle on the
+    * key, any history size.
+    *
+    * Preconditions, both guaranteed by [[scd2History]] output: history
+    * tiles per key with no gaps, and `valueCol` is non-null. Multiple
+    * versions at one instant resolve to the `valueCol`-largest (the
+    * zero-width earlier intervals match nothing, as in the relational
+    * BETWEEN form). */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame, keyCol: String,
+      factTimeCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__kind"), col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val vType = history.schema(valueCol).dataType
+    val factRows = facts
+      .withColumn("__t", col(factTimeCol))
+      .withColumn("__kind", lit(1))
+      .withColumn("__v", lit(null).cast(vType))
+    val stateRows = history.select(col(keyCol),
+      col("valid_from").as("__t"), lit(0).as("__kind"),
+      col(valueCol).as("__v"))
+    factRows.unionByName(stateRows, allowMissingColumns = true)
+      .withColumn(s"pit_$valueCol",
+        last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__kind") === 1)
+      .drop("__t", "__kind", "__v")
+  }
 }

@@ -328,6 +328,29 @@ object Relational {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // Point-in-time join over SCD2 history — the feature-store
+    // correctness pattern: each purchase fact picks the user's state
+    // (last view/click/signup) valid at the purchase instant, as one
+    // union + keyed window instead of a nested-loop interval join.
+    // The oracle states the half-open BETWEEN form directly.
+    "q_scd2_pit_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stateLog = ev
+        .where(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val hist = graft.operators.Merge.scd2History(stateLog,
+        Seq("user_id"), "ts", "event_id", Seq("event_type"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.Merge.pointInTimeJoin(facts, hist, "user_id",
+          "ts", "event_type")
+        .groupBy(col("pit_event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_fact"),
+          max(col("event_id")).as("max_fact"))
+        .orderBy(col("pit_event_type").asc_nulls_first)
+    }),
+
     // Event-sequence analytics (beyond the reference): strict-order
     // funnel — one shuffle on the user key, per-user sorted fold, no
     // per-step self-joins. Oracle replays with sequential min-CTEs.
@@ -911,6 +934,30 @@ object Relational {
         |SELECT node, round(r * nn.n, 6) AS rank_scaled
         |FROM r3, nn
         |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+
+    // the half-open interval join stated directly — equivalent to the
+    // engine's union+window form because SCD2 history tiles time
+    "q_scd2_pit_join" ->
+      """WITH state AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup')),
+        |hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM state),
+        |facts AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |pit AS (
+        |  SELECT f.event_id, h.event_type
+        |  FROM facts f LEFT JOIN hist h ON f.user_id = h.user_id
+        |    AND h.valid_from <= f.ts
+        |    AND (h.valid_to IS NULL OR f.ts < h.valid_to))
+        |SELECT event_type AS pit_event_type, count(*) AS n,
+        |  min(event_id) AS min_fact, max(event_id) AS max_fact
+        |FROM pit GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     // the Bellman-Ford recurrence unrolled: three relax-then-min rounds
     "q_graph_cheapest_paths" ->

@@ -140,4 +140,22 @@ class MergeSpec extends AnyFunSuite {
       .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
     assert(out === Seq((1L, Some(100L), false), (2L, None, true)))
   }
+
+  test("pointInTimeJoin picks the version valid at each fact instant") {
+    import org.apache.spark.sql.functions.col
+    // user u: state a@10, b@20; facts at 5 (before any), 10 (boundary ->
+    // a), 15 (a), 20 (boundary -> b), 25 (b); user v has no history
+    val log = Seq(("u", 10L, 1L, "a"), ("u", 20L, 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "state")
+    val hist = Merge.scd2History(log, Seq("user_id"), "ts", "event_id",
+      Seq("state"))
+    val facts = Seq(("u", 5L, 100L), ("u", 10L, 101L), ("u", 15L, 102L),
+      ("u", 20L, 103L), ("u", 25L, 104L), ("v", 15L, 105L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Merge.pointInTimeJoin(facts, hist, "user_id", "ts", "state")
+      .select("event_id", "pit_state")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> Some("b"), 105L -> None))
+  }
 }
