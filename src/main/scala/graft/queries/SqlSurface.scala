@@ -180,6 +180,16 @@ object SqlSurface {
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // GROUP BY ALL — the modern grouping shorthand both engines infer
+    // identically: every non-aggregate select item becomes a key
+    "q_sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CASE WHEN l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS disc_band,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus, disc_band""".stripMargin,
+
     // linear-regression aggregate family (regr_slope / intercept / r2 /
     // count + corr) — single-pass stable co-moment aggregates in both
     // engines; rounded because the co-moments are float-order-sensitive
