@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Assign each file a `bin` within its key group: files ordered by
-    * `orderCol`, bin = floor(running-bytes-before / targetBytes). */
+    * `orderCol`, bin = floor(running-bytes-before / targetBytes).
+    * `orderCol` must be unique within each key group (file names/ids
+    * are) — ties would make the running total, and with it the bin
+    * assignment, depend on shuffle order. */
   def plan(files: DataFrame, keys: Seq[String], orderCol: String,
       sizeCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")

@@ -97,7 +97,9 @@ object PageRank {
     val n = stats.getLong(0).toDouble
     val hasDangling = stats.getLong(1) > 0L
     val nSeeds = stats.getLong(2).toDouble
-    require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
+    require(n > 0, "PageRank needs a non-empty edge list")
+    require(nSeeds > 0,
+      "personalized PageRank needs at least one seed present in the graph")
 
     // teleport value per node. The uniform case keeps the single
     // driver-computed constant (1-d)/n — bit-compatible with the
