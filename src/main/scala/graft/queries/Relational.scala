@@ -590,6 +590,21 @@ object Relational {
         .orderBy("hour", "event_type")
     }),
 
+    // SLIDING windows in batch: Spark's native window(ts, 2h, 1h)
+    // generator assigns every event to its two overlapping epoch-aligned
+    // windows; the oracle replays the assignment as a two-way shifted
+    // union (window starting at trunc(hour) and one hour earlier).
+    "q_events_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2)
+          .as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // Unpivot (melt): wide per-row measures to long (measure, value)
     // rows — the inverse of pivot, as the native unpivot operator.
     "q_unpivot" -> ((s, dir) => {
@@ -1500,6 +1515,19 @@ object Relational {
         |  SELECT concat_ws('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS key
         |  FROM part)
         |GROUP BY key HAVING count(*) >= 2 ORDER BY key""".stripMargin,
+
+    "q_events_sliding_window" ->
+      """WITH e2 AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+        |      - INTERVAL 1 HOUR,
+        |    event_type, value FROM events)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e2 GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -180,6 +180,13 @@ object SqlSurface {
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // LIMIT/OFFSET pagination over a total order
+    "q_sql_offset" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
+
     // GROUP BY ALL — the modern grouping shorthand both engines infer
     // identically: every non-aggregate select item becomes a key
     "q_sql_group_by_all" ->
