@@ -875,6 +875,22 @@ object Pipeline {
             .as("morton"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Hilbert curve codes (functions/Hilbert) — the locality-preserving
+    // alternative to Morton: consecutive positions are always grid
+    // neighbors, so range scans over Hilbert-clustered files touch
+    // fewer ranges. The xy2d recurrence unrolls into 6 chained integer
+    // /CASE projections, which the oracle restates level by level.
+    "q_hilbert_code" -> ((s, dir) =>
+      graft.functions.Hilbert.withHilbertCode(
+          t(s, dir, "lineitem")
+            .filter(col("l_orderkey") < 2000)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              floor(col("l_quantity")).cast("long").as("qx"),
+              col("l_linenumber").cast("long").as("ly")),
+          "qx", "ly", bits = 6, "hilbert")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hilbert"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Zone-map index: per-zone n/min/max stats over a Morton-zoned
     // lineitem — the relational form of file-skipping metadata. Zones
     // are floor(quantity/4) × linenumber cells with 2 low Morton bits
@@ -2319,6 +2335,74 @@ object Pipeline {
         |SELECT CAST(rank AS INTEGER) AS rank, token, cnt,
         |  round(cum / total, 6) AS cum_share
         |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // six unrolled levels of the xy2d recurrence: per level a quadrant
+    // digit via xor, then the conditional flip-and-swap
+    "q_hilbert_code" ->
+      """WITH l0 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_quantity) AS BIGINT) AS x,
+        |    CAST(l_linenumber AS BIGINT) AS y,
+        |    CAST(0 AS BIGINT) AS d
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |l1 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 31 - y ELSE y END
+        |         ELSE x END AS x,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 31 - x ELSE x END
+        |         ELSE y END AS y,
+        |    d + 1024 * xor(3 * rx, ry) AS d
+        |  FROM (SELECT *,
+        |    CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END AS ry FROM l0)),
+        |l2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - y ELSE y END
+        |         ELSE x END AS x,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - x ELSE x END
+        |         ELSE y END AS y,
+        |    d + 256 * xor(3 * rx, ry) AS d
+        |  FROM (SELECT *,
+        |    CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END AS ry FROM l1)),
+        |l3 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - y ELSE y END
+        |         ELSE x END AS x,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - x ELSE x END
+        |         ELSE y END AS y,
+        |    d + 64 * xor(3 * rx, ry) AS d
+        |  FROM (SELECT *,
+        |    CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END AS ry FROM l2)),
+        |l4 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - y ELSE y END
+        |         ELSE x END AS x,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - x ELSE x END
+        |         ELSE y END AS y,
+        |    d + 16 * xor(3 * rx, ry) AS d
+        |  FROM (SELECT *,
+        |    CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END AS ry FROM l3)),
+        |l5 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - y ELSE y END
+        |         ELSE x END AS x,
+        |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - x ELSE x END
+        |         ELSE y END AS y,
+        |    d + 4 * xor(3 * rx, ry) AS d
+        |  FROM (SELECT *,
+        |    CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END AS ry FROM l4)),
+        |l6 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    d + xor(3 * rx, ry) AS d
+        |  FROM (SELECT *,
+        |    CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END AS ry FROM l5))
+        |SELECT l_orderkey, l_linenumber, d AS hilbert
+        |FROM l6 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_zorder_code" ->
       """WITH src AS (
