@@ -45,7 +45,8 @@ object Merge {
       .withColumn(opCol, lit("U"))
     val winner: Column = graft.functions.ArgMax.arg_max_struct(
       struct((payload :+ opCol).map(col): _*), col(versionCol).cast("long"))
-    snapTagged.unionByName(changes.select(snapTagged.columns.map(col): _*))
+    snapTagged.unionByName(
+        changes.select(snapTagged.columns.toIndexedSeq.map(col): _*))
       .groupBy(keyCols.map(col): _*)
       .agg(winner.as("__w"))
       .filter(col(s"__w.$opCol") === "U")
