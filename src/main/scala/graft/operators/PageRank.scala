@@ -48,6 +48,68 @@ object PageRank {
       damping: Double = 0.85): DataFrame =
     core(edges, Some(seeds), iterations, damping)
 
+  /** Weighted PageRank: edges carry a positive weight column `w`, and a
+    * node's rank flows out proportionally to each edge's share of its
+    * total out-weight (w / Σ_out w) instead of 1/outdeg. Same loop
+    * shape as [[run]] — the out-weight aggregation simply replaces the
+    * out-degree count, and parallel edges act as additive weight. */
+  def runWeighted(edges: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("double").as("w"))
+      .repartition(shufflePartitions, col("src"))
+      .localCheckpoint(true)
+
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("outw"), lit(0.0)).as("outw"))
+      .repartition(shufflePartitions, col("node"))
+      .localCheckpoint(true)
+
+    val stats = nodes.agg(count(lit(1)).as("n"),
+      count(when(col("outw") === 0.0, lit(1))).as("nDangling")).head()
+    val n = stats.getLong(0).toDouble
+    val hasDangling = stats.getLong(1) > 0L
+    require(n > 0, "PageRank needs a non-empty edge list")
+
+    val fanout = e.join(nodes.select(col("node").as("src"), col("outw")),
+      "src").localCheckpoint(true)
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"),
+      col("outw"))
+
+    for (_ <- 0 until iterations) {
+      val contrib = fanout
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w") / col("outw")).as("contrib"))
+      val base = nodes.join(contrib, Seq("node"), "left")
+      ranks = (if (!hasDangling) {
+        base.select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
+          col("outw"))
+      } else {
+        val dangling = ranks.agg(coalesce(
+          sum(when(col("outw") === 0.0, col("rank"))), lit(0.0))
+          .as("danglingMass"))
+        base.crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                col("danglingMass") / lit(n))).as("rank"),
+            col("outw"))
+      }).localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   private def core(edges: DataFrame, seeds: Option[DataFrame],
       iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")

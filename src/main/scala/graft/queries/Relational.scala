@@ -777,6 +777,22 @@ object Relational {
         .orderBy(col("dist"), col("node")).limit(25)
     }),
 
+    // Weighted PageRank: rank flows out proportionally to each edge's
+    // share of its source's total out-weight, on the ring graph with
+    // the deterministic (src+dst)%7+1 weights (integer-valued, so the
+    // out-weight sums are exact in both engines).
+    "q_graph_pagerank_weighted" -> ((s, dir) => {
+      val e = ringEdges(s, dir).withColumn("w",
+        ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      val ranks = graft.operators.PageRank.runWeighted(e, iterations = 3)
+      ranks.crossJoin(broadcast(ranks.agg(
+          count(lit(1)).cast("double").as("__n"))))
+        .select(col("node"),
+          round(col("rank") * col("__n"), 6).as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("node"))
+        .limit(20)
+    }),
+
     // Personalized PageRank: teleport concentrated on the 1-in-100
     // supplier seed set, so rank measures proximity to the seeds —
     // the similar-nodes / recommendation query. Same loop shape as
@@ -1054,6 +1070,45 @@ object Relational {
         |SELECT dist, count(*) AS n, min(node) AS min_node,
         |  max(node) AS max_node
         |FROM d GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // the weighted recurrence unrolled: contribution r * w / out-weight
+    "q_graph_pagerank_weighted" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk)) AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS k
+        |  FROM pairs),
+        |edges AS (SELECT sk AS src, nxt AS dst FROM w WHERE k > 1),
+        |we AS (SELECT src, dst,
+        |         CAST((src + dst) % 7 + 1 AS DOUBLE) AS wt FROM edges),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outw AS (SELECT src, sum(wt) AS ow FROM we GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS node, sum(r.r * e.wt / o.ow) AS c
+        |       FROM we e JOIN r0 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (1 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn),
+        |c2 AS (SELECT e.dst AS node, sum(r.r * e.wt / o.ow) AS c
+        |       FROM we e JOIN r1 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (1 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn),
+        |c3 AS (SELECT e.dst AS node, sum(r.r * e.wt / o.ow) AS c
+        |       FROM we e JOIN r2 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         (1 - 0.85) / nn.n + 0.85 * coalesce(c3.c, 0) AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn)
+        |SELECT node, round(r * nn.n, 6) AS rank_scaled
+        |FROM r3, nn
+        |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
 
     // the seeded recurrence unrolled: teleport CASE replaces the 1/n
     // constant; the ring construction leaves no dangling mass

@@ -93,6 +93,41 @@ class PageRankSpec extends AnyFunSuite {
     for ((v, r) <- ppr) assert(math.abs(r - classic(v)) < 1e-15)
   }
 
+  /** Dense-array reference for the weighted variant. */
+  private def referenceW(edges: Seq[(Int, Int, Double)], nNodes: Int,
+      iters: Int, d: Double = 0.85): Array[Double] = {
+    val outw = Array.fill(nNodes)(0.0)
+    edges.foreach { case (s, _, w) => outw(s) += w }
+    var r = Array.fill(nNodes)(1.0 / nNodes)
+    for (_ <- 0 until iters) {
+      val contrib = Array.fill(nNodes)(0.0)
+      edges.foreach { case (s, t, w) => contrib(t) += r(s) * w / outw(s) }
+      val dangling = (0 until nNodes).filter(outw(_) == 0.0).map(r).sum
+      r = Array.tabulate(nNodes)(v =>
+        (1 - d) / nNodes + d * (contrib(v) + dangling / nNodes))
+    }
+    r
+  }
+
+  test("weighted ranks match the reference; uniform weights equal classic") {
+    val wEdges = Seq((0, 1, 3.0), (1, 2, 1.0), (2, 0, 2.0), (3, 1, 5.0),
+      (2, 4, 1.0))
+    val got = PageRank.runWeighted(wEdges.toDF("src", "dst", "w"), 5)
+      .as[(Int, Double)].collect().toMap
+    val want = referenceW(wEdges, 5, 5)
+    for ((v, r) <- got) assert(math.abs(r - want(v)) < 1e-12,
+      s"node $v: got $r want ${want(v)}")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // unit weights reduce to the classic algorithm
+    val edges = Seq((0, 1), (1, 2), (2, 0))
+    val classic = PageRank.run(edges.toDF("src", "dst"), 4)
+      .as[(Int, Double)].collect().toMap
+    val unit = PageRank.runWeighted(
+      edges.map(e => (e._1, e._2, 1.0)).toDF("src", "dst", "w"), 4)
+      .as[(Int, Double)].collect().toMap
+    for ((v, r) <- unit) assert(math.abs(r - classic(v)) < 1e-15)
+  }
+
   test("star graph ranks hub and cycle leaf above plain leaves") {
     val leaves = (1 to 8)
     // leaves -> hub 0, hub cycles mass back to leaf 1: the hub and leaf
