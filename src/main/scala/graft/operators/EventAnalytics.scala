@@ -63,6 +63,35 @@ object EventAnalytics {
         abs(col(valueCol) - col("mean")) > lit(k) * col("std"))
   }
 
+  /** Time-series similarity search, exact form: resample each key's
+    * series onto a shared time grid (per-bucket mean), then pair
+    * distances as a bucket-aligned self-join — squared Euclidean over
+    * the buckets both keys populated, with a minimum-overlap guard so
+    * sparse series cannot win on a handful of shared points.
+    *
+    * The self-join is keyed on the GRID BUCKET, so each bucket group
+    * expands |keys in bucket|^2 pairs: exact and fine up to a few
+    * thousand series. Beyond that, this is deliberately the same
+    * vectorize-then-search shape as the ANN family — resample into
+    * fixed-dimension vectors and hand them to the LSH/IVF path
+    * (pipeline/VectorOps), which replaces the quadratic expansion with
+    * bucketed candidate generation. */
+  def seriesNearestPairs(events: DataFrame, keyCol: String, bucket: Column,
+      valueCol: String, minSharedBuckets: Int): DataFrame = {
+    val series = events
+      .groupBy(col(keyCol).as("k"), bucket.as("bk"))
+      .agg(avg(col(valueCol)).as("v"))
+    series.as("x").join(series.as("y"),
+        col("x.bk") === col("y.bk") && col("x.k") < col("y.k"))
+      .groupBy(col("x.k").as("a"), col("y.k").as("b"))
+      // (x-y)*(x-y), not pow(_, 2): Math.pow is only 1-ulp-accurate,
+      // the product is exactly rounded — and bit-equal to any engine's
+      // multiplication
+      .agg(sum((col("x.v") - col("y.v")) * (col("x.v") - col("y.v")))
+        .as("dist2"), count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minSharedBuckets)
+  }
+
   /** Hot-key guardrail for the collect-sort-fold operators ([[funnel]],
     * [[ewma]]): both materialize ONE key's full event sequence as an
     * in-memory array — the right shape for a strict sequential

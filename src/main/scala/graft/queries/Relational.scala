@@ -370,6 +370,21 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Time-series similarity search (exact form): 1-in-5 users'
+    // daily-mean series compared by bucket-aligned squared Euclidean
+    // distance with a 20-shared-day floor; top-20 most-similar pairs.
+    // At scale the same series vectors feed the ANN family instead of
+    // the quadratic self-join (see seriesNearestPairs scaladoc).
+    "q_series_similarity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id") % 5 === 0)
+      graft.operators.EventAnalytics.seriesNearestPairs(ev, "user_id",
+          date_trunc("day", col("ts")), "value", minSharedBuckets = 20)
+        .select(col("a"), col("b"), round(col("dist2"), 6).as("dist2"),
+          col("n_shared"))
+        .orderBy(col("dist2"), col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Time-series downsampling to daily OHLC bars per event type — one
     // hash aggregation, open/close via min_by/max_by on the (ts,
     // event_id) struct order (no window, no sort); the oracle replays
@@ -1401,6 +1416,21 @@ object Relational {
         |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)
         |ORDER BY step""".stripMargin,
+
+    "q_series_similarity" ->
+      """WITH s AS (
+        |  SELECT user_id AS k,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bk,
+        |    avg(value) AS v
+        |  FROM events WHERE user_id % 5 = 0 GROUP BY k, bk),
+        |p AS (
+        |  SELECT x.k AS a, y.k AS b,
+        |    sum((x.v - y.v) * (x.v - y.v)) AS dist2,
+        |    count(*) AS n_shared
+        |  FROM s x JOIN s y ON x.bk = y.bk AND x.k < y.k
+        |  GROUP BY x.k, y.k)
+        |SELECT a, b, round(dist2, 6) AS dist2, n_shared FROM p
+        |WHERE n_shared >= 20 ORDER BY dist2, a, b LIMIT 20""".stripMargin,
 
     "q_events_anomalies" ->
       """WITH p AS (

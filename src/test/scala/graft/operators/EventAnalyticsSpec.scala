@@ -182,6 +182,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1500))
   }
 
+  test("seriesNearestPairs: aligned distance, overlap floor, canonical pairs") {
+    import org.apache.spark.sql.functions.col
+    // u1 and u2 identical on buckets 1..3 (dist 0); u3 offset by 2 on
+    // each shared bucket (dist 3 * 4 = 12); u4 shares only one bucket
+    val events = Seq(
+      ("u1", 1L, 10.0), ("u1", 2L, 20.0), ("u1", 3L, 30.0),
+      ("u2", 1L, 10.0), ("u2", 2L, 20.0), ("u2", 3L, 30.0),
+      ("u3", 1L, 12.0), ("u3", 2L, 22.0), ("u3", 3L, 32.0),
+      ("u4", 1L, 99.0)
+    ).toDF("k", "b", "v")
+    val got = EventAnalytics.seriesNearestPairs(events, "k", col("b"),
+        "v", minSharedBuckets = 2)
+      .select("a", "b", "dist2", "n_shared")
+      .as[(String, String, Double, Long)].collect().toSet
+    assert(got == Set(("u1", "u2", 0.0, 3L), ("u1", "u3", 12.0, 3L),
+      ("u2", "u3", 12.0, 3L)))
+    // bucket means: duplicate readings average before distancing
+    val dup = events.unionAll(Seq(("u1", 1L, 30.0)).toDF("k", "b", "v"))
+    val d12 = EventAnalytics.seriesNearestPairs(dup, "k", col("b"),
+        "v", 2).where(col("a") === "u1" && col("b") === "u2")
+      .select("dist2").as[Double].head()
+    assert(d12 == 100.0) // u1 bucket 1 mean is now 20 -> (20-10)^2
+  }
+
   test("anomalies flags exactly the values beyond k rounded sigmas") {
     import org.apache.spark.sql.functions.col
     // k1: ninety-nine 10.0s and one 1000.0 — mean 19.9, stddev exactly
