@@ -23,6 +23,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LevenshteinSim.builder(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "jaro_winkler(a, b) takes 2 arguments")
+        graft.functions.JaroWinkler(exprs(0), exprs(1), winkler = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_sim"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "jaro_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "jaro_sim(a, b) takes 2 arguments")
+        graft.functions.JaroWinkler(exprs(0), exprs(1), winkler = false)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName,
         "minhash_sig"),

@@ -86,6 +86,32 @@ object Levenshtein {
   }
 }
 
+/** Threshold-truncated, rescaled Jaro–Winkler similarity — the classic
+  * name-matching comparator for record linkage, added beyond the
+  * reference's constant/Levenshtein pair. Kernel semantics (match
+  * window, strict-0.7 boost, 4-char prefix cap) live in
+  * graft.functions.JaroWinkler and are pinned to the DuckDB/rapidfuzz
+  * convention; this wrapper maps jw∈[0,1] onto [0, maxSimilarity] with
+  * the same (raw - θ)+ rescale as LevenshteinSimilarity.
+  */
+final case class JaroWinklerSimilarity(
+    threshold: Double, maxSimilarity: Double) extends SimilarityFn {
+  require(maxSimilarity > 0.0, "maxSimilarity must be positive")
+  require(threshold >= 0.0 && threshold < maxSimilarity,
+    "threshold must be in [0, maxSimilarity)")
+
+  val isConstant = false
+  private val rescale = maxSimilarity / (maxSimilarity - threshold)
+
+  def sim(a: String, b: String): Double = {
+    val jw = graft.functions.JaroWinkler.sim(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b),
+      winkler = true)
+    math.max(0.0, rescale * (maxSimilarity * jw - threshold))
+  }
+}
+
 object SimilarityFn {
 
   /** Named registry (config surface parity with the reference). */
@@ -94,6 +120,8 @@ object SimilarityFn {
     case "constant" | "ConstantSimilarityFn" => ConstantSimilarity
     case "levenshtein" | "LevenshteinSimilarityFn" =>
       LevenshteinSimilarity(threshold, maxSimilarity)
+    case "jaro_winkler" | "JaroWinklerSimilarityFn" =>
+      JaroWinklerSimilarity(threshold, maxSimilarity)
     case other => throw new IllegalArgumentException(s"unknown similarity: $other")
   }
 }

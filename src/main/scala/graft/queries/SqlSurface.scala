@@ -20,6 +20,7 @@ object SqlSurface {
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerTables(spark, dir)
     graft.functions.LevenshteinSim.register(spark)
+    graft.functions.JaroWinkler.register(spark)
     spark.sql(query)
   }
 
@@ -272,9 +273,22 @@ object SqlSurface {
       "q_sql_lev_sim" -> ((s, dir) => sql(s, dir,
         """SELECT c_custkey,
           |  round(lev_sim(c_name, 'Customer#000000100', 5.0, 10.0), 6) AS sim
-          |FROM customer ORDER BY c_custkey""".stripMargin)))
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+      // Jaro / Jaro–Winkler codegen expressions vs DuckDB's native
+      // implementations — bit-level kernel parity (match window, strict
+      // 0.7 boost, 4-char prefix cap) on real word-combo part names.
+      "q_jaro_winkler" -> ((s, dir) => sql(s, dir,
+        """SELECT p_partkey,
+          |  round(jaro_winkler(p_name, 'small rings') + 1e-9, 6) AS jw,
+          |  round(jaro_sim(p_name, 'small rings') + 1e-9, 6) AS jaro
+          |FROM part ORDER BY p_partkey""".stripMargin)))
 
   val oracles: Map[String, String] = sharedSql ++ Map(
+    "q_jaro_winkler" ->
+      """SELECT p_partkey,
+        |  round(jaro_winkler_similarity(p_name, 'small rings') + 1e-9, 6) AS jw,
+        |  round(jaro_similarity(p_name, 'small rings') + 1e-9, 6) AS jaro
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_sql_lev_sim" ->
       """SELECT c_custkey, round(greatest(0.0,
         |    (10.0 * (1.0 - 2.0 * d / (la + lb + d)) - 5.0) * 10.0 / 5.0), 6) AS sim
