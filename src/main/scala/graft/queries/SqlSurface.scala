@@ -262,7 +262,140 @@ object SqlSurface {
         |    AS p90_qty,
         |  round(max(CASE WHEN m = 'median_price' THEN val END) + 1e-9, 2)
         |    AS median_price
-        |FROM vals GROUP BY rf ORDER BY rf""".stripMargin)
+        |FROM vals GROUP BY rf ORDER BY rf""".stripMargin,
+
+    // higher statistical moments + mode, spelled as explicit power sums
+    // so both engines run the identical IEEE expression tree (the
+    // built-in skewness/kurtosis differ in definition — sample vs
+    // population — and in summation order). Power sums of integer
+    // quantities stay exact in doubles (< 2^53), so the derived
+    // moments are bit-identical; mode ties break to the smallest value.
+    "q_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS s1,
+        |    sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS s2,
+        |    sum(CAST(l_quantity AS DOUBLE) * l_quantity * l_quantity) AS s3,
+        |    sum(CAST(l_quantity AS DOUBLE) * l_quantity * l_quantity
+        |        * l_quantity) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT rf, n, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3 * (s1 / n) * (s2 / n)
+        |      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4 * (s1 / n) * (s3 / n)
+        |      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s),
+        |counts AS (
+        |  SELECT l_returnflag AS rf, l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |mode_pick AS (
+        |  SELECT rf, v AS mode_qty FROM (
+        |    SELECT rf, v,
+        |      row_number() OVER (PARTITION BY rf ORDER BY c DESC, v) AS r
+        |    FROM counts) t WHERE r = 1)
+        |SELECT m.rf AS l_returnflag, CAST(m.n AS BIGINT) AS n,
+        |  round(m.mu + 1e-9, 6) AS mean_qty,
+        |  round(m.m3 / power(m.m2, 1.5) + 1e-9, 6) AS skewness_qty,
+        |  round(m.m4 / (m.m2 * m.m2) - 3 + 1e-9, 6) AS kurtosis_qty,
+        |  mode_pick.mode_qty AS mode_qty
+        |FROM m JOIN mode_pick ON m.rf = mode_pick.rf
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // equi-depth histogram (optimizer-statistics construction): ntile
+    // over a deterministic total order gives identical bucket splits in
+    // both engines. The global-sort window is the exact-build path; the
+    // at-scale alternative (approx_percentile boundaries, mergeable
+    // sketch state) is already gated by q_approx_quantiles.
+    "q_histogram_equidepth" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // running distinct-count (cumulative users) via the first-seen
+    // decomposition: a COUNT DISTINCT window is unsupported/quadratic,
+    // but min-date per user + a cumulative sum is two hash shuffles and
+    // scales linearly — the standard DAU/MAU-accounting shape.
+    "q_cumulative_distinct" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS d
+        |  FROM events GROUP BY user_id)
+        |SELECT d, count(*) AS new_users,
+        |  CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT)
+        |    AS cum_distinct_users
+        |FROM first_seen GROUP BY d ORDER BY d""".stripMargin,
+
+    // market-basket co-occurrence mining: within-order part pairs with
+    // min-support. The self-join key (order) has a bounded fan-out
+    // (TPC-H <= 7 lines/order), so candidate pairs are O(orders·k²) —
+    // the join shuffles on the key and never goes quadratic in parts.
+    "q_frequent_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk
+        |HAVING count(*) >= 2
+        |ORDER BY support DESC, part_a, part_b""".stripMargin,
+
+    // autocorrelation function (lags 1-3) of the hourly event-count
+    // series: resample-first (cardinality drops to O(hours) before the
+    // single-partition lag window), integer counts keep the centered
+    // co-moment sums deterministic to the last ulp.
+    "q_acf" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY date_trunc('hour', ts)),
+        |stats AS (SELECT avg(v) AS mu FROM hourly),
+        |lagged AS (
+        |  SELECT v, lag(v, 1) OVER (ORDER BY h) AS v1,
+        |    lag(v, 2) OVER (ORDER BY h) AS v2,
+        |    lag(v, 3) OVER (ORDER BY h) AS v3
+        |  FROM hourly)
+        |SELECT count(*) AS n_hours,
+        |  round(sum((v - mu) * (v1 - mu)) / sum((v - mu) * (v - mu))
+        |    + 1e-9, 6) AS acf1,
+        |  round(sum((v - mu) * (v2 - mu)) / sum((v - mu) * (v - mu))
+        |    + 1e-9, 6) AS acf2,
+        |  round(sum((v - mu) * (v3 - mu)) / sum((v - mu) * (v - mu))
+        |    + 1e-9, 6) AS acf3
+        |FROM lagged CROSS JOIN stats""".stripMargin,
+
+    // CUSUM changepoint detection per event type: the day with the
+    // largest |cumulative - expected| deviation of the daily count
+    // series. Cumulative sums of integer counts are exact; the single
+    // k·mu product is the only rounding site. One shuffle per window
+    // partition — no self-joins.
+    "q_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+        |stats AS (
+        |  SELECT event_type, avg(n) AS mu FROM daily GROUP BY event_type),
+        |cum AS (
+        |  SELECT daily.event_type AS et, d,
+        |    sum(n) OVER (PARTITION BY daily.event_type ORDER BY d) AS cn,
+        |    CAST(row_number() OVER (PARTITION BY daily.event_type
+        |      ORDER BY d) AS DOUBLE) AS k,
+        |    mu
+        |  FROM daily JOIN stats ON daily.event_type = stats.event_type),
+        |dev AS (
+        |  SELECT et, d, abs(cn - k * mu) AS dev,
+        |    row_number() OVER (PARTITION BY et
+        |      ORDER BY abs(cn - k * mu) DESC, d) AS r
+        |  FROM cum)
+        |SELECT et AS event_type, d AS changepoint_day,
+        |  round(dev + 1e-9, 4) AS max_dev
+        |FROM dev WHERE r = 1 ORDER BY event_type""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     sharedSql.map { case (name, text) =>
