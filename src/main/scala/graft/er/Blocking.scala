@@ -1,0 +1,97 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record-linkage blocking: candidate-pair generation and blocking-scheme
+  * evaluation (reduction ratio / pairs completeness) — the stage the
+  * reference runs implicitly through its KD-tree partitioner
+  * (partitioning/KDTreePartitioner.scala) before any within-partition
+  * comparison. Re-expressed Spark-first: every step is a hash shuffle or
+  * a range repartition; nothing materializes the quadratic pair space.
+  */
+object Blocking {
+
+  /** Global dense rank by a total order WITHOUT a single-partition
+    * window: range-repartition on the sort columns, rank locally per
+    * partition (parallel windows), then shift by broadcast cumulative
+    * partition offsets. The classic scalable global-ordering pattern —
+    * at 1000 executors the only serial state is one row per partition.
+    *
+    * `orderCols` must be a total order (include a unique tie-break).
+    * Output: input columns + `rank` (1-based, dense by construction).
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__local",
+      row_number().over(Window.partitionBy(col("__pid"))
+        .orderBy(orderCols: _*)))
+    // one row per partition — broadcastable at any scale
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__offset") + col("__local"))
+      .drop("__pid", "__local", "__offset")
+  }
+
+  /** Sorted-neighborhood blocking: order records by `key`, emit every
+    * pair within a window of `w` ranks. Candidate generation is an
+    * EQUI-join on rank (each record explodes to its w successor ranks),
+    * so the shuffle is O(n·w) and never nested-loop. Returns
+    * (id_a, key_a, id_b, key_b) with id_a's rank below id_b's.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      w: Int): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    val ranked = globalRank(df.select(col(idCol).as("__id"),
+      col(keyCol).as("__key")), Seq(col("__key"), col("__id")))
+    val probes = ranked.select(col("__id").as("id_a"),
+        col("__key").as("key_a"),
+        explode(sequence(col("rank") + 1, col("rank") + w)).as("rank"))
+    probes.join(ranked.select(col("__id").as("id_b"),
+        col("__key").as("key_b"), col("rank")), "rank")
+      .select("id_a", "key_a", "id_b", "key_b")
+  }
+
+  /** Evaluate a blocking scheme against a ground-truth match set:
+    * reduction ratio (how much of the quadratic pair space the blocks
+    * prune) and pairs completeness (what fraction of true matches
+    * survive blocking). Aggregation-only — candidate pairs are COUNTED
+    * per block (c·(c-1)/2), never enumerated.
+    *
+    * `truth` must have columns (a, b) keyed like `idCol`.
+    */
+  def quality(corpus: DataFrame, idCol: String, blockKey: Column,
+      truth: DataFrame, scheme: String): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("__id"), blockKey.as("__key"))
+    val totals = keyed.agg(count(lit(1)).as("n")).select(col("n"),
+      (col("n") * (col("n") - 1) / 2).cast("long").as("total_pairs"))
+    val cand = keyed.groupBy("__key").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0L))
+        .cast("long").as("cand_pairs"))
+    val truthKeyed = truth
+      .join(keyed.select(col("__id").as("a"), col("__key").as("ka")), "a")
+      .join(keyed.select(col("__id").as("b"), col("__key").as("kb")), "b")
+    val truthStats = truthKeyed.agg(count(lit(1)).as("true_pairs"),
+      coalesce(sum(when(col("ka") === col("kb"), 1L).otherwise(0L)), lit(0L))
+        .as("found_true"))
+    totals.crossJoin(cand).crossJoin(truthStats)
+      .select(lit(scheme).as("scheme"), col("n").as("n_docs"),
+        col("total_pairs"), col("cand_pairs"),
+        round(lit(1.0) - col("cand_pairs") / col("total_pairs").cast("double"),
+          6).as("reduction_ratio"),
+        col("true_pairs"), col("found_true"),
+        round(col("found_true") / col("true_pairs").cast("double"), 6)
+          .as("completeness"))
+  }
+}

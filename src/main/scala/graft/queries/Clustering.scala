@@ -86,6 +86,21 @@ object Clustering {
           count(when(col("n") >= 5, 1)).as("n_big_groups"))
     }),
 
+    // Sorted-neighborhood blocking + Jaro-Winkler linkage: rank parts by
+    // name (scalable global rank — range repartition + per-partition
+    // windows + broadcast offsets, NO single-partition sort), candidate
+    // pairs within w=5 ranks via an O(n·w) equi-join on rank, then the
+    // codegen jaro_winkler comparator keeps near-identical names.
+    "q_blocking_sorted_neighborhood" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      graft.er.Blocking.sortedNeighborhoodPairs(p, "p_partkey", "p_name", w = 5)
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.JaroWinkler.jaro_winkler(
+            col("key_a"), col("key_b")) + lit(1e-9), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // End-to-end Bayesian ER (rows-only: MCMC is not SQL-expressible).
     // Bounded input (300 base records + 60 planted distorted duplicates)
     // so the cost is scale-factor-independent; output is the pairwise
@@ -201,6 +216,17 @@ object Clustering {
         |           HAVING count(*) >= 2)
         |SELECT count(*) AS n_groups,
         |  count(CASE WHEN n >= 5 THEN 1 END) AS n_big_groups
-        |FROM groups""".stripMargin
+        |FROM groups""".stripMargin,
+
+    "q_blocking_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT p_partkey AS id, p_name AS nm,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS r
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.nm, b.nm) + 1e-9, 6) AS jw
+        |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 5
+        |WHERE round(jaro_winkler_similarity(a.nm, b.nm) + 1e-9, 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

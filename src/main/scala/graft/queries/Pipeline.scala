@@ -178,6 +178,81 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // Blocking-scheme evaluation on the planted near-dup corpus:
+    // reduction ratio + pairs completeness for two schemes. prefix20
+    // blocks on the first 20 chars (the tail-truncating mutation keeps
+    // prefixes equal -> completeness 1.0 at high reduction);
+    // length_bucket blocks on length/64 (the -30-char mutation crosses
+    // bucket boundaries -> partial completeness). Aggregation-only:
+    // candidate pairs are counted per block, never enumerated.
+    "q_blocking_quality" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      val truth = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      graft.er.Blocking.quality(docs, "doc_id",
+          floor(length(col("text")) / 64), truth, "length_bucket")
+        .unionByName(graft.er.Blocking.quality(docs, "doc_id",
+          substring(col("text"), 1, 20), truth, "prefix20"))
+        .orderBy("scheme")
+    }),
+
+    // Precision/recall/F1 threshold sweep for Jaro-Winkler linkage over
+    // sorted-neighborhood candidates: BLOCK on the first 20 chars (where
+    // the tail-truncating mutation keeps pairs identical, so true pairs
+    // become rank-adjacent) and COMPARE on the last 120 chars (where
+    // they actually differ — planted-pair sims spread 0.74-0.95, probed
+    // via DuckDB). The full linkage-evaluation loop — candidate-generate
+    // on one attribute, score another, sweep the operating point — with
+    // recall measured against the COMPLETE planted truth set, so missed
+    // blocks depress recall honestly.
+    "q_pr_curve" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      val keys = docs.select(col("doc_id"),
+        substring(col("text"), 1, 20).as("blk"))
+      val cmp = docs.select(col("doc_id"),
+        expr("right(text, 120)").as("sfx"))
+      val truth = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      val pairs = graft.er.Blocking
+        .sortedNeighborhoodPairs(keys, "doc_id", "blk", w = 5)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .join(cmp.select(col("doc_id").as("a"), col("sfx").as("sfx_a")), "a")
+        .join(cmp.select(col("doc_id").as("b"), col("sfx").as("sfx_b")), "b")
+        .select(col("a"), col("b"),
+          round(graft.functions.JaroWinkler.jaro_winkler(
+            col("sfx_a"), col("sfx_b")) + lit(1e-9), 6).as("sim"))
+      val scored = pairs
+        .join(truth.withColumn("is_true", lit(1L)), Seq("a", "b"), "left")
+        .withColumn("is_true", coalesce(col("is_true"), lit(0L)))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      scored
+        .withColumn("theta",
+          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)))
+        .groupBy("theta")
+        .agg(
+          sum(when(col("sim") >= col("theta"), 1L).otherwise(0L))
+            .as("n_pred"),
+          sum(when(col("sim") >= col("theta"), col("is_true"))
+            .otherwise(0L)).as("tp"))
+        .crossJoin(nTruth)
+        .select(col("theta"), col("n_pred"), col("tp"),
+          round(when(col("n_pred") === 0, lit(0.0))
+            .otherwise(col("tp") / col("n_pred").cast("double"))
+            + lit(1e-9), 6).as("precision"),
+          round(col("tp") / col("n_truth").cast("double") + lit(1e-9), 6)
+            .as("recall"),
+          round(when(col("tp") === 0, lit(0.0)).otherwise(
+            lit(2.0) * (col("tp") / col("n_pred").cast("double"))
+              * (col("tp") / col("n_truth").cast("double"))
+              / ((col("tp") / col("n_pred").cast("double"))
+                + (col("tp") / col("n_truth").cast("double"))))
+            + lit(1e-9), 6).as("f1"))
+        .orderBy("theta")
+    }),
+
     // SimHash near-dup detection on the same planted corpus. Promoted
     // from rows-only to a full oracle by running the gate on the
     // engine-portable md5Long token hash: DuckDB re-derives the 60-bit
@@ -1706,6 +1781,89 @@ object Pipeline {
         |  array_to_string(list_sort(list_distinct(mins)), ',') AS winnowed,
         |  CAST(len(list_distinct(mins)) AS INTEGER) AS n_winnowed
         |FROM wins ORDER BY doc_id""".stripMargin,
+
+    "q_blocking_quality" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |truth AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |keyed AS (
+        |  SELECT 'length_bucket' AS scheme, doc_id,
+        |    CAST(floor(length(text) / 64) AS VARCHAR) AS k FROM corpus
+        |  UNION ALL
+        |  SELECT 'prefix20', doc_id, substr(text, 1, 20) FROM corpus),
+        |tot AS (
+        |  SELECT scheme, count(*) AS n_docs,
+        |    CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS total_pairs
+        |  FROM keyed GROUP BY scheme),
+        |cand AS (
+        |  SELECT scheme, CAST(sum(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+        |  FROM (SELECT scheme, k, count(*) AS c FROM keyed
+        |        GROUP BY scheme, k) g
+        |  GROUP BY scheme),
+        |hits AS (
+        |  SELECT ka.scheme, count(*) AS true_pairs,
+        |    sum(CASE WHEN ka.k = kb.k THEN 1 ELSE 0 END) AS found_true
+        |  FROM truth
+        |  JOIN keyed ka ON truth.a = ka.doc_id
+        |  JOIN keyed kb ON truth.b = kb.doc_id AND ka.scheme = kb.scheme
+        |  GROUP BY ka.scheme)
+        |SELECT tot.scheme, n_docs, total_pairs, cand_pairs,
+        |  round(1.0 - cand_pairs / CAST(total_pairs AS DOUBLE), 6)
+        |    AS reduction_ratio,
+        |  true_pairs, found_true,
+        |  round(found_true / CAST(true_pairs AS DOUBLE), 6) AS completeness
+        |FROM tot JOIN cand ON tot.scheme = cand.scheme
+        |         JOIN hits ON tot.scheme = hits.scheme
+        |ORDER BY tot.scheme""".stripMargin,
+
+    "q_pr_curve" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |truth AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ranked AS (
+        |  SELECT doc_id, right(text, 120) AS sfx,
+        |    row_number() OVER (ORDER BY substr(text, 1, 20), doc_id) AS r
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT least(x.doc_id, y.doc_id) AS a,
+        |    greatest(x.doc_id, y.doc_id) AS b,
+        |    round(jaro_winkler_similarity(x.sfx, y.sfx) + 1e-9, 6) AS sim
+        |  FROM ranked x JOIN ranked y ON y.r > x.r AND y.r <= x.r + 5),
+        |scored AS (
+        |  SELECT pairs.sim,
+        |    CASE WHEN truth.a IS NULL THEN 0 ELSE 1 END AS is_true
+        |  FROM pairs LEFT JOIN truth
+        |    ON pairs.a = truth.a AND pairs.b = truth.b),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |sweep AS (
+        |  SELECT theta,
+        |    sum(CASE WHEN sim >= theta THEN 1 ELSE 0 END) AS n_pred,
+        |    sum(CASE WHEN sim >= theta THEN is_true ELSE 0 END) AS tp
+        |  FROM scored CROSS JOIN
+        |    (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS theta) th
+        |  GROUP BY theta)
+        |SELECT theta, n_pred, tp,
+        |  round(CASE WHEN n_pred = 0 THEN 0.0
+        |    ELSE tp / CAST(n_pred AS DOUBLE) END + 1e-9, 6) AS precision,
+        |  round(tp / CAST(n_truth AS DOUBLE) + 1e-9, 6) AS recall,
+        |  round(CASE WHEN tp = 0 THEN 0.0
+        |    ELSE 2.0 * (tp / CAST(n_pred AS DOUBLE))
+        |      * (tp / CAST(n_truth AS DOUBLE))
+        |      / ((tp / CAST(n_pred AS DOUBLE))
+        |        + (tp / CAST(n_truth AS DOUBLE))) END + 1e-9, 6) AS f1
+        |FROM sweep CROSS JOIN nt ORDER BY theta""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       """WITH docs AS (
