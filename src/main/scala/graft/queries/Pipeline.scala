@@ -178,6 +178,68 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // Corpus distribution drift: KL(A||B), KL(B||A) and Jensen-Shannon
+    // divergence between the token distributions of two corpus slices
+    // (even vs odd doc_id), add-one smoothed over the union vocabulary
+    // so both directions are finite. The shape that monitors training-
+    // data mixture shift: one token-level hash aggregation, then a
+    // single-row reduction — no joins, vocabulary-bounded state.
+    "q_corpus_drift" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy("tok").agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+        count(lit(1)).as("v"))
+      counts.crossJoin(tot)
+        .select(
+          ((col("ca") + 1) / (col("ta") + col("v"))).as("p"),
+          ((col("cb") + 1) / (col("tb") + col("v"))).as("q"),
+          col("ta"), col("tb"), col("v"))
+        .agg(
+          max("ta").cast("long").as("tokens_a"),
+          max("tb").cast("long").as("tokens_b"),
+          max("v").cast("long").as("vocab"),
+          round(sum(col("p") * log(col("p") / col("q"))) + lit(1e-9), 5)
+            .as("kl_ab"),
+          round(sum(col("q") * log(col("q") / col("p"))) + lit(1e-9), 5)
+            .as("kl_ba"),
+          round((sum(col("p") * log(col("p") * 2.0
+              / (col("p") + col("q")))) * 0.5
+            + sum(col("q") * log(col("q") * 2.0
+              / (col("p") + col("q")))) * 0.5) + lit(1e-9), 5).as("js"))
+    }),
+
+    // Per-token drift report: the 20 tokens whose smoothed probability
+    // moved most between the slices — the actionable companion to the
+    // q_corpus_drift scalar (which tokens drove the shift). Exact
+    // integer-ratio arithmetic, deterministic ordering.
+    "q_token_drift" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy("tok").agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+        count(lit(1)).as("v"))
+      counts.crossJoin(tot)
+        .select(col("tok"), col("ca"), col("cb"),
+          round((col("ca") + 1) / (col("ta") + col("v")) + lit(1e-12), 8)
+            .as("p_a"),
+          round((col("cb") + 1) / (col("tb") + col("v")) + lit(1e-12), 8)
+            .as("p_b"),
+          round(abs((col("ca") + 1) / (col("ta") + col("v"))
+            - (col("cb") + 1) / (col("tb") + col("v"))) + lit(1e-12), 8)
+            .as("drift"))
+        .orderBy(col("drift").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Blocking-scheme evaluation on the planted near-dup corpus:
     // reduction ratio + pairs completeness for two schemes. prefix20
     // blocks on the first 20 chars (the tail-truncating mutation keeps
@@ -1781,6 +1843,51 @@ object Pipeline {
         |  array_to_string(list_sort(list_distinct(mins)), ',') AS winnowed,
         |  CAST(len(list_distinct(mins)) AS INTEGER) AS n_winnowed
         |FROM wins ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM toks WHERE length(tok) > 0 GROUP BY tok),
+        |tot AS (
+        |  SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM counts),
+        |pq AS (
+        |  SELECT (ca + 1) / CAST(ta + v AS DOUBLE) AS p,
+        |    (cb + 1) / CAST(tb + v AS DOUBLE) AS q, ta, tb, v
+        |  FROM counts CROSS JOIN tot)
+        |SELECT CAST(max(ta) AS BIGINT) AS tokens_a,
+        |  CAST(max(tb) AS BIGINT) AS tokens_b,
+        |  CAST(max(v) AS BIGINT) AS vocab,
+        |  round(sum(p * ln(p / q)) + 1e-9, 5) AS kl_ab,
+        |  round(sum(q * ln(q / p)) + 1e-9, 5) AS kl_ba,
+        |  round(sum(p * ln(p * 2.0 / (p + q))) * 0.5
+        |    + sum(q * ln(q * 2.0 / (p + q))) * 0.5 + 1e-9, 5) AS js
+        |FROM pq""".stripMargin,
+
+    "q_token_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM toks WHERE length(tok) > 0 GROUP BY tok),
+        |tot AS (
+        |  SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM counts)
+        |SELECT tok, ca, cb,
+        |  round((ca + 1) / CAST(ta + v AS DOUBLE) + 1e-12, 8) AS p_a,
+        |  round((cb + 1) / CAST(tb + v AS DOUBLE) + 1e-12, 8) AS p_b,
+        |  round(abs((ca + 1) / CAST(ta + v AS DOUBLE)
+        |    - (cb + 1) / CAST(tb + v AS DOUBLE)) + 1e-12, 8) AS drift
+        |FROM counts CROSS JOIN tot
+        |ORDER BY drift DESC, tok LIMIT 20""".stripMargin,
 
     "q_blocking_quality" ->
       """WITH corpus AS (
