@@ -395,7 +395,83 @@ object SqlSurface {
         |  FROM cum)
         |SELECT et AS event_type, d AS changepoint_day,
         |  round(dev + 1e-9, 4) AS max_dev
-        |FROM dev WHERE r = 1 ORDER BY event_type""".stripMargin)
+        |FROM dev WHERE r = 1 ORDER BY event_type""".stripMargin,
+
+    // link prediction / collaborative filtering on the customer-part
+    // co-purchase bipartite graph: common-neighbor count, Jaccard,
+    // cosine and Adamic-Adar per customer pair. The self-join key (part)
+    // has bounded fan-out (~30-50 customers/part at every SF, probed),
+    // so candidates stay O(parts · deg²) — the df-capped
+    // candidate-generate shape, never all-pairs over customers.
+    "q_link_prediction" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT p, count(*) AS d FROM edges GROUP BY p),
+        |sizes AS (SELECT c, count(*) AS nc FROM edges GROUP BY c),
+        |pairs AS (
+        |  SELECT a.c AS cust_a, b.c AS cust_b, count(*) AS common_parts,
+        |    round(sum(1.0 / ln(d)) + 1e-9, 6) AS adamic_adar
+        |  FROM edges a JOIN edges b ON a.p = b.p AND a.c < b.c
+        |  JOIN deg ON deg.p = a.p
+        |  GROUP BY a.c, b.c HAVING count(*) >= 4)
+        |SELECT cust_a, cust_b, common_parts, adamic_adar,
+        |  round(common_parts
+        |    / CAST(sa.nc + sb.nc - common_parts AS DOUBLE) + 1e-9, 6)
+        |    AS jaccard,
+        |  round(common_parts
+        |    / sqrt(CAST(sa.nc AS DOUBLE) * sb.nc) + 1e-9, 6) AS cosine
+        |FROM pairs JOIN sizes sa ON cust_a = sa.c
+        |           JOIN sizes sb ON cust_b = sb.c
+        |ORDER BY cust_a, cust_b""".stripMargin,
+
+    // Spearman rank correlation per group: average ranks for ties
+    // (min-rank + (tie_count-1)/2, exact halves), then the one-pass
+    // product-moment formula on ranks — the robust/monotone complement
+    // to q_sql_regression's Pearson corr.
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS rf,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |         - 1) / 2.0 AS rq,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_extendedprice)
+        |      + (count(*) OVER (PARTITION BY l_returnflag,
+        |          l_extendedprice) - 1) / 2.0 AS rp
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT rf, CAST(count(*) AS DOUBLE) AS n, sum(rq) AS sx,
+        |    sum(rp) AS sy, sum(rq * rq) AS sxx, sum(rp * rp) AS syy,
+        |    sum(rq * rp) AS sxy
+        |  FROM r GROUP BY rf)
+        |SELECT rf AS l_returnflag,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6)
+        |    AS spearman_rho
+        |FROM s ORDER BY rf""".stripMargin,
+
+    // classical seasonal decomposition of the hourly event-count
+    // series: centered 25-hour moving-average trend (full windows
+    // only), per-hour-of-day seasonal index from the detrended
+    // residuals. Resample-first keeps the window input at O(hours);
+    // integer counts make the trend sums exact in both engines.
+    "q_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY date_trunc('hour', ts)),
+        |tr AS (
+        |  SELECT h, v,
+        |    avg(v) OVER (ORDER BY h
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+        |    count(*) OVER (ORDER BY h
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wn
+        |  FROM hourly)
+        |SELECT hour(h) AS hod, count(*) AS n,
+        |  round(avg(v - trend) + 1e-9, 4) AS seasonal,
+        |  round(avg(v) + 1e-9, 4) AS mean_level
+        |FROM tr WHERE wn = 25
+        |GROUP BY hour(h) ORDER BY hod""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     sharedSql.map { case (name, text) =>
