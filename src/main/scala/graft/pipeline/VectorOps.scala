@@ -457,4 +457,47 @@ object VectorOps {
         round(sqrt(avg((col("x") - col("xq")) * (col("x") - col("xq")))), 6)
           .as("rmse"))
   }
+
+  /** Deterministic Rademacher (±1) sign matrix for Achlioptas random
+    * projection, derived from the engine-portable md5 parity of
+    * "<seed>:<i>:<j>" (the same derivation a SQL oracle replays as
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2`). Computed
+    * once on the driver and inlined as plan literals — per-row hashing
+    * would repeat dim×k digests per record for no information gain. */
+  def rademacherSigns(dim: Int, k: Int, seed: String): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim, k) { (i, j) =>
+      md.reset()
+      val hex = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection of `vecCol` (dim `dim`)
+    * onto `k` dimensions: y_j = Σ_i x_i·s(i,j) / √k with the Rademacher
+    * signs above. Stateless column algebra — a per-row O(dim·k) map
+    * with full pushdown and no shuffle; the projected columns are
+    * appended as y0..y(k-1) plus the squared-norm ratio ||y||²/||x||²
+    * (the JL distortion diagnostic, E[ratio] = 1). */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, seed: String = "rp"): DataFrame = {
+    val signs = rademacherSigns(dim, k, seed)
+    val x = (i: Int) => element_at(col(vecCol), i + 1).cast("double")
+    // left-fold addition chains + a literal /sqrt(k) division mirror a
+    // SQL oracle's sequential list_sum(...)/sqrt(k), so the doubles are
+    // bit-identical across engines
+    val ys = (0 until k).map { j =>
+      (0 until dim).map(i => x(i) * lit(signs(i)(j))).reduce(_ + _) /
+        lit(math.sqrt(k.toDouble))
+    }
+    val nx = aggregate(
+      transform(col(vecCol), v => v.cast("double") * v.cast("double")),
+      lit(0.0d), (a, b) => a + b)
+    val ny = ys.map(y => y * y).reduce(_ + _)
+    df.select(col(idCol) +:
+      (ys.zipWithIndex.map { case (y, j) =>
+        round(y + lit(1e-9), 4).as(s"y$j")
+      } :+ round(ny / nx + lit(1e-9), 3).as("norm_ratio")): _*)
+  }
 }

@@ -178,6 +178,16 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // Johnson-Lindenstrauss random projection 64 -> 8 dims with
+    // deterministic Rademacher signs (md5-parity of "rp:i:j", the
+    // engine-portable derivation the oracle replays in SQL). Stateless
+    // per-row map — the dimensionality-reduction front-end of the ANN
+    // family; norm_ratio is the JL distortion diagnostic (E = 1).
+    "q_random_projection" -> ((s, dir) =>
+      VectorOps.randomProjection(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, k = 8)
+        .orderBy("vec_id")),
+
     // Corpus distribution drift: KL(A||B), KL(B||A) and Jensen-Shannon
     // divergence between the token distributions of two corpus slices
     // (even vs odd doc_id), add-one smoothed over the union vocabulary
@@ -1843,6 +1853,29 @@ object Pipeline {
         |  array_to_string(list_sort(list_distinct(mins)), ',') AS winnowed,
         |  CAST(len(list_distinct(mins)) AS INTEGER) AS n_winnowed
         |FROM wins ORDER BY doc_id""".stripMargin,
+
+    "q_random_projection" ->
+      """WITH proj AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), j ->
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        CAST(embedding[i + 1] AS DOUBLE) *
+        |        (CASE WHEN CAST('0x' || substr(md5('rp:' || i || ':' || j),
+        |            1, 15) AS BIGINT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)))
+        |      / sqrt(8.0)) AS ys,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(ys[1] + 1e-9, 4) AS y0, round(ys[2] + 1e-9, 4) AS y1,
+        |  round(ys[3] + 1e-9, 4) AS y2, round(ys[4] + 1e-9, 4) AS y3,
+        |  round(ys[5] + 1e-9, 4) AS y4, round(ys[6] + 1e-9, 4) AS y5,
+        |  round(ys[7] + 1e-9, 4) AS y6, round(ys[8] + 1e-9, 4) AS y7,
+        |  round((ys[1]*ys[1] + ys[2]*ys[2] + ys[3]*ys[3] + ys[4]*ys[4]
+        |    + ys[5]*ys[5] + ys[6]*ys[6] + ys[7]*ys[7] + ys[8]*ys[8]) / nx
+        |    + 1e-9, 3) AS norm_ratio
+        |FROM proj ORDER BY vec_id""".stripMargin,
 
     "q_corpus_drift" ->
       """WITH toks AS (
