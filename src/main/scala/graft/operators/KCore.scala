@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling: repeatedly drop every
+  * node whose degree within the surviving subgraph is below k, until
+  * the fixpoint. The surviving node set — the k-core — is the unique
+  * maximal subgraph with minimum internal degree >= k (uniqueness makes
+  * the operator oracle-checkable: a SQL replay that unrolls enough
+  * peeling rounds reproduces it exactly).
+  *
+  * Each round is one aggregation shuffle over the edges restricted to
+  * surviving endpoints: degrees come free from the grouping and the
+  * filter IS the peel. The alive set only shrinks, so per-round cost is
+  * monotonically decreasing; rounds needed is the peeling depth (small
+  * for real graphs — 6 at sf0.1 on the gate's co-purchase graph).
+  * Lineage is truncated per generation with eager localCheckpoints,
+  * identical to ConnectedComponents' loop discipline (see the rationale
+  * there — persist alone leaves an O(iter²) plan tree).
+  */
+object KCore {
+
+  /** Nodes of the k-core of the undirected graph `edges` (columns a, b;
+    * assumed canonical a < b, no duplicates) with their core-internal
+    * degree. Throws on non-convergence within `maxIter` rounds. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // round 0: plain degrees — the grouping enumerates the nodes
+    var alive = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .localCheckpoint(true)
+    var aliveCount = alive.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // degrees within the surviving subgraph: restrict both endpoints
+      // to the alive set (two hash joins on the shrinking side), then
+      // one aggregation — the filter is the peel
+      val next = und
+        .join(alive.select(col("node").as("a")), "a")
+        .join(alive.select(col("node").as("b")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      // a round that drops nobody still recomputes degrees restricted
+      // to the final alive set — exactly the core-internal degree the
+      // caller wants, so the last `next` doubles as the result
+      converged = nextCount == aliveCount
+      alive = next
+      aliveCount = nextCount
+      it += 1
+    }
+    require(converged, s"k-core peeling did not converge in $maxIter rounds")
+    alive.select(col("node"), col("deg").as("core_degree"))
+  }
+}

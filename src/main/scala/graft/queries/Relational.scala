@@ -830,6 +830,31 @@ object Relational {
     // the 1-in-100 supplier seed set, frontier-only propagation so the
     // total join work is O(|E|) across all rounds; capped at 3 hops,
     // summarized per distance ring.
+    // k-core decomposition (operators/KCore iterative peeling) over the
+    // supplier ring graph ∪ the offset customer co-purchase graph — a
+    // mixed-density graph: the dense ring survives peeling while the
+    // sparse co-purchase tail peels away over up to 6 rounds (probed at
+    // sf0.1). The oracle unrolls 8 peeling rounds (max observed + 2
+    // margin; extra rounds past the fixpoint are no-ops), so a depth
+    // regression fails loudly instead of silently.
+    "q_graph_kcore" -> ((s, dir) => {
+      val ringU = ringEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val co = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val coE = co.as("x")
+        .join(co.as("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .groupBy(col("x.c").as("ca"), col("y.c").as("cb"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+        .select((col("ca") + 1000000L).as("a"), (col("cb") + 1000000L).as("b"))
+      val edges = ringU.unionByName(coE).distinct()
+      graft.operators.KCore.kCore(edges, k = 4).orderBy("node")
+    }),
+
     "q_graph_hop_distances" -> ((s, dir) => {
       val edges = ringEdges(s, dir)
       val seeds = edges.select(col("src").as("node"))
@@ -942,7 +967,55 @@ object Relational {
     })
   )
 
+  /** Unrolled-peeling oracle for q_graph_kcore: a0 = degree filter,
+    * a{i+1} = nodes of a{i} whose degree within a{i} is >= k. Eight
+    * rounds cover the observed max peeling depth (6 at sf0.1) with
+    * margin; rounds past the fixpoint are identity. */
+  private def kcoreOracleSql: String = {
+    val k = 4
+    val rounds = 8
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk)) AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS cnt
+        |  FROM pairs),
+        |ring AS (
+        |  SELECT DISTINCT least(sk, nxt) AS a, greatest(sk, nxt) AS b
+        |  FROM w WHERE cnt > 1 AND sk <> nxt),
+        |cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |coe AS (
+        |  SELECT x.c + 1000000 AS a, y.c + 1000000 AS b
+        |  FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c
+        |  GROUP BY x.c, y.c HAVING count(*) >= 3),
+        |edges AS (SELECT a, b FROM ring UNION SELECT a, b FROM coe),
+        |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |a0 AS (SELECT a AS node FROM und GROUP BY a
+        |       HAVING count(*) >= """.stripMargin + k + ")"
+    val body = (1 to rounds).map { i =>
+      s""",
+         |a$i AS (
+         |  SELECT u.a AS node FROM und u
+         |  JOIN a${i - 1} x ON u.a = x.node
+         |  JOIN a${i - 1} y ON u.b = y.node
+         |  GROUP BY u.a HAVING count(*) >= $k)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT u.a AS node, count(*) AS core_degree FROM und u
+         |JOIN a$rounds x ON u.a = x.node
+         |JOIN a$rounds y ON u.b = y.node
+         |GROUP BY u.a ORDER BY node""".stripMargin
+    head + body + tail
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_kcore" -> kcoreOracleSql,
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
