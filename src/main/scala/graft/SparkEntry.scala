@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Clustering.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.SqlSurface.queries
+      graft.queries.SqlSurface.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Clustering.oracles ++
       graft.queries.Pipeline.oracles ++
       graft.queries.StreamingQueries.oracles ++
-      graft.queries.SqlSurface.oracles
+      graft.queries.SqlSurface.oracles ++
+      graft.queries.Analytics.oracles
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Inferential / robust statistics over grouped data — quality gates a
+  * training-data pipeline runs before trusting a corpus slice (did the
+  * new crawl shift the length distribution? is a source's value column
+  * riddled with outliers? are two fields independent?).
+  *
+  * The reference engine (dblink) stops at descriptive statistics
+  * (SURVEY §2.4 A11); these are the inference layer above it. All are
+  * single- or two-pass grouped aggregations with broadcast-sized
+  * intermediate tables, so they scale with the groupBy, not the data.
+  */
+object Stats {
+
+  /** Median-absolute-deviation outlier scan per group.
+    *
+    * Robust alternative to the ±3σ rule (σ is itself corrupted by the
+    * outliers it should flag). Two exact-percentile passes: median per
+    * group, then the MAD of deviations; a value is an outlier when
+    * |v − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality). The per-group cutoff table is tiny → broadcast back.
+    *
+    * Exact medians sort each group's values inside one aggregate
+    * buffer; at 100 TB swap `percentile_cont` for `approx_percentile`
+    * (same call shape, mergeable sketch) — the gate pins the exact
+    * variant so the oracle can replay it.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST($valueCol AS DOUBLE))")
+        .as("__med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(v - col("__med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(first(col("__med")).as("__med"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY __dev)").as("__mad"))
+    dev.drop("__med").join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("__med")), 6).as("median"),
+        round(first(col("__mad")), 6).as("mad"),
+        sum((abs(v - col("__med")) > lit(k * 1.4826) * col("__mad"))
+          .cast("long")).as("n_outliers"))
+  }
+
+  /** Welch's unequal-variance t-test between two groups of one value
+    * column: t statistic and Welch–Satterthwaite degrees of freedom,
+    * from a single grouped aggregation (mean + sample variance + count
+    * per side — all map-side-combinable, one shuffle of 2 rows).
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"), avg(v).as("m"),
+        var_samp(v).as("s2"))
+    val a = g.filter(col(groupCol) === groupA)
+      .select(col("n").as("na"), col("m").as("ma"), col("s2").as("va"))
+    val b = g.filter(col(groupCol) === groupB)
+      .select(col("n").as("nb"), col("m").as("mb"), col("s2").as("vb"))
+    a.crossJoin(b).select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(col("ma") - col("mb"), 6).as("mean_diff"),
+      round((col("ma") - col("mb")) /
+        sqrt(col("va") / col("na") + col("vb") / col("nb")), 6).as("t_stat"),
+      round(pow(col("va") / col("na") + col("vb") / col("nb"), 2) /
+        (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+         pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 4).as("dof"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size. One pass builds the
+    * contingency counts; the marginals ride a window over that tiny
+    * result (|A|·|B| rows), never re-touching the data.
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val counts = df.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val wa = Window.partitionBy(col(colA))
+    val wb = Window.partitionBy(col(colB))
+    val wall = Window.partitionBy()
+    val e = counts
+      .withColumn("__ra", sum(col("o")).over(wa))
+      .withColumn("__cb", sum(col("o")).over(wb))
+      .withColumn("__n", sum(col("o")).over(wall))
+      .withColumn("__exp", col("__ra") * col("__cb") / col("__n"))
+    e.agg(
+      first(col("__n")).cast("long").as("n"),
+      countDistinct(col(colA)).as("card_a"),
+      countDistinct(col(colB)).as("card_b"),
+      round(sum(pow(col("o") - col("__exp"), 2) / col("__exp")), 6)
+        .as("chi2"))
+      .select(col("n"), col("chi2"),
+        ((col("card_a") - 1) * (col("card_b") - 1)).as("dof"),
+        round(sqrt(col("chi2") / (col("n") *
+          least(col("card_a") - 1, col("card_b") - 1))), 6).as("cramers_v"))
+  }
+
+  /** Exact rolling median of the trailing `window` rows per key (value
+    * ordered by `orderCols`). The trailing slice rides a ROWS window as
+    * a bounded array (window is a small constant), sorted in-row — no
+    * second shuffle, no UDF; even-length slices interpolate (mean of
+    * the two middles), matching `quantile_cont` semantics.
+    */
+  def rollingMedian(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val arr = sort_array(collect_list(col(valueCol).cast("double")).over(w))
+    val n = size(arr)
+    val lo = element_at(arr, floor((n + 1) / 2).cast("int"))
+    val hi = element_at(arr, floor(n / 2).cast("int") + 1)
+    df.withColumn("rolling_median", (lo + hi) / 2.0)
+  }
+}

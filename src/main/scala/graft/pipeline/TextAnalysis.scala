@@ -231,6 +231,33 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(col("avg_neg_logp")), 3))
   }
 
+  /** Shannon entropy (bits) of the document's word-unigram distribution
+    * — a quality/diversity signal (boilerplate and keyword-stuffed spam
+    * score low; natural prose scores near log2 of its vocabulary).
+    *
+    * Shuffle-FREE: tokens sort in-row, then one `aggregate` fold over
+    * the sorted array counts runs and accumulates Σ c·log2(c), giving
+    * H = log2(n) − Σ c·log2(c) / n without ever exploding tokens into
+    * rows — the whole thing is a projection fused into the scan.
+    */
+  def wordEntropy(textCol: Column): Column = {
+    val toks = sort_array(split(lower(trim(textCol)), "\\s+"))
+    val n = size(toks)
+    // acc: (prev token, current run length, Σ c·log2(c) over closed runs)
+    val folded = aggregate(toks,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0d).as("acc")),
+      (acc, tk) => struct(
+        tk.as("prev"),
+        when(tk === acc("prev"), acc("run") + 1L).otherwise(lit(1L)).as("run"),
+        when(tk === acc("prev"), acc("acc"))
+          .otherwise(acc("acc") + when(acc("run") > 0,
+            acc("run") * log2(acc("run"))).otherwise(lit(0.0d))).as("acc")),
+      acc => acc("acc") + when(acc("run") > 0,
+        acc("run") * log2(acc("run"))).otherwise(lit(0.0d)))
+    when(length(trim(textCol)) === 0, 0.0)
+      .otherwise(log2(n) - folded / n)
+  }
+
   /** One-call document profile used by the pipeline queries. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

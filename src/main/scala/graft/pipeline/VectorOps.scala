@@ -500,4 +500,60 @@ object VectorOps {
         round(y + lit(1e-9), 4).as(s"y$j")
       } :+ round(ny / nx + lit(1e-9), 3).as("norm_ratio")): _*)
   }
+
+  /** Per-label centroids as arrays: posexplode → per-(label, dim) mean
+    * → re-collect ordered by dim. Centroid components are rounded
+    * (nudged +1e-9) so downstream arithmetic is bit-identical across
+    * engines despite each engine's own partial-aggregation sum order.
+    * Result is labels × dim — broadcast-sized at any corpus scale. */
+  def labelCentroids(corpus: DataFrame, vecCol: String,
+      labelCol: String): DataFrame =
+    corpus.select(col(labelCol).as("c_label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")) + 1e-9, 6).as("m"))
+      .groupBy(col("c_label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("centroid"))
+
+  /** Simplified (centroid-based) silhouette per label: for each vector,
+    * a = distance to its own label's centroid, b = min distance to any
+    * other centroid, s = (b − a)/max(a, b); averaged per label. The
+    * centroid table is broadcast, so the whole diagnostic is one
+    * corpus scan + one labels-sized aggregate — unlike the classic
+    * pairwise silhouette, which is O(n²) and dies at scale. */
+  def silhouetteByLabel(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cen = labelCentroids(corpus, vecCol, labelCol)
+    val scored = corpus.crossJoin(broadcast(cen))
+      .withColumn("__d", sqrt(l2DistSq(col(vecCol), col("centroid"))))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        min(when(col(labelCol) === col("c_label"), col("__d"))).as("__a"),
+        min(when(col(labelCol) =!= col("c_label"), col("__d"))).as("__b"))
+      .withColumn("__s",
+        (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+    scored.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")) + 1e-9, 4).as("avg_silhouette"))
+  }
+
+  /** k-nearest-neighbor classification: each query's label is the
+    * majority label among its k exact cosine neighbors (ties: more
+    * votes win, then the smaller label). Rides the bounded-heap top-k
+    * (map-side partials, no window sort); the vote argmax is ONE
+    * hash aggregate via max(struct(votes, −label)). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("cid"),
+      col(labelCol).as("__lbl"))
+    broadcast(nn).join(labels, "cid")
+      .groupBy(col("qid"), col("__lbl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("qid"))
+      .agg(max(struct(col("__votes"), (-col("__lbl")).as("__neg"))).as("__w"))
+      .select(col("qid"), (-col("__w.__neg")).cast("int").as("pred_label"),
+        col("__w.__votes").as("votes"))
+  }
 }

@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{IntervalOps, SetSimilarityJoin, Stats}
+import graft.pipeline.{TextAnalysis, VectorOps}
+
+/** Round-8 analytics surface: inferential statistics (MAD outliers,
+  * Welch t, chi-square), exact set-similarity joins (the lossless
+  * complement to MinHash LSH), interval sweeps, centroid diagnostics
+  * over embeddings, and in-row text entropy. Same determinism contract
+  * as Relational: rounded doubles, integer-exact counts, ORDER BY over
+  * a unique key prefix.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Robust outlier scan: MAD cutoff per event_type (two exact-
+    // percentile passes + a broadcast cutoff join — see operators/Stats).
+    "q_mad_outliers" -> ((s, dir) => {
+      Stats.madOutliers(t(s, dir, "events"), "event_type", "value", k = 3.0)
+        .orderBy("event_type")
+    }),
+
+    // Welch's unequal-variance t-test: does src0 write longer documents
+    // than src1? One 2-row grouped aggregate, closed-form statistic.
+    "q_welch_ttest" -> ((s, dir) => {
+      Stats.welchTTest(t(s, dir, "documents"), "source", "n_chars",
+        "src0", "src1")
+    }),
+
+    // Chi-square independence of lang × source (+ Cramér's V): one
+    // contingency pass, marginals via windows over the tiny cell table.
+    "q_chi_square" -> ((s, dir) => {
+      Stats.chiSquare(t(s, dir, "documents"), "lang", "source")
+    }),
+
+    // Exact trailing-5 rolling median per user (in-row sorted slice —
+    // no second shuffle, no UDF).
+    "q_rolling_median" -> ((s, dir) => {
+      Stats.rollingMedian(
+          t(s, dir, "events").filter(col("user_id") < 100),
+          "user_id", Seq("ts", "event_id"), "value", window = 5)
+        .select(col("user_id"), col("event_id"),
+          round(col("rolling_median") + 1e-9, 6).as("rolling_median"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Word-unigram Shannon entropy per document — computed entirely
+    // in-row (sorted-token run fold), so it fuses into the scan.
+    "q_doc_entropy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.wordEntropy(col("text")) + 1e-9, 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact Jaccard set-similarity self-join via prefix filtering: the
+    // LOSSLESS near-dup pair finder (MinHash LSH's deterministic
+    // sibling). The oracle brute-forces every pair — rows hash-matching
+    // proves the prefix filter drops no qualifying pair.
+    "q_set_similarity_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      SetSimilarityJoin.jaccardSelfJoin(docs, "doc_id", "text", 0.95)
+        .select(col("a"), col("b"), col("inter"), col("n_a"), col("n_b"),
+          round(col("jaccard") + 1e-9, 6).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // kNN classification over embeddings: 5 exact cosine neighbors vote
+    // on the label (bounded-heap top-k + one argmax aggregate).
+    "q_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.knnClassify(emb, emb.filter(col("vec_id") < 25),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("qid")
+    }),
+
+    // Centroid-based (simplified) silhouette per label: cluster quality
+    // without the O(n²) pairwise matrix.
+    "q_silhouette" -> ((s, dir) => {
+      VectorOps.silhouetteByLabel(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label")
+        .orderBy("label")
+    }),
+
+    // Peak concurrency per event_type over deterministic event-derived
+    // intervals [ts, ts + 60s + (event_id % 3600)s): the sweep-line in
+    // one windowed pass.
+    "q_interval_max_concurrency" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (lit(60L) + col("event_id") % 3600L) * 1000000L).as("e_us"))
+      IntervalOps.maxConcurrency(iv, "event_type", "s_us", "e_us")
+        .orderBy("event_type")
+    }),
+
+    // Union length of the same intervals (covered micros per type):
+    // the sweep again, accumulating only spans with an open interval.
+    "q_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (lit(60L) + col("event_id") % 3600L) * 1000000L).as("e_us"))
+      IntervalOps.coveredTime(iv, "event_type", "s_us", "e_us")
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, med.m,
+        |    abs(CAST(e.value AS DOUBLE) - med.m) AS d
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, any_value(m) AS m, quantile_cont(d, 0.5) AS md
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(any_value(mad.m), 6) AS median,
+        |  round(any_value(mad.md), 6) AS mad,
+        |  sum(CASE WHEN abs(d.v - mad.m) > 3.0 * 1.4826 * mad.md
+        |      THEN 1 ELSE 0 END) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(n_chars AS DOUBLE)) AS m,
+        |    var_samp(CAST(n_chars AS DOUBLE)) AS s2
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY source),
+        |a AS (SELECT n AS na, m AS ma, s2 AS va FROM g WHERE source = 'src0'),
+        |b AS (SELECT n AS nb, m AS mb, s2 AS vb FROM g WHERE source = 'src1')
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma - mb, 6) AS mean_diff,
+        |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+        |  round(pow(va / na + vb / nb, 2) /
+        |    (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 4)
+        |    AS dof
+        |FROM a, b""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+        |  FROM documents GROUP BY lang, source),
+        |m AS (
+        |  SELECT lang, source, o,
+        |    sum(o) OVER (PARTITION BY lang) AS ra,
+        |    sum(o) OVER (PARTITION BY source) AS cb,
+        |    sum(o) OVER () AS n
+        |  FROM c),
+        |agg AS (
+        |  SELECT any_value(n) AS n,
+        |    count(DISTINCT lang) AS card_a,
+        |    count(DISTINCT source) AS card_b,
+        |    round(sum(pow(o - ra * cb / n, 2) / (ra * cb / n)), 6) AS chi2
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, chi2,
+        |  (card_a - 1) * (card_b - 1) AS dof,
+        |  round(sqrt(chi2 / (n * least(card_a - 1, card_b - 1))), 6)
+        |    AS cramers_v
+        |FROM agg""".stripMargin,
+
+    // identical in-row arithmetic: list window -> sort -> mean of the
+    // two middles (odd slices pick the same element twice)
+    "q_rolling_median" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id,
+        |    list_sort(list(CAST(value AS DOUBLE)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events WHERE user_id < 100)
+        |SELECT user_id, event_id,
+        |  round((arr[CAST((len(arr) + 1) // 2 AS INTEGER)] +
+        |         arr[CAST(len(arr) // 2 AS INTEGER) + 1]) / 2.0 + 1e-9, 6)
+        |    AS rolling_median
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    "q_doc_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM toks GROUP BY doc_id, tok),
+        |ent AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(ent.n_tokens, 0) AS INTEGER) AS n_tokens,
+        |  round(coalesce(ent.h, 0.0) + 1e-9, 6) AS entropy
+        |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // brute force every pair — rows hash-matching the prefix-filtered
+    // engine answer proves the filter lossless
+    "q_set_similarity_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |  WHERE doc_id < 300 AND length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    len(list_intersect(a.t, b.t)) AS inter,
+        |    len(a.t) AS n_a, len(b.t) AS n_b
+        |  FROM toks a, toks b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, CAST(inter AS INTEGER) AS inter,
+        |  CAST(n_a AS INTEGER) AS n_a, CAST(n_b AS INTEGER) AS n_b,
+        |  round(CAST(inter AS DOUBLE) / (n_a + n_b - inter) + 1e-9, 6)
+        |    AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.95
+        |ORDER BY a, b""".stripMargin,
+
+    // same double-promoted sequential fold as q_ann_bruteforce_topk;
+    // ranking on the ROUNDED cosine, then the (votes desc, label asc)
+    // argmax replayed with a window
+    "q_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 25),
+        |scored AS (
+        |  SELECT qid, e.vec_id AS cid, e.label, round(
+        |    list_reduce(list_transform(list_zip(e.v, q.qv),
+        |      p -> p[1] * p[2]), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+        |       (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+        |       (a, b) -> a + b))), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, cid, label, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT qid, label, count(*) AS n
+        |  FROM ranked WHERE rk <= 5 GROUP BY qid, label),
+        |win AS (SELECT qid, label, n, row_number() OVER
+        |  (PARTITION BY qid ORDER BY n DESC, label ASC) AS vr FROM votes)
+        |SELECT qid, CAST(label AS INTEGER) AS pred_label,
+        |  CAST(n AS BIGINT) AS votes
+        |FROM win WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    // centroids rounded to 6 (nudged) before any distance — the same
+    // quantization the engine applies, so arithmetic is bit-identical
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label AS c_label,
+        |    unnest(v) AS x,
+        |    unnest(range(1, len(v) + 1)) AS pos
+        |  FROM e),
+        |cend AS (
+        |  SELECT c_label, pos, round(avg(x) + 1e-9, 6) AS m
+        |  FROM dims GROUP BY c_label, pos),
+        |cen AS (
+        |  SELECT c_label, list(m ORDER BY pos) AS cv
+        |  FROM cend GROUP BY c_label),
+        |d AS (
+        |  SELECT e.vec_id, e.label, cen.c_label,
+        |    sqrt(list_reduce(list_transform(list_zip(e.v, cen.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)) AS dist
+        |  FROM e, cen),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    min(CASE WHEN label = c_label THEN dist END) AS a,
+        |    min(CASE WHEN label <> c_label THEN dist END) AS b
+        |  FROM d GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n,
+        |  round(avg((b - a) / greatest(a, b)) + 1e-9, 4) AS avg_silhouette
+        |FROM ab GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_interval_max_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + (60 + event_id % 3600) * 1000000 AS e_us
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type AS g, s_us AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e_us, -1 FROM iv),
+        |run AS (
+        |  SELECT g, sum(delta) OVER (PARTITION BY g ORDER BY t, delta
+        |    ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM pts)
+        |SELECT g AS event_type, CAST(max(open) AS BIGINT) AS max_concurrent,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        |FROM run GROUP BY g ORDER BY g""".stripMargin,
+
+    "q_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + (60 + event_id % 3600) * 1000000 AS e_us
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type AS g, s_us AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e_us, -1 FROM iv),
+        |run AS (
+        |  SELECT g, t, delta,
+        |    sum(delta) OVER (PARTITION BY g ORDER BY t, delta
+        |      ROWS UNBOUNDED PRECEDING) AS open,
+        |    lag(t) OVER (PARTITION BY g ORDER BY t, delta) AS prev_t
+        |  FROM pts)
+        |SELECT g AS event_type,
+        |  CAST(sum(CASE WHEN prev_t IS NOT NULL AND open - delta > 0
+        |    THEN t - prev_t ELSE 0 END) AS BIGINT) AS covered,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        |FROM run GROUP BY g ORDER BY g""".stripMargin
+  )
+}

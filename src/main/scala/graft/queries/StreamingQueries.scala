@@ -35,6 +35,19 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Streaming per-key rate limiter (flatMapGroupsWithState keyed by
+    // user × tumbling day, ONE counter of state per live key): admit
+    // the earliest 3 events per user-day. AvailableNow = one batch,
+    // so the admitted set equals the batch row_number replay.
+    "q_stream_rate_limit" -> ((s, dir) => {
+      val name = s"stream_rate_limit_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runRateLimitOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("user_id"), col("bucket"), col("event_id"), col("ts_us"))
+        .orderBy("user_id", "bucket", "event_id")
+    }),
+
     "q_stream_windowed_counts" -> ((s, dir) => {
       val name = s"stream_counts_${runCounter.incrementAndGet()}"
       val q = EventStreams.runWindowedCountsOnce(s, dir, name)
@@ -405,6 +418,21 @@ object StreamingQueries {
       |ORDER BY user_id, start_us""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // first-3-per-(user, day) by (event-time, id) — the batch
+    // replay of the rate limiter's admission contract
+    "q_stream_rate_limit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, event_id,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, bucket, event_id, ts_us, row_number() OVER
+        |    (PARTITION BY user_id, bucket ORDER BY ts_us, event_id) AS rn
+        |  FROM e)
+        |SELECT user_id, bucket, event_id, ts_us
+        |FROM r WHERE rn <= 3
+        |ORDER BY user_id, bucket, event_id""".stripMargin,
+
     "q_stream_session_window" -> sessionizeOracle,
 
     // identical replay to the batch funnel gate — the streaming fold

@@ -716,4 +716,67 @@ object EventStreams {
         .start()
     }
   }
+
+  final case class RateKey(user_id: Long, bucket: Long)
+  final case class KeptEvent(user_id: Long, bucket: Long, event_id: Long,
+      ts_us: Long)
+
+  /** Streaming per-key rate limiter: admit at most `maxPerWindow`
+    * events per (user, tumbling window of `windowUs` micros), keeping
+    * the EARLIEST by (event-time, event_id) — the ingest throttle a
+    * crawl pipeline puts in front of per-source quotas.
+    *
+    * State is ONE long per live (user, window) key: the admitted count.
+    * Each micro-batch sorts its own slice of the key (deterministic
+    * admission within a batch) and admits until the carried count hits
+    * the cap; later batches of the same key continue from the count, so
+    * cross-batch admission is first-come-first-served in arrival order
+    * — exactly a production rate limiter's contract. Keyed by (user,
+    * window) rather than user so expired windows can age out via a
+    * state timeout at scale (NoTimeout here: the gate drains once).
+    */
+  def streamingRateLimit(events: Dataset[MetricEvent], windowUs: Long,
+      maxPerWindow: Int): Dataset[KeptEvent] = {
+    require(windowUs > 0 && maxPerWindow > 0, "window and cap must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(e => RateKey(e.user_id, Math.floorDiv(e.ts_us, windowUs)))
+      .flatMapGroupsWithState[Long, KeptEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: RateKey, rows: Iterator[MetricEvent], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+          val keep = sorted.take(
+            math.max(0L, maxPerWindow - admitted).toInt min sorted.length)
+          state.update(admitted + keep.length)
+          keep.iterator.map(e =>
+            KeptEvent(key.user_id, key.bucket, e.event_id, e.ts_us))
+      }
+  }
+
+  /** Drain-once runner for [[streamingRateLimit]] (tumbling-DAY
+    * windows, cap 3 — parameters chosen so the cap actually binds on
+    * the testdata arrival rates). AvailableNow = single batch, so the
+    * admitted set equals the batch row_number-≤-cap replay — the
+    * DuckDB oracle. */
+  def runRateLimitOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, windowUs: Long = 86400L * 1000000L,
+      maxPerWindow: Int = 3): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      streamingRateLimit(
+          stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")).as[MetricEvent],
+          windowUs, maxPerWindow)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("madOutliers: hand-computed median/MAD and outlier count") {
+    // group g: values 1..9 plus one wild 1000
+    // median of (1..9, 1000) = (5+6)/2 = 5.5
+    // deviations |v-5.5|: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5
+    // sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5 → MAD = (2.5+2.5)/2 = 2.5
+    // cutoff = 3·1.4826·2.5 = 11.1195 → only 1000 is outside
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _))
+      .toDF("k", "v")
+    val out = Stats.madOutliers(df, "k", "v").collect().head
+    assert(out.getAs[Long]("n") == 10)
+    assert(out.getAs[Double]("median") == 5.5)
+    assert(out.getAs[Double]("mad") == 2.5)
+    assert(out.getAs[Long]("n_outliers") == 1)
+  }
+
+  test("welchTTest matches a closed-form reference computation") {
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0)
+    val b = Seq(9.0, 9.5, 10.0, 10.5)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val r = Stats.welchTTest(df, "g", "v", "a", "b").collect().head
+    def meanVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+    val se2 = va / a.size + vb / b.size
+    val t = (ma - mb) / math.sqrt(se2)
+    val dof = se2 * se2 / (math.pow(va / a.size, 2) / (a.size - 1) +
+      math.pow(vb / b.size, 2) / (b.size - 1))
+    assert(r.getAs[Long]("n_a") == 5 && r.getAs[Long]("n_b") == 4)
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      math.rint(t * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dof") - dof) < 1e-3)
+  }
+
+  test("chiSquare: independent columns give chi2 ~ 0; exact 2x2 formula") {
+    // perfectly independent 2x2: counts proportional to margins
+    val ind = Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val r0 = Stats.chiSquare(ind.toDF("a", "b"), "a", "b").collect().head
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    assert(r0.getAs[Long]("dof") == 1)
+
+    // dependent 2x2 with known chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    val dep = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val r1 = Stats.chiSquare(dep.toDF("a", "b"), "a", "b").collect().head
+    val expected = 80.0 * math.pow(30 * 30 - 10 * 10, 2) /
+      (40.0 * 40 * 40 * 40)
+    assert(math.abs(r1.getAs[Double]("chi2") - expected) < 1e-6)
+    val v = math.sqrt(expected / 80.0)
+    assert(math.abs(r1.getAs[Double]("cramers_v") - v) < 1e-5)
+  }
+
+  test("rollingMedian: warm-up slices interpolate, steady window exact") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (1L, 4L, 100.0), (1L, 5L, 50.0), (1L, 6L, 60.0))
+      .toDF("k", "t", "v")
+    val out = Stats.rollingMedian(df, "k", Seq("t"), "v", 5)
+      .select("t", "rolling_median").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 10.0)            // [10]
+    assert(out(2L) == 15.0)            // [10,20] → mean of middles
+    assert(out(3L) == 20.0)            // [10,20,30]
+    assert(out(4L) == 25.0)            // [10,20,30,100] → (20+30)/2
+    assert(out(5L) == 30.0)            // [10,20,30,50,100]
+    assert(out(6L) == 50.0)            // [20,30,50,60,100]
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class StatsVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("wordEntropy equals the direct count-based formula") {
+    val docs = Seq(
+      (1L, "a b c d"),                  // uniform 4 → 2 bits
+      (2L, "a a a a"),                  // single token → 0
+      (3L, "a a b b"),                  // uniform 2 → 1 bit
+      (4L, "x"),                        // 1 token → 0
+      (5L, ""),                         // empty → 0
+      (6L, "  the the cat  "),          // 2/3, 1/3
+      (7L, "B b A a")                   // lowercased → {a:2, b:2} → 1
+    ).toDF("id", "text")
+    val out = docs.select(col("id"),
+        TextAnalysis.wordEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    def h(counts: Seq[Int]): Double = {
+      val n = counts.sum.toDouble
+      counts.map(c => -c / n * (math.log(c / n) / math.log(2))).sum
+    }
+    assert(math.abs(out(1L) - 2.0) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(math.abs(out(3L) - 1.0) < 1e-12)
+    assert(out(4L) == 0.0)
+    assert(out(5L) == 0.0)
+    assert(math.abs(out(6L) - h(Seq(2, 1))) < 1e-12)
+    assert(math.abs(out(7L) - 1.0) < 1e-12)
+  }
+
+  test("silhouetteByLabel: separated clusters ~1, interleaved ~<=0") {
+    // two tight, far-apart clusters → silhouette near 1 for both labels
+    val rnd = new java.util.Random(3)
+    def jitter() = (rnd.nextDouble() - 0.5).toFloat * 0.1f
+    val good = (0 until 30).map { i =>
+      val l = i % 2
+      val base = if (l == 0) 0f else 100f
+      (i.toLong, Array(base + jitter(), base + jitter()), l)
+    }.toDF("id", "vec", "label")
+    val g = VectorOps.silhouetteByLabel(good, "id", "vec", "label")
+      .as[(Int, Long, Double)].collect()
+      .map { case (l, _, s) => l -> s }.toMap
+    assert(g.values.forall(_ > 0.9), s"separated clusters: $g")
+
+    // labels assigned independently of position → silhouette <= ~0
+    val bad = (0 until 40).map { i =>
+      (i.toLong, Array(jitter() * 100, jitter() * 100), i % 2)
+    }.toDF("id", "vec", "label")
+    val b = VectorOps.silhouetteByLabel(bad, "id", "vec", "label")
+      .as[(Int, Long, Double)].collect().map(_._3)
+    assert(b.forall(_ < 0.3), s"interleaved labels: ${b.toSeq}")
+  }
+
+  test("knnClassify recovers planted labels and breaks ties to smaller") {
+    // 3 tight clusters in distinct directions; every query's 5
+    // neighbors are its own cluster → prediction = planted label
+    val pts = for {
+      l <- 0 until 3
+      i <- 0 until 10
+    } yield {
+      val base = Array.fill(4)(0.01f)
+      base(l) = 1f + i * 0.001f
+      ((l * 10 + i).toLong, base, l)
+    }
+    val df = pts.toDF("id", "vec", "label")
+    val out = VectorOps.knnClassify(df, df.filter(col("id") % 10 === 0),
+        "id", "vec", "label", k = 5)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 3)
+    out.foreach { case (qid, pred, votes) =>
+      assert(pred == (qid / 10).toInt && votes == 5L,
+        s"query $qid predicted $pred with $votes votes")
+    }
+  }
+}

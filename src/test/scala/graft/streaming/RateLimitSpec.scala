@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RateLimitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, us: Long, uid: Long) =
+    EventStreams.MetricEvent(uid, us, id, 1.0)
+
+  test("admits earliest-by-(ts,id) up to the cap; count carries across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.MetricEvent]
+    val limited = EventStreams.streamingRateLimit(mem.toDS(),
+      windowUs = 100L, maxPerWindow = 2)
+    val q = limited.writeStream.outputMode("append")
+      .format("memory").queryName("rate_limit_spec").start()
+    try {
+      // batch 1, window [0,100): user 1 sends 3 (out of order) → 2 kept,
+      // and the EARLIEST two by (ts, id) at that
+      mem.addData(ev(11, 50, 1L), ev(10, 10, 1L), ev(12, 30, 1L))
+      q.processAllAvailable()
+      // batch 2, same window: count is already 2 → everything dropped
+      mem.addData(ev(13, 70, 1L), ev(14, 80, 1L))
+      q.processAllAvailable()
+      // batch 3: next window admits afresh; another user unaffected
+      mem.addData(ev(15, 120, 1L), ev(16, 40, 2L))
+      q.processAllAvailable()
+      val kept = spark.table("rate_limit_spec")
+        .select("event_id").as[Long].collect().toSet
+      assert(kept == Set(10L, 12L, 15L, 16L),
+        s"expected earliest-2 then cross-batch saturation, got $kept")
+    } finally q.stop()
+  }
+
+  test("ties on ts admit the smaller event_id") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.MetricEvent]
+    val limited = EventStreams.streamingRateLimit(mem.toDS(),
+      windowUs = 1000L, maxPerWindow = 1)
+    val q = limited.writeStream.outputMode("append")
+      .format("memory").queryName("rate_limit_tie_spec").start()
+    try {
+      mem.addData(ev(21, 5, 1L), ev(20, 5, 1L))
+      q.processAllAvailable()
+      val kept = spark.table("rate_limit_tie_spec")
+        .select("event_id").as[Long].collect().toSet
+      assert(kept == Set(20L), s"tie must break to smaller id: $kept")
+    } finally q.stop()
+  }
+}
