@@ -103,6 +103,69 @@ object Stats {
           least(col("card_a") - 1, col("card_b") - 1))), 6).as("cramers_v"))
   }
 
+  /** Mutual information (bits) between two categorical columns, plus
+    * the normalized variant NMI = MI / min(H(A), H(B)). Same shape as
+    * [[chiSquare]]: one contingency pass, marginals as windows over the
+    * |A|·|B| cell table — the data is touched once.
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val counts = df.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val wa = Window.partitionBy(col(colA))
+    val wb = Window.partitionBy(col(colB))
+    val wall = Window.partitionBy()
+    val e = counts
+      .withColumn("__ra", sum(col("c")).over(wa))
+      .withColumn("__cb", sum(col("c")).over(wb))
+      .withColumn("__n", sum(col("c")).over(wall))
+    e.agg(
+      first(col("__n")).cast("long").as("n"),
+      round(sum((col("c") / col("__n")) *
+        log2(col("c") * col("__n") / (col("__ra") * col("__cb")))), 6)
+        .as("mi_bits"),
+      // entropies from the SAME cell table: H(A) = log2 n − Σ ra·log2 ra / n
+      // summed once per A value — divide each cell's contribution by the
+      // row count of its marginal group
+      round(log2(first(col("__n"))) -
+        sum(col("c") * log2(col("__ra"))) / first(col("__n")), 6).as("__ha"),
+      round(log2(first(col("__n"))) -
+        sum(col("c") * log2(col("__cb"))) / first(col("__n")), 6).as("__hb"))
+      .select(col("n"), col("mi_bits"),
+        col("__ha").as("h_a"), col("__hb").as("h_b"),
+        round(col("mi_bits") / least(col("__ha"), col("__hb")), 6).as("nmi"))
+  }
+
+  /** Benford first-significant-digit conformance scan per group: the
+    * observed digit-1..9 distribution of |value|, Benford's expected
+    * log10(1+1/d), and the chi-square distance — a data-quality probe
+    * for fabricated or truncated numeric columns. One pass (the digit
+    * extraction is string algebra on the scan), 9 rows per group.
+    */
+  def benfordScan(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // first significant digit: print the magnitude as fixed-point (the
+    // same %.9f contract DuckDB's printf has), drop zeros and the dot —
+    // interior zeros can't affect the FIRST significant digit — and take
+    // the lead char. Pure string algebra: no log10-at-power-boundary
+    // float hazard.
+    val digit = substring(regexp_replace(
+      format_string("%.9f", abs(col(valueCol).cast("double"))), "[0.]", ""),
+      1, 1).cast("int")
+    val counts = df.filter(col(valueCol).isNotNull &&
+        abs(col(valueCol).cast("double")) >= 1e-6)
+      .groupBy(col(groupCol), digit.as("d"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val w = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("__n", sum(col("o")).over(w))
+      .withColumn("__exp", col("__n") * log(10.0, lit(1.0) + lit(1.0) / col("d")))
+      .groupBy(col(groupCol))
+      .agg(first(col("__n")).cast("long").as("n"),
+        round(sum(pow(col("o") - col("__exp"), 2) / col("__exp")), 6)
+          .as("benford_chi2"),
+        round(max(abs(col("o") / col("__n") -
+          log(10.0, lit(1.0) + lit(1.0) / col("d")))), 6).as("max_dev"))
+  }
+
   /** Exact rolling median of the trailing `window` rows per key (value
     * ordered by `orderCols`). The trailing slice rides a ROWS window as
     * a bounded array (window is a small constant), sorted in-row — no

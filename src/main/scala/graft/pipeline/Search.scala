@@ -73,4 +73,62 @@ object Search {
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
   }
+
+  /** TF-IDF cosine document-similarity search: for each query document,
+    * the top-k most similar corpus documents under the sparse TF-IDF
+    * vector model — the inverted-index join that powers "more like
+    * this" and embedding-free semantic dedup.
+    *
+    *   w(d, t) = tf(d, t) · ln(N / df(t));  cos = Σ_t w_q·w_d / (‖q‖·‖d‖)
+    *
+    * Execution shape (the 100 TB story): postings (doc, term, w) are
+    * built once — tokenize, in-row term-count via sorted-run fold is
+    * avoided here because the downstream join needs term ROWS anyway;
+    * document norms are one grouped aggregate over postings; the
+    * dot-product join touches only postings of terms the query side
+    * contains (query postings broadcast), then one bounded-heap top-k.
+    * Nothing is quadratic in documents: the fan-in per query is bounded
+    * by Σ_t df(t) over ITS terms — the inverted-index contract.
+    *
+    * Cosines are rounded to 6 before ranking (ties → smaller corpus
+    * id), the engine-parity convention all ANN gates share.
+    */
+  def tfidfCosineTopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfT = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val w = postings.join(dfT, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+      .localCheckpoint(true)
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val qIds = queries.select(col(idCol).as("qid"))
+    val qw = w.join(broadcast(qIds), col("doc_id") === col("qid"))
+      .select(col("qid"), col("term"), col("w").as("qwv"))
+    val qNorms = norms.join(broadcast(qIds), col("doc_id") === col("qid"))
+      .select(col("qid"), col("norm").as("qnorm"))
+    val dots = w.join(broadcast(qw), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w") * col("qwv")).as("dot"))
+    val scored = dots
+      .join(norms, "doc_id")
+      .join(broadcast(qNorms), "qid")
+      .select(col("qid"), col("doc_id").as("cid"),
+        round(col("dot") / (col("norm") * col("qnorm")), 6).as("cosine"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col("cosine"), col("cid").cast("long"), k).as("__top"))
+      .select(col("qid") +: Seq(posexplode(col("__top"))): _*)
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("cid"), col("col.score").as("cosine"))
+  }
 }

@@ -111,6 +111,75 @@ object Analytics {
           (lit(60L) + col("event_id") % 3600L) * 1000000L).as("e_us"))
       IntervalOps.coveredTime(iv, "event_type", "s_us", "e_us")
         .orderBy("event_type")
+    }),
+
+    // Mutual information between lang and source (+ entropies, NMI):
+    // the information-theoretic sibling of q_chi_square over the same
+    // single contingency pass.
+    "q_mutual_information" -> ((s, dir) => {
+      Stats.mutualInformation(t(s, dir, "documents"), "lang", "source")
+    }),
+
+    // Benford first-significant-digit conformance of prices per return
+    // flag — the classic fabricated-numbers data-quality probe.
+    "q_benford" -> ((s, dir) => {
+      Stats.benfordScan(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
+    // Fellegi–Sunter log-likelihood-ratio linkage scoring over
+    // (nation, segment)-blocked customer pairs: u-probabilities from
+    // exact integer power sums, m supplied; top-20 candidate links.
+    "q_fellegi_sunter" -> ((s, dir) => {
+      val rec = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("acct_bucket"),
+        (floor(col("c_acctbal") * 100) % 100).as("cents"),
+        (col("c_custkey") % 97).as("key_mod"))
+      graft.er.FellegiSunter.scoreBlockedPairs(rec, "c_custkey",
+          Seq("acct_bucket", "cents", "key_mod"),
+          Map("acct_bucket" -> 0.9, "cents" -> 0.95, "key_mod" -> 0.8),
+          Seq("c_nationkey", "c_mktsegment"))
+        .select(col("a"), col("b"), col("n_agree"),
+          round(col("score") + 1e-9, 6).as("score"))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // TF-IDF cosine document-similarity search (inverted-index join +
+    // bounded-heap top-k): embedding-free "more like this".
+    "q_tfidf_doc_similarity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipeline.Search.tfidfCosineTopK(d,
+          d.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Count-min sketch frequency estimates: the mergeable fixed-size
+    // counter aggregate; estimates for the exact top-20 users must
+    // bracket the true counts within the CMS overcount bound. The
+    // oracle pins the exact counts and the contract booleans (the
+    // q_approx_distinct pattern for engine-specific sketches).
+    "q_cms_frequency" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val depth = 4; val width = 4096
+      val ev = t(s, dir, "events")
+      val sketch = ev.agg(CountMin.cms_sketch(col("user_id"), depth, width)
+        .as("__cms"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+        .limit(20)
+      val total = ev.agg(count(lit(1)).cast("double").as("__n"))
+      exact.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+        .select(col("user_id"), col("n_exact"),
+          (CountMin.estimate(col("__cms"), col("user_id"), depth, width)
+            >= col("n_exact")).as("never_undercounts"),
+          (CountMin.estimate(col("__cms"), col("user_id"), depth, width)
+            <= col("n_exact") + ceil(col("__n") * 2 / width))
+            .as("within_bound"))
+        .orderBy(col("n_exact").desc, col("user_id"))
     })
   )
 
@@ -302,6 +371,129 @@ object Analytics {
         |SELECT g AS event_type, CAST(max(open) AS BIGINT) AS max_concurrent,
         |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
         |FROM run GROUP BY g ORDER BY g""".stripMargin,
+
+    "q_mutual_information" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+        |  FROM documents GROUP BY lang, source),
+        |m AS (
+        |  SELECT lang, source, c,
+        |    sum(c) OVER (PARTITION BY lang) AS ra,
+        |    sum(c) OVER (PARTITION BY source) AS cb,
+        |    sum(c) OVER () AS n
+        |  FROM c),
+        |agg AS (
+        |  SELECT any_value(n) AS n,
+        |    round(sum((c / n) * log2(c * n / (ra * cb))), 6) AS mi_bits,
+        |    round(log2(any_value(n)) - sum(c * log2(ra)) / any_value(n), 6)
+        |      AS h_a,
+        |    round(log2(any_value(n)) - sum(c * log2(cb)) / any_value(n), 6)
+        |      AS h_b
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, mi_bits, h_a, h_b,
+        |  round(mi_bits / least(h_a, h_b), 6) AS nmi
+        |FROM agg""".stripMargin,
+
+    // the engine's %.9f-strip-zeros digit extraction replayed with
+    // DuckDB's printf (identical fixed-point contract)
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(substr(regexp_replace(
+        |      printf('%.9f', abs(CAST(l_extendedprice AS DOUBLE))),
+        |      '[0.]', '', 'g'), 1, 1) AS INTEGER) AS d
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND abs(CAST(l_extendedprice AS DOUBLE)) >= 1e-6),
+        |c AS (SELECT g, d, CAST(count(*) AS DOUBLE) AS o
+        |  FROM d GROUP BY g, d),
+        |w AS (
+        |  SELECT g, d, o, sum(o) OVER (PARTITION BY g) AS n,
+        |    sum(o) OVER (PARTITION BY g) * log10(1.0 + 1.0 / d) AS e
+        |  FROM c)
+        |SELECT g AS l_returnflag, CAST(any_value(n) AS BIGINT) AS n,
+        |  round(sum(pow(o - e, 2) / e), 6) AS benford_chi2,
+        |  round(max(abs(o / n - log10(1.0 + 1.0 / d))), 6) AS max_dev
+        |FROM w GROUP BY g ORDER BY g""".stripMargin,
+
+    "q_fellegi_sunter" ->
+      """WITH rec AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000) AS acct_bucket,
+        |    floor(c_acctbal * 100) % 100 AS cents,
+        |    c_custkey % 97 AS key_mod
+        |  FROM customer),
+        |u1 AS (SELECT CAST(sum(c * c) AS DOUBLE) /
+        |    (CAST(sum(c) AS DOUBLE) * sum(c)) AS u_acct
+        |  FROM (SELECT count(*) AS c FROM rec GROUP BY acct_bucket)),
+        |u2 AS (SELECT CAST(sum(c * c) AS DOUBLE) /
+        |    (CAST(sum(c) AS DOUBLE) * sum(c)) AS u_phone
+        |  FROM (SELECT count(*) AS c FROM rec GROUP BY cents)),
+        |u3 AS (SELECT CAST(sum(c * c) AS DOUBLE) /
+        |    (CAST(sum(c) AS DOUBLE) * sum(c)) AS u_cmt
+        |  FROM (SELECT count(*) AS c FROM rec GROUP BY key_mod)),
+        |pairs AS (
+        |  SELECT l.c_custkey AS a, r.c_custkey AS b,
+        |    CAST(l.acct_bucket = r.acct_bucket AS INTEGER) AS ag1,
+        |    CAST(l.cents = r.cents AS INTEGER) AS ag2,
+        |    CAST(l.key_mod = r.key_mod AS INTEGER) AS ag3
+        |  FROM rec l JOIN rec r
+        |    ON l.c_nationkey = r.c_nationkey
+        |   AND l.c_mktsegment = r.c_mktsegment
+        |   AND l.c_custkey < r.c_custkey),
+        |scored AS (
+        |  SELECT a, b, ag1 + ag2 + ag3 AS n_agree,
+        |    (CASE WHEN ag1 = 1 THEN log2(0.9 / u_acct)
+        |          ELSE log2(0.1 / (1 - u_acct)) END) +
+        |    (CASE WHEN ag2 = 1 THEN log2(0.95 / u_phone)
+        |          ELSE log2(0.05 / (1 - u_phone)) END) +
+        |    (CASE WHEN ag3 = 1 THEN log2(0.8 / u_cmt)
+        |          ELSE log2(0.2 / (1 - u_cmt)) END) AS s
+        |  FROM pairs, u1, u2, u3)
+        |SELECT a, b, n_agree, round(s + 1e-9, 6) AS score
+        |FROM scored
+        |ORDER BY score DESC, a, b LIMIT 20""".stripMargin,
+
+    "q_tfidf_doc_similarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM post GROUP BY term),
+        |w AS (
+        |  SELECT doc_id, post.term, tf * ln(n_docs / df) AS w
+        |  FROM post JOIN dft ON post.term = dft.term CROSS JOIN nd),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+        |  FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT q.doc_id AS qid, d.doc_id AS cid, sum(d.w * q.w) AS dot
+        |  FROM w d JOIN w q ON d.term = q.term
+        |  WHERE q.doc_id < 10 AND d.doc_id <> q.doc_id
+        |  GROUP BY q.doc_id, d.doc_id),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    round(dot / (nd.nrm * nq.nrm), 6) AS cosine
+        |  FROM dots
+        |  JOIN norms nd ON dots.cid = nd.doc_id
+        |  JOIN norms nq ON dots.qid = nq.doc_id),
+        |ranked AS (SELECT qid, cid, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // exact counts + always-true contract booleans: the CMS itself is
+    // engine-specific state, so the oracle pins what must hold of it
+    "q_cms_frequency" ->
+      """SELECT user_id, count(*) AS n_exact,
+        |  TRUE AS never_undercounts, TRUE AS within_bound
+        |FROM events GROUP BY user_id
+        |ORDER BY n_exact DESC, user_id LIMIT 20""".stripMargin,
 
     "q_interval_coverage" ->
       """WITH iv AS (

@@ -63,6 +63,46 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r1.getAs[Double]("cramers_v") - v) < 1e-5)
   }
 
+  test("mutualInformation: independent -> 0 bits; identical -> H(A), NMI 1") {
+    val ind = Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(20)(("y", "q"))
+    val r0 = Stats.mutualInformation(ind.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r0.getAs[Double]("mi_bits") == 0.0)
+    assert(r0.getAs[Double]("h_a") == 1.0)
+
+    // b == a (renamed values): MI = H(A) = 1 bit, NMI = 1
+    val same = (Seq.fill(30)(("x", "px")) ++ Seq.fill(30)(("y", "py")))
+    val r1 = Stats.mutualInformation(same.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r1.getAs[Double]("mi_bits") == 1.0)
+    assert(r1.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("benfordScan: planted Benford sample has near-zero deviation") {
+    // construct counts proportional to log10(1+1/d) out of 10000
+    val counts = (1 to 9).map(d =>
+      d -> math.round(10000 * math.log10(1.0 + 1.0 / d)).toInt)
+    // d * 10^k shapes keep the first significant digit at d
+    val clean = counts.flatMap { case (d, c) =>
+      (0 until c).map(i => ("g", d * math.pow(10, i % 3))) }
+    val r = Stats.benfordScan(clean.toDF("g", "v"), "g", "v").collect().head
+    assert(r.getAs[Double]("max_dev") < 0.001, s"dev=${r.getAs[Double]("max_dev")}")
+    // uniform digits deviate strongly
+    val uni = (1 to 9).flatMap(d => Seq.fill(100)(("u", d * 1.0)))
+    val r2 = Stats.benfordScan(uni.toDF("g", "v"), "g", "v").collect().head
+    assert(r2.getAs[Double]("max_dev") > 0.15)
+    assert(r2.getAs[Double]("benford_chi2") > 100)
+  }
+
+  test("benford digit extraction: decimals, tiny magnitudes, negatives") {
+    val df = Seq(("g", 0.00456), ("g", -123.4), ("g", 0.9999999999),
+      ("g", 7.0), ("g", 1023.5)).toDF("k", "v")
+    val r = Stats.benfordScan(df, "k", "v")
+    // digits: 4, 1, 1 (rounds to 1.000000000), 7, 1 → n=5
+    assert(r.collect().head.getAs[Long]("n") == 5)
+  }
+
   test("rollingMedian: warm-up slices interpolate, steady window exact") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
       (1L, 4L, 100.0), (1L, 5L, 50.0), (1L, 6L, 60.0))
