@@ -36,27 +36,30 @@ object KCore {
     var aliveCount = alive.count()
     var it = 0
     var converged = false
+    // one peel: degrees within the surviving subgraph — restrict both
+    // endpoints to the alive set (two hash joins on the shrinking
+    // side), then one aggregation; the filter IS the peel
+    def peel(a: DataFrame): DataFrame = und
+      .join(a.select(col("node").as("a")), "a")
+      .join(a.select(col("node").as("b")), "b")
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
     while (!converged && it < maxIter) {
-      // degrees within the surviving subgraph: restrict both endpoints
-      // to the alive set (two hash joins on the shrinking side), then
-      // one aggregation — the filter is the peel
-      val next = und
-        .join(alive.select(col("node").as("a")), "a")
-        .join(alive.select(col("node").as("b")), "b")
-        .groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .localCheckpoint(true)
+      // TWO peels per checkpoint+count: halves the materialization and
+      // action floor (the dominant cost at small per-round work — the
+      // same batching ConnectedComponents uses). The alive set only
+      // shrinks, so count(next2) == count(alive) ⇒ both peels were
+      // no-ops ⇒ fixpoint, and next2's degrees were computed against
+      // the final set — exactly the core-internal degrees returned.
+      val next = peel(peel(alive)).localCheckpoint(true)
       val nextCount = next.count()
-      // a round that drops nobody still recomputes degrees restricted
-      // to the final alive set — exactly the core-internal degree the
-      // caller wants, so the last `next` doubles as the result
       converged = nextCount == aliveCount
       alive = next
       aliveCount = nextCount
       it += 1
     }
-    require(converged, s"k-core peeling did not converge in $maxIter rounds")
+    require(converged, s"k-core peeling did not converge in ${2 * maxIter} rounds")
     alive.select(col("node"), col("deg").as("core_degree"))
   }
 }
