@@ -166,6 +166,66 @@ object Stats {
           log(10.0, lit(1.0) + lit(1.0) / col("d")))), 6).as("max_dev"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic plus the 1-D earth-mover
+    * distance between two groups' empirical distributions:
+    * KS = max_x |F_A(x) − F_B(x)|;  EMD = ∫ |F_A − F_B| dx (the
+    * closed-form 1-D Wasserstein-1). One grouped count per distinct
+    * value, then a single ordered window over the value axis.
+    *
+    * The window is unpartitioned — the statistic is global — so its
+    * input is the DISTINCT-VALUE table, not the data: fine whenever the
+    * value domain fits one task (numeric telemetry, doc lengths). For
+    * an unbounded domain at 100 TB, pre-bin values to a fixed grid
+    * first (the ECDF approximation standard practice uses).
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perValue = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(v.as("v"))
+      .agg(sum((col(groupCol) === groupA).cast("long")).as("ca"),
+        sum((col(groupCol) === groupB).cast("long")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy(col("v"))
+    val tot = perValue.agg(sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    val cdf = perValue
+      .withColumn("__fa", sum(col("ca")).over(w))
+      .withColumn("__fb", sum(col("cb")).over(w))
+      .withColumn("__next_v", lead(col("v"), 1).over(wLead))
+      .crossJoin(broadcast(tot))
+      .withColumn("__gap", abs(col("__fa") / col("__na") -
+        col("__fb") / col("__nb")))
+    cdf.agg(
+        first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(col("__gap")).as("__ks"),
+        sum(when(col("__next_v").isNotNull,
+          (col("__next_v") - col("v")) * col("__gap"))
+          .otherwise(lit(0.0))).as("__emd"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__ks") + 1e-9, 6).as("ks"),
+        round(col("__emd") + 1e-9, 6).as("emd"))
+  }
+
+  /** First-order Markov transition matrix over an event sequence: for
+    * each key, consecutive states (ordered by `orderCols`) form
+    * (prev → next) transitions; output is the count and conditional
+    * probability per (prev, next). One window pass + one aggregation —
+    * the sequence never leaves its key's partition.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev"), col(stateCol).as("next"))
+      .agg(count(lit(1)).as("n"))
+    val wPrev = Window.partitionBy(col("prev"))
+    pairs.withColumn("p",
+      round(col("n") / sum(col("n")).over(wPrev) + 1e-9, 6))
+  }
+
   /** Exact rolling median of the trailing `window` rows per key (value
     * ordered by `orderCols`). The trailing slice rides a ROWS window as
     * a bounded array (window is a small constant), sorted in-row — no

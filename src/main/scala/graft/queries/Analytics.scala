@@ -156,6 +156,44 @@ object Analytics {
         .orderBy("qid", "rank")
     }),
 
+    // Two-sample Kolmogorov–Smirnov + 1-D earth-mover distance between
+    // click and view values: distribution-shift detection beyond the
+    // binned KL/JS drift gates (exact ECDFs, no binning).
+    "q_ks_test" -> ((s, dir) => {
+      Stats.ksTest(t(s, dir, "events"), "event_type", "value",
+        "click", "view")
+    }),
+
+    // First-order Markov transition matrix of per-user event-type
+    // sequences: one lag window + one aggregation.
+    "q_markov_transitions" -> ((s, dir) => {
+      Stats.transitionMatrix(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type")
+        .orderBy("prev", "next")
+    }),
+
+    // End-to-end deterministic linkage: Fellegi–Sunter agreement
+    // (n_agree >= 2 of 3 attributes within a block) as the match edge
+    // set, then min-label connected components — the classical
+    // pipeline's answer to the reference's Bayesian linkage clusters.
+    // The oracle replays the scoring relationally and closes the
+    // transitive reachability recursively.
+    "q_fs_clusters" -> ((s, dir) => {
+      val rec = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("acct_bucket"),
+        (floor(col("c_acctbal") * 100) % 100).as("cents"),
+        (col("c_custkey") % 97).as("key_mod"))
+      val edges = graft.er.FellegiSunter.scoreBlockedPairs(rec, "c_custkey",
+          Seq("acct_bucket", "cents", "key_mod"),
+          Map("acct_bucket" -> 0.9, "cents" -> 0.95, "key_mod" -> 0.8),
+          Seq("c_nationkey", "c_mktsegment"))
+        .filter(col("n_agree") >= 2)
+        .select(col("a"), col("b"))
+      graft.operators.ConnectedComponents.components(edges)
+        .orderBy("id")
+    }),
+
     // Count-min sketch frequency estimates: the mergeable fixed-size
     // counter aggregate; estimates for the exact top-20 users must
     // bracket the true counts within the CMS overcount bound. The
@@ -486,6 +524,68 @@ object Analytics {
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH pv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY v),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv),
+        |cdf AS (
+        |  SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+        |    lead(v) OVER (ORDER BY v) AS next_v
+        |  FROM pv),
+        |g AS (
+        |  SELECT v, next_v,
+        |    abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb) AS gap
+        |  FROM cdf, tot)
+        |SELECT CAST(any_value(na) AS BIGINT) AS n_a,
+        |  CAST(any_value(nb) AS BIGINT) AS n_b,
+        |  round(max(gap) + 1e-9, 6) AS ks,
+        |  round(sum(CASE WHEN next_v IS NOT NULL
+        |    THEN (next_v - v) * gap ELSE 0.0 END) + 1e-9, 6) AS emd
+        |FROM g, tot""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS next, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, next, count(*) AS n FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY prev, next)
+        |SELECT prev, next, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY prev) + 1e-9, 6) AS p
+        |FROM c ORDER BY prev, next""".stripMargin,
+
+    "q_fs_clusters" ->
+      """WITH RECURSIVE rec AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000) AS acct_bucket,
+        |    floor(c_acctbal * 100) % 100 AS cents,
+        |    c_custkey % 97 AS key_mod
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT l.c_custkey AS a, r.c_custkey AS b
+        |  FROM rec l JOIN rec r
+        |    ON l.c_nationkey = r.c_nationkey
+        |   AND l.c_mktsegment = r.c_mktsegment
+        |   AND l.c_custkey < r.c_custkey
+        |  WHERE CAST(l.acct_bucket = r.acct_bucket AS INTEGER) +
+        |        CAST(l.cents = r.cents AS INTEGER) +
+        |        CAST(l.key_mod = r.key_mod AS INTEGER) >= 2),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS id, least(a, min(b)) AS comp
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     // exact counts + always-true contract booleans: the CMS itself is
     // engine-specific state, so the oracle pins what must hold of it

@@ -103,6 +103,47 @@ class StatsSpec extends AnyFunSuite {
     assert(r.collect().head.getAs[Long]("n") == 5)
   }
 
+  test("ksTest: identical samples -> 0; disjoint ranges -> 1; hand case") {
+    val same = (1 to 50).flatMap(i => Seq(("a", i * 1.0), ("b", i * 1.0)))
+    val r0 = Stats.ksTest(same.toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head
+    assert(r0.getAs[Double]("ks") == 0.0 && r0.getAs[Double]("emd") == 0.0)
+
+    val disj = (1 to 20).map(i => ("a", i * 1.0)) ++
+      (1 to 20).map(i => ("b", 100.0 + i))
+    val r1 = Stats.ksTest(disj.toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head
+    assert(r1.getAs[Double]("ks") == 1.0)
+
+    // A = {1,2,3,4}, B = {3,4,5,6}: F_A-F_B peaks at |1/2-0| = 1/2 at v=2
+    // EMD = ∫|F_A-F_B| = gaps: [1,2):.25 [2,3):.5 [3,4):.5 [4,5):.5
+    //   wait F at v=3: A=3/4,B=1/4 → .5; v=4: 1 vs .5 → .5; v=5: 1 vs .75
+    //   → .25; total = 1·(.25+.5+.5+.5+.25) = 2.0
+    val ab = Seq(1, 2, 3, 4).map(v => ("a", v * 1.0)) ++
+      Seq(3, 4, 5, 6).map(v => ("b", v * 1.0))
+    val r2 = Stats.ksTest(ab.toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head
+    assert(r2.getAs[Double]("ks") == 0.5)
+    assert(r2.getAs[Double]("emd") == 2.0)
+  }
+
+  test("transitionMatrix: hand-built sequences; rows sum to 1") {
+    // user 1: x→y→x→y ; user 2: x→x→y (ordered by t)
+    val df = Seq(
+      (1L, 1L, "x"), (1L, 2L, "y"), (1L, 3L, "x"), (1L, 4L, "y"),
+      (2L, 1L, "x"), (2L, 2L, "x"), (2L, 3L, "y"))
+      .toDF("k", "t", "st")
+    val out = Stats.transitionMatrix(df, "k", Seq("t"), "st")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // transitions: u1: xy, yx, xy; u2: xx, xy → x→y:3, y→x:1, x→x:1
+    assert(out(("x", "y"))._1 == 3L && out(("y", "x"))._1 == 1L &&
+      out(("x", "x"))._1 == 1L)
+    assert(math.abs(out(("x", "y"))._2 - 0.75) < 1e-6)
+    assert(math.abs(out(("x", "x"))._2 - 0.25) < 1e-6)
+    assert(out(("y", "x"))._2 == 1.0)
+  }
+
   test("rollingMedian: warm-up slices interpolate, steady window exact") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
       (1L, 4L, 100.0), (1L, 5L, 50.0), (1L, 6L, 60.0))
