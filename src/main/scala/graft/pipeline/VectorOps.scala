@@ -538,6 +538,66 @@ object VectorOps {
         round(avg(col("__s")) + 1e-9, 4).as("avg_silhouette"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): vectors split into
+    * `m` subvectors, each quantized to its nearest subspace centroid;
+    * a query's distance to an encoded vector is the sum of
+    * per-subspace distances to the stored CODES (asymmetric distance
+    * computation). The index stores m bytes-ish per vector instead of
+    * the full float array — the memory step that makes billion-vector
+    * ANN feasible; IVF (cell pruning) and PQ (compression) compose.
+    *
+    * Centroids are supplied (deterministic subsets in the gates,
+    * k-means at scale), so the whole pipeline is reproducible
+    * relational algebra: encode = argmin join against the broadcast
+    * codebook (ties → smaller centroid id), search = distance-table
+    * join + an IN-ROW j-ordered fold (so the per-subspace sum order is
+    * pinned and the DuckDB oracle reproduces it bitwise).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, m: Int, k: Int): DataFrame = {
+    // per-subspace codebook: (j, cenId, subvector) — broadcast-sized.
+    // Sub-length derives from each frame's own vector column (the
+    // codebook frame has no corpus column).
+    def subvecs(c: org.apache.spark.sql.Column) = {
+      val len = (org.apache.spark.sql.functions.size(c) / m).cast("int")
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(c, j * len + 1, len)))
+    }
+    val cb = centroids
+      .select(col("cenId"), subvecs(col("cenVec")).as(Seq("j", "csub")))
+    val enc = graft.Tables.fanOut(corpus)
+      .select(col(idCol).as("cid"), subvecs(col(vecCol)).as(Seq("j", "vsub")))
+      .join(broadcast(cb), "j")
+      .groupBy(col("cid"), col("j"))
+      .agg(min_by(col("cenId"),
+        struct(l2DistSq(col("vsub"), col("csub")).as("d"), col("cenId")))
+        .as("code"))
+    val qsub = queries
+      .select(col(idCol).as("qid"), subvecs(col(vecCol)).as(Seq("j", "qsub")))
+    // asymmetric distance tables: query-subvector × codebook
+    val dt = qsub.join(broadcast(cb), "j")
+      .select(col("qid"), col("j"), col("cenId"),
+        l2DistSq(col("qsub"), col("csub")).as("d"))
+    val dists = enc
+      .join(broadcast(dt),
+        col("code") === col("cenId") && enc("j") === dt("j"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      // j-ordered in-row fold pins the 4-term sum order cross-engine
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(enc("j"), col("d")))),
+          s => s("d")),
+        lit(0.0d), (acc, v) => acc + v).as("adist"))
+    dists
+      .withColumn("adist", round(col("adist"), 6))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        -col("adist"), col("cid").cast("long"), k).as("__top"))
+      .select(col("qid") +: Seq(posexplode(col("__top"))): _*)
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("cid"), (-col("col.score")).as("adist"))
+  }
+
   /** k-nearest-neighbor classification: each query's label is the
     * majority label among its k exact cosine neighbors (ties: more
     * votes win, then the smaller label). Rides the bounded-heap top-k

@@ -156,6 +156,28 @@ object Analytics {
         .orderBy("qid", "rank")
     }),
 
+    // Multinomial naive Bayes trained on (text → lang): the relational
+    // classifier baseline — two aggregations to train, a broadcast
+    // |V|×|classes| model, one postings join to score.
+    "q_naive_bayes" -> ((s, dir) => {
+      graft.pipeline.Classify.naiveBayes(t(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Product-quantization ANN (4 subspaces × 16 deterministic
+    // centroids): encoded corpus + asymmetric distance tables — the
+    // compression half of billion-scale vector search (IVF being the
+    // pruning half, gated separately).
+    "q_ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cen = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cenId"), col("embedding").as("cenVec"))
+      VectorOps.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", cen, m = 4, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Two-sample Kolmogorov–Smirnov + 1-D earth-mover distance between
     // click and view values: distribution-shift detection beyond the
     // binned KL/JS drift gates (exact ECDFs, no binning).
@@ -523,6 +545,76 @@ object Analytics {
         |  (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_naive_bayes" ->
+      """WITH post AS (
+        |  SELECT doc_id, lang AS lbl,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lbl, t, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM post WHERE length(t) > 0 GROUP BY doc_id, lbl, t),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |pri AS (SELECT lang AS c, ln(count(*) / n) AS logprior
+        |  FROM documents, nd GROUP BY lang, n),
+        |voc AS (SELECT DISTINCT t FROM tf),
+        |vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM voc),
+        |ct AS (SELECT lbl AS c, t, sum(tf) AS ctc FROM tf GROUP BY lbl, t),
+        |tot AS (SELECT c, sum(ctc) AS tc FROM ct GROUP BY c),
+        |model AS (
+        |  SELECT tot.c, voc.t,
+        |    ln((coalesce(ct.ctc, 0) + 1.0) / (tot.tc + vs.v)) AS logp
+        |  FROM voc CROSS JOIN tot CROSS JOIN vs
+        |  LEFT JOIN ct ON ct.c = tot.c AND ct.t = voc.t),
+        |scores AS (
+        |  SELECT tf.doc_id, model.c,
+        |    round(sum(tf.tf * model.logp) + any_value(pri.logprior), 6)
+        |      AS score
+        |  FROM tf JOIN model ON tf.t = model.t
+        |  JOIN pri ON pri.c = model.c
+        |  GROUP BY tf.doc_id, model.c),
+        |best AS (
+        |  SELECT doc_id, c, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rk
+        |  FROM scores)
+        |SELECT doc_id, c AS pred, score
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |cen AS (SELECT vec_id AS cen_id, v AS cv FROM e WHERE vec_id < 16),
+        |csub AS (SELECT cen_id, j, list_slice(cv, j * 16 + 1, j * 16 + 16)
+        |  AS cs FROM cen, js),
+        |vsub AS (SELECT vec_id AS cid, j, list_slice(v, j * 16 + 1, j * 16 + 16)
+        |  AS vs FROM e, js),
+        |encr AS (
+        |  SELECT cid, vsub.j, cen_id, row_number() OVER
+        |    (PARTITION BY cid, vsub.j ORDER BY
+        |      list_reduce(list_transform(list_zip(vs, cs),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM vsub JOIN csub ON vsub.j = csub.j),
+        |enc AS (SELECT cid, j, cen_id AS code FROM encr WHERE rk = 1),
+        |qsub AS (SELECT vec_id AS qid, j, list_slice(v, j * 16 + 1, j * 16 + 16)
+        |  AS qs FROM e, js WHERE vec_id < 5),
+        |dt AS (
+        |  SELECT qid, qsub.j, cen_id,
+        |    list_reduce(list_transform(list_zip(qs, cs),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
+        |  FROM qsub JOIN csub ON qsub.j = csub.j),
+        |ad AS (
+        |  SELECT qid, cid,
+        |    round(list_reduce(list(d ORDER BY enc.j), (a, b) -> a + b), 6)
+        |      AS adist
+        |  FROM enc JOIN dt ON enc.code = dt.cen_id AND enc.j = dt.j
+        |  WHERE cid <> qid GROUP BY qid, cid),
+        |ranked AS (SELECT qid, cid, adist, row_number() OVER
+        |  (PARTITION BY qid ORDER BY adist ASC, cid ASC) AS rank FROM ad)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, adist
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_ks_test" ->

@@ -27,6 +27,17 @@ object SqlSurface {
   /** SQL text shared verbatim between the Spark run and the DuckDB
     * oracle. Restricted to the ANSI intersection both engines parse. */
   private val sharedSql: Map[String, String] = Map(
+    // ANSI FILTER clause on aggregates: per-group conditional
+    // aggregation without CASE scaffolding
+    "q_sql_filter_clause" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+        |    AS disc_rev,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+        |    AS n_supp_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // TPC-H Q3 flavor: join + agg + top-N with deterministic tie-break
     "q_sql_shipping_priority" ->
       """SELECT o_orderkey,

@@ -58,6 +58,45 @@ class StatsVectorSpec extends AnyFunSuite {
     assert(b.forall(_ < 0.3), s"interleaved labels: ${b.toSeq}")
   }
 
+  test("pqTopK: zero quantization error when vectors ARE centroids") {
+    // corpus = the 4 centroids themselves → codes are exact, adist to a
+    // query equals its true subspace-sum distance
+    val vecs = (0 until 4).map { i =>
+      val v = Array.fill(8)(0f); v(i * 2) = 1f; (i.toLong, v)
+    }
+    val df = vecs.toDF("id", "vec")
+    val cen = df.select(col("id").as("cenId"), col("vec").as("cenVec"))
+    val out = VectorOps.pqTopK(df, df.filter(col("id") === 0), "id", "vec",
+        cen, m = 4, k = 3)
+      .select("rank", "cid", "adist").as[(Int, Long, Double)].collect()
+    // all other centroids are at L2² = 2 from query 0 (1 lost + 1 gained)
+    assert(out.length == 3)
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(out.forall(_._3 == 2.0), s"exact distances expected: ${out.toSeq}")
+  }
+
+  test("pqTopK approximates brute-force ranking on clustered data") {
+    // three tight clusters around distinct axes; PQ with those cluster
+    // centers as the codebook must rank same-cluster vectors first
+    val rnd = new java.util.Random(5)
+    val pts = for { l <- 0 until 3; i <- 0 until 8 } yield {
+      val v = Array.fill(6)(0.01f * rnd.nextFloat())
+      v(l * 2) = 1f + 0.01f * i
+      ((l * 8 + i).toLong, v, l)
+    }
+    val df = pts.map(p => (p._1, p._2)).toDF("id", "vec")
+    val cen = (0 until 3).map { l =>
+      val v = Array.fill(6)(0f); v(l * 2) = 1f; (l.toLong, v)
+    }.toDF("cenId", "cenVec")
+    val out = VectorOps.pqTopK(df, df.filter(col("id") < 3), "id", "vec",
+        cen, m = 3, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    out.foreach { case (qid, cid) =>
+      assert(cid / 8 == qid / 8,
+        s"query $qid matched cross-cluster vector $cid")
+    }
+  }
+
   test("knnClassify recovers planted labels and breaks ties to smaller") {
     // 3 tight clusters in distinct directions; every query's 5
     // neighbors are its own cluster → prediction = planted label
