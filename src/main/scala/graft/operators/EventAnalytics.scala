@@ -283,4 +283,46 @@ object EventAnalytics {
         (s, x) => lit(alpha) * x + lit(1.0 - alpha) * s))
       .drop("__seq0", "__seq", "__vs")
   }
+
+  /** Holt's linear-trend (double exponential) smoothing per key: the
+    * EWMA's forecasting sibling, carrying (level, trend) state —
+    *   l' = α·x + (1−α)(l + b);  b' = β(l' − l) + (1−β)b
+    * initialized at (x₁, 0). Emits the converged level/trend and the
+    * one-step-ahead forecast l + b.
+    *
+    * Same shape as [[ewma]]: ONE shuffle (the per-key collect), an
+    * in-row time-sorted fold with a struct accumulator, the hot-key
+    * guard bounding per-key memory. The identical fold replays in the
+    * oracle as a DuckDB `list_reduce` over a struct — double-typed
+    * constants on both sides keep the recurrence bit-identical.
+    */
+  def holtForecast(events: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, valueCol: String, alpha: Double, beta: Double,
+      maxEventsPerKey: Int = DefaultMaxEventsPerKey): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(beta >= 0 && beta <= 1, "beta must be in [0, 1]")
+    val seq0 = events
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col(timeCol).as("t"),
+          col(tieCol).as("tie"), col(valueCol).cast("double").as("v"))))
+          .as("__seq0"))
+      .withColumn("__seq",
+        guarded(col("__seq0"), col(keyCol), maxEventsPerKey, "holt"))
+      .withColumn("__vs", transform(col("__seq"), e => e.getField("v")))
+    val lNext = (acc: Column, x: Column) =>
+      lit(alpha) * x + lit(1.0 - alpha) * (acc("l") + acc("b"))
+    seq0
+      .withColumn("__st", aggregate(
+        slice(col("__vs"), lit(2), size(col("__vs")) - 1),
+        struct(element_at(col("__vs"), 1).as("l"), lit(0.0d).as("b")),
+        (acc, x) => struct(
+          lNext(acc, x).as("l"),
+          (lit(beta) * (lNext(acc, x) - acc("l")) +
+            lit(1.0 - beta) * acc("b")).as("b"))))
+      .select(col(keyCol), col("n_events"),
+        round(col("__st.l"), 6).as("level"),
+        round(col("__st.b"), 6).as("trend"),
+        round(col("__st.l") + col("__st.b"), 6).as("forecast"))
+  }
 }

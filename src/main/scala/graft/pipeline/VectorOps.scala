@@ -598,6 +598,74 @@ object VectorOps {
         col("col.id").as("cid"), (-col("col.score")).as("adist"))
   }
 
+  /** IVF + PQ composed — the standard billion-scale ANN stack: IVF
+    * prunes the corpus to the query's `nprobe` nearest cells, PQ scores
+    * the survivors from codes instead of full vectors. Pruning and
+    * compression are independent axes; this operator proves they
+    * compose in the same dataflow (cell equi-join → code/distance-table
+    * join → bounded-heap top-k) with no step quadratic in the corpus.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, ivfCentroids: DataFrame, pqCentroids: DataFrame,
+      nprobe: Int, m: Int, k: Int): DataFrame = {
+    // IVF half: corpus cells + per-query probe set (argmin machinery
+    // shared with ivfTopK)
+    val cells = assignToCells(corpus, idCol, vecCol, ivfCentroids)
+      .select(col("cid"), col("cell"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .join(broadcast(ivfCentroids))
+      .select(col("qid"), col("cenId"),
+        l2DistSq(col("qvec"), col("cenVec")).as("distSq"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        -col("distSq"), col("cenId").cast("long"), nprobe).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__p"))
+      .select(col("qid"), col("__p.id").as("cell"))
+    // candidate pairs: queries meet only their probed cells' vectors
+    val cand = probes.join(cells, "cell")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"))
+    // PQ half: encode corpus, per-query distance tables, j-ordered fold
+    def subvecs(c: org.apache.spark.sql.Column) = {
+      val len = (org.apache.spark.sql.functions.size(c) / m).cast("int")
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(c, j * len + 1, len)))
+    }
+    val cb = pqCentroids
+      .select(col("cenId"), subvecs(col("cenVec")).as(Seq("j", "csub")))
+    val enc = graft.Tables.fanOut(corpus)
+      .select(col(idCol).as("cid"), subvecs(col(vecCol)).as(Seq("j", "vsub")))
+      .join(broadcast(cb), "j")
+      .groupBy(col("cid"), col("j"))
+      .agg(min_by(col("cenId"),
+        struct(l2DistSq(col("vsub"), col("csub")).as("d"), col("cenId")))
+        .as("code"))
+    val dt = queries
+      .select(col(idCol).as("qid"), subvecs(col(vecCol)).as(Seq("j", "qsub")))
+      .join(broadcast(cb), "j")
+      .select(col("qid"), col("j"), col("cenId"),
+        l2DistSq(col("qsub"), col("csub")).as("d"))
+    val dists = cand
+      .join(enc, "cid")
+      .join(broadcast(dt),
+        col("code") === col("cenId") && enc("j") === dt("j") &&
+          cand("qid") === dt("qid"))
+      .groupBy(cand("qid"), col("cid"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(enc("j"), col("d")))),
+          s => s("d")),
+        lit(0.0d), (acc, v) => acc + v).as("adist"))
+    dists
+      .withColumn("adist", round(col("adist"), 6))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        -col("adist"), col("cid").cast("long"), k).as("__top"))
+      .select(col("qid") +: Seq(posexplode(col("__top"))): _*)
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("cid"), (-col("col.score")).as("adist"))
+  }
+
   /** k-nearest-neighbor classification: each query's label is the
     * majority label among its k exact cosine neighbors (ties: more
     * votes win, then the smaller label). Rides the bounded-heap top-k

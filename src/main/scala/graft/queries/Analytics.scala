@@ -156,6 +156,27 @@ object Analytics {
         .orderBy("qid", "rank")
     }),
 
+    // Holt's linear-trend smoothing per user (EWMA + trend state):
+    // level/trend/one-step forecast from a single-shuffle in-row fold.
+    "q_holt_forecast" -> ((s, dir) => {
+      graft.operators.EventAnalytics.holtForecast(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.1)
+        .orderBy("user_id")
+    }),
+
+    // IVF pruning composed with PQ compression — the billion-scale ANN
+    // stack in one dataflow: probe 3 cells, score survivors from codes.
+    "q_ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfCen = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cenId"), col("embedding").as("cenVec"))
+      val pqCen = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select(col("vec_id").as("cenId"), col("embedding").as("cenVec"))
+      VectorOps.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", ivfCen, pqCen, nprobe = 3, m = 4, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Multinomial naive Bayes trained on (text → lang): the relational
     // classifier baseline — two aggregations to train, a broadcast
     // |V|×|classes| model, one postings join to score.
@@ -545,6 +566,101 @@ object Analytics {
         |  (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the identical (level, trend) recurrence, replayed as a recursive
+    // CTE stepping each key's sequence in (ts, event_id) order. NOT a
+    // list_reduce-with-struct-accumulator: DuckDB evaluates the new
+    // struct's fields SEQUENTIALLY against a partially-updated
+    // accumulator (the 'b' expression would see the new 'l'), which
+    // silently changes the recurrence; the recursive join is
+    // semantics-stable and runs the same double arithmetic as the
+    // engine's in-row fold (e0 suffixes keep constants DOUBLE).
+    "q_holt_forecast" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, rn, x AS l, 0.0e0 AS b FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.rn,
+        |    0.25e0 * ev.x + 0.75e0 * (rec.l + rec.b),
+        |    0.1e0 * (0.25e0 * ev.x + 0.75e0 * (rec.l + rec.b) - rec.l)
+        |      + 0.9e0 * rec.b
+        |  FROM rec JOIN ev ON ev.user_id = rec.user_id
+        |    AND ev.rn = rec.rn + 1),
+        |fin AS (
+        |  SELECT user_id, rn, l, b, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY rn DESC) AS rk
+        |  FROM rec)
+        |SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + b, 6) AS forecast
+        |FROM fin WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    // IVF probe set replayed relationally (q_ann_ivf pattern) ∘ PQ
+    // code + distance-table replay (q_ann_pq pattern), restricted to
+    // the probed candidates
+    "q_ann_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ivfc AS (SELECT vec_id AS cen_id, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id AS cid, cen_id, row_number() OVER
+        |    (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(e.v, ivfc.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM e, ivfc),
+        |cells AS (SELECT cid, cen_id AS cell FROM asg WHERE rk = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, cen_id, row_number() OVER
+        |    (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(e.v, ivfc.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM e, ivfc WHERE e.vec_id < 5),
+        |probes AS (SELECT qid, cen_id AS cell FROM qp WHERE rk <= 3),
+        |cand AS (
+        |  SELECT qid, cid FROM probes JOIN cells USING (cell)
+        |  WHERE cid <> qid),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |pqc AS (SELECT vec_id AS cen_id, v AS cv FROM e
+        |  WHERE vec_id >= 16 AND vec_id < 32),
+        |csub AS (SELECT cen_id, j, list_slice(cv, j * 16 + 1, j * 16 + 16)
+        |  AS cs FROM pqc, js),
+        |vsub AS (SELECT vec_id AS cid, j, list_slice(v, j * 16 + 1, j * 16 + 16)
+        |  AS vs FROM e, js),
+        |encr AS (
+        |  SELECT cid, vsub.j, cen_id, row_number() OVER
+        |    (PARTITION BY cid, vsub.j ORDER BY
+        |      list_reduce(list_transform(list_zip(vs, cs),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+        |      cen_id ASC) AS rk
+        |  FROM vsub JOIN csub ON vsub.j = csub.j),
+        |enc AS (SELECT cid, j, cen_id AS code FROM encr WHERE rk = 1),
+        |qsub AS (SELECT vec_id AS qid, j, list_slice(v, j * 16 + 1, j * 16 + 16)
+        |  AS qs FROM e, js WHERE vec_id < 5),
+        |dt AS (
+        |  SELECT qid, qsub.j, cen_id,
+        |    list_reduce(list_transform(list_zip(qs, cs),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
+        |  FROM qsub JOIN csub ON qsub.j = csub.j),
+        |ad AS (
+        |  SELECT cand.qid, cand.cid,
+        |    round(list_reduce(list(d ORDER BY enc.j), (a, b) -> a + b), 6)
+        |      AS adist
+        |  FROM cand
+        |  JOIN enc ON enc.cid = cand.cid
+        |  JOIN dt ON dt.qid = cand.qid AND dt.cen_id = enc.code
+        |    AND dt.j = enc.j
+        |  GROUP BY cand.qid, cand.cid),
+        |ranked AS (SELECT qid, cid, adist, row_number() OVER
+        |  (PARTITION BY qid ORDER BY adist ASC, cid ASC) AS rank FROM ad)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, adist
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_naive_bayes" ->

@@ -144,6 +144,33 @@ class StatsSpec extends AnyFunSuite {
     assert(out(("y", "x"))._2 == 1.0)
   }
 
+  test("holtForecast tracks a linear series exactly in the limit") {
+    // x_t = 10 + 2t: Holt with any alpha/beta converges to level = x_t,
+    // trend = 2 (exactly linear input is a fixed point of the recurrence)
+    val xs = (1 to 60).map(t => (1L, t.toLong, t.toLong, 10.0 + 2 * t))
+    val df = xs.toDF("k", "t", "tie", "v")
+    val r = graft.operators.EventAnalytics.holtForecast(df, "k", "t",
+      "tie", "v", alpha = 0.5, beta = 0.3).collect().head
+    assert(math.abs(r.getAs[Double]("trend") - 2.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("level") - 130.0) < 1e-2)
+    assert(math.abs(r.getAs[Double]("forecast") - 132.0) < 1e-2)
+  }
+
+  test("holtForecast matches a reference fold on random sequences") {
+    val rnd = new java.util.Random(9)
+    val xs = (1 to 40).map(t => (1L, t.toLong, t.toLong, rnd.nextDouble() * 50))
+    val r = graft.operators.EventAnalytics.holtForecast(
+      xs.toDF("k", "t", "tie", "v"), "k", "t", "tie", "v", 0.25, 0.1)
+      .collect().head
+    var l = xs.head._4; var b = 0.0
+    xs.tail.foreach { case (_, _, _, x) =>
+      val ln = 0.25 * x + 0.75 * (l + b)
+      b = 0.1 * (ln - l) + 0.9 * b; l = ln
+    }
+    assert(math.abs(r.getAs[Double]("level") - l) < 1e-6)
+    assert(math.abs(r.getAs[Double]("trend") - b) < 1e-6)
+  }
+
   test("rollingMedian: warm-up slices interpolate, steady window exact") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
       (1L, 4L, 100.0), (1L, 5L, 50.0), (1L, 6L, 60.0))

@@ -97,6 +97,26 @@ class StatsVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: candidates restricted to probed cells, PQ-scored") {
+    // clusters on axes; IVF centroids = cluster centers, PQ codebook =
+    // the same centers → within-cluster candidates at adist ~0, the
+    // probe set must exclude the farthest cluster when nprobe = 2
+    val pts = for { l <- 0 until 3; i <- 0 until 6 } yield {
+      val v = Array.fill(6)(0f); v(l * 2) = 1f + 0.01f * i
+      ((l * 6 + i).toLong, v)
+    }
+    val df = pts.toDF("id", "vec")
+    val cen = (0 until 3).map { l =>
+      val v = Array.fill(6)(0f); v(l * 2) = 1f; (l.toLong, v)
+    }.toDF("cenId", "cenVec")
+    val out = VectorOps.ivfPqTopK(df, df.filter(col("id") === 0), "id",
+        "vec", cen, cen, nprobe = 1, m = 3, k = 10)
+      .select("cid").as[Long].collect().toSet
+    // nprobe=1 → only the query's own cell (cluster 0) is searched
+    assert(out == Set(1L, 2L, 3L, 4L, 5L),
+      s"nprobe=1 must restrict candidates to the home cell: $out")
+  }
+
   test("knnClassify recovers planted labels and breaks ties to smaller") {
     // 3 tight clusters in distinct directions; every query's 5
     // neighbors are its own cluster → prediction = planted label
