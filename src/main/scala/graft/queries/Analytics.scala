@@ -156,6 +156,24 @@ object Analytics {
         .orderBy("qid", "rank")
     }),
 
+    // Parquet compression-codec roundtrips: the same table written
+    // with gzip / snappy / zstd and read back must be value-identical
+    // (count, distinct content hashes, byte totals) — a 100 TB lake
+    // mixes codecs across table generations.
+    "q_parquet_codecs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Seq("gzip", "snappy", "zstd").map { c =>
+        val tmp = graft.util.Scratch.dir(s"pq_$c")
+        docs.write.mode("overwrite").option("compression", c).parquet(tmp)
+        s.read.parquet(tmp).agg(
+          count(lit(1)).as("n"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_hashes"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(c).as("codec"), col("n"), col("n_hashes"),
+            col("sum_chars"))
+      }.reduce(_.unionByName(_)).orderBy("codec")
+    }),
+
     // Holt's linear-trend smoothing per user (EWMA + trend state):
     // level/trend/one-step forecast from a single-shuffle in-row fold.
     "q_holt_forecast" -> ((s, dir) => {
@@ -567,6 +585,16 @@ object Analytics {
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // each codec leg must equal the original table's aggregates
+    "q_parquet_codecs" ->
+      """SELECT codec, n, n_hashes, sum_chars
+        |FROM (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec),
+        |  (SELECT count(*) AS n,
+        |     count(DISTINCT md5(text)) AS n_hashes,
+        |     CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |   FROM documents)
+        |ORDER BY codec""".stripMargin,
 
     // the identical (level, trend) recurrence, replayed as a recursive
     // CTE stepping each key's sequence in (ts, event_id) order. NOT a

@@ -27,6 +27,19 @@ object SqlSurface {
   /** SQL text shared verbatim between the Spark run and the DuckDB
     * oracle. Restricted to the ANSI intersection both engines parse. */
   private val sharedSql: Map[String, String] = Map(
+    // datetime algebra in the ANSI intersection: date_trunc + extract
+    // (casts pin the cross-engine result types — DuckDB's date_trunc
+    // returns DATE at month granularity and extract returns BIGINT,
+    // Spark TIMESTAMP and INT)
+    "q_sql_datetime" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS mon, event_type,
+        |  count(*) AS n,
+        |  CAST(min(extract(day FROM ts)) AS INTEGER) AS first_dom,
+        |  CAST(max(extract(hour FROM ts)) AS INTEGER) AS max_hour,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS INTEGER) AS n_days
+        |FROM events GROUP BY mon, event_type
+        |ORDER BY mon, event_type""".stripMargin,
+
     // ANSI FILTER clause on aggregates: per-group conditional
     // aggregation without CASE scaffolding
     "q_sql_filter_clause" ->

@@ -48,6 +48,27 @@ object StreamingQueries {
         .orderBy("user_id", "bucket", "event_id")
     }),
 
+    // Streaming percentile sketch (Complete mode, one bounded mergeable
+    // sketch per group): the drained approx median must land inside the
+    // exact p45–p55 band computed from the batch table — the same
+    // accuracy contract as the batch q_approx_quantiles gate.
+    "q_stream_approx_quantiles" -> ((s, dir) => {
+      val name = s"stream_apxq_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runApproxQuantilesOnce(s, dir, name)
+      drained(q)
+      val bounds = graft.Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY value)")
+          .as("__lo"),
+          expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY value)")
+            .as("__hi"))
+      s.table(name).join(bounds, "event_type")
+        .select(col("event_type"), col("n"),
+          (col("apx") >= col("__lo") && col("apx") <= col("__hi"))
+            .as("median_in_band"))
+        .orderBy("event_type")
+    }),
+
     "q_stream_windowed_counts" -> ((s, dir) => {
       val name = s"stream_counts_${runCounter.incrementAndGet()}"
       val q = EventStreams.runWindowedCountsOnce(s, dir, name)
@@ -418,6 +439,10 @@ object StreamingQueries {
       |ORDER BY user_id, start_us""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stream_approx_quantiles" ->
+      """SELECT event_type, count(*) AS n, TRUE AS median_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // first-3-per-(user, day) by (event-time, id) — the batch
     // replay of the rate limiter's admission contract
     "q_stream_rate_limit" ->

@@ -717,6 +717,29 @@ object EventStreams {
     }
   }
 
+  /** Streaming percentile sketch: approx_percentile is a mergeable
+    * TypedImperativeAggregate, so Complete mode carries ONE bounded
+    * sketch per group however long the stream runs — the streaming
+    * member of the approx-aggregate family (HLL gate q_approx_distinct,
+    * batch sketch gate q_approx_quantiles). */
+  def runApproxQuantilesOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val ev = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+    StreamConf.withStreamShuffle(spark) {
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(value, 0.5, 10000)").as("apx"))
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   final case class RateKey(user_id: Long, bucket: Long)
   final case class KeptEvent(user_id: Long, bucket: Long, event_id: Long,
       ts_us: Long)
