@@ -50,4 +50,42 @@ object RangeJoin {
         col(leftTimeCol) < col(endCol))
       .drop("__band")
   }
+
+  /** Interval-OVERLAP join: every (left, right) pair whose [start, end)
+    * spans intersect — the two-sided generalization of the containment
+    * join above (concurrent sessions, colliding reservations, lease
+    * conflicts). Vanilla Spark plans the two inequality predicates as a
+    * BroadcastNestedLoopJoin; banding restores a shuffle equi-join.
+    *
+    * Both sides explode into their covered bands. An overlapping pair
+    * shares every band its INTERSECTION covers — so the join would
+    * duplicate it; instead of a `distinct`, the pair is kept only in
+    * the FIRST band of the intersection (band == floor(max(s₁,s₂)/w)),
+    * which each matching pair passes exactly once. Join fan-out is
+    * (len/width + 1) per side — pick the width near the median interval
+    * length, exactly as for the containment join. */
+  def bandedOverlapJoin(left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      bandMicros: Long): DataFrame = {
+    require(bandMicros > 0, "bandMicros must be positive")
+    require(Seq(lStartCol, lEndCol, rStartCol, rEndCol).distinct.size == 4,
+      "interval column names must be pairwise distinct (the overlap " +
+        "filter references both sides by name after the band join)")
+    def micros(df: DataFrame, c: String): Column =
+      microsOf(df.schema(c).dataType, col(c))
+    val lb = left.withColumn("__band", explode(sequence(
+      floor(micros(left, lStartCol) / bandMicros),
+      floor(micros(left, lEndCol) / bandMicros))))
+    val rb = right.withColumn("__band", explode(sequence(
+      floor(micros(right, rStartCol) / bandMicros),
+      floor(micros(right, rEndCol) / bandMicros))))
+    lb.join(rb, "__band")
+      // half-open overlap test + dedupe to the intersection's first band
+      .filter(col(lStartCol) < col(rEndCol) &&
+        col(rStartCol) < col(lEndCol) &&
+        col("__band") === floor(
+          greatest(micros(left, lStartCol), micros(right, rStartCol))
+            / bandMicros))
+      .drop("__band")
+  }
 }

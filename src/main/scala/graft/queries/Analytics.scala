@@ -156,6 +156,77 @@ object Analytics {
         .orderBy("qid", "rank")
     }),
 
+    // Interval-OVERLAP join (two-sided range join): view windows ×
+    // purchase windows that intersect in time — banded to a shuffle
+    // equi-join with first-band dedupe, no BroadcastNestedLoopJoin.
+    // The oracle uses DuckDB's native inequality join.
+    "q_join_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("vid"), unix_micros(col("ts")).as("vs"),
+          (unix_micros(col("ts")) + 600000000L).as("ve"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), unix_micros(col("ts")).as("ps"),
+          (unix_micros(col("ts")) + 300000000L).as("pe"))
+      graft.operators.RangeJoin.bandedOverlapJoin(v, "vs", "ve",
+          p, "ps", "pe", bandMicros = 600000000L)
+        .select(col("vid"), col("pid"),
+          (least(col("ve"), col("pe")) - greatest(col("vs"), col("ps")))
+            .as("overlap_us"))
+        .orderBy("vid", "pid")
+    }),
+
+    // Weighted median per group: Spark's exact percentile with a
+    // frequency column; the oracle replays it over the explicitly
+    // replicated multiset.
+    "q_weighted_median" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("sum(event_id % 5 + 1)").as("total_weight"),
+          round(expr(
+            "percentile(value, 0.5, CAST(event_id % 5 + 1 AS INTEGER))")
+            + 1e-9, 6).as("w_median"))
+        .orderBy("event_type")
+    }),
+
+    // Item-item co-occurrence similarity (co-purchase cosine): the
+    // classic collaborative-filtering neighborhood, bounded by order
+    // size (no unblocked self-join).
+    "q_item_similarity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val counts = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val cooc = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+        .agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      cooc
+        .join(counts.select(col("p").as("p1"), col("c").as("c1")), "p1")
+        .join(counts.select(col("p").as("p2"), col("c").as("c2")), "p2")
+        .select(col("p1"), col("p2"), col("cooc"),
+          round(col("cooc") / sqrt(col("c1") * col("c2")) + 1e-9, 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("p1"), col("p2"))
+        .limit(20)
+    }),
+
+    // k-anonymity audit over quasi-identifiers: the governance scan a
+    // privacy-aware pipeline runs before release — group sizes under
+    // the (nation, segment, balance-bucket) quasi-key.
+    "q_k_anonymity" -> ((s, dir) => {
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("acct_bucket"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(count(lit(1)).as("n_groups"),
+        sum((col("n") < 5).cast("long")).as("n_violating"),
+        sum(when(col("n") < 5, col("n")).otherwise(lit(0L)))
+          .as("records_at_risk"),
+        min(col("n")).as("k_anonymity"))
+    }),
+
     // Parquet compression-codec roundtrips: the same table written
     // with gzip / snappy / zstd and read back must be value-identical
     // (count, distinct content hashes, byte totals) — a 100 TB lake
@@ -585,6 +656,80 @@ object Analytics {
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_join_overlap" ->
+      """WITH v AS (
+        |  SELECT event_id AS vid, epoch_us(ts) AS vs,
+        |    epoch_us(ts) + 600000000 AS ve
+        |  FROM events WHERE event_type = 'view' AND user_id < 30),
+        |p AS (
+        |  SELECT event_id AS pid, epoch_us(ts) AS ps,
+        |    epoch_us(ts) + 300000000 AS pe
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 30)
+        |SELECT vid, pid,
+        |  least(ve, pe) - greatest(vs, ps) AS overlap_us
+        |FROM v JOIN p ON vs < pe AND ps < ve
+        |ORDER BY vid, pid""".stripMargin,
+
+    // the weighted median replayed over the explicitly replicated
+    // multiset with the (n-1)p rank interpolation
+    "q_weighted_median" ->
+      """WITH w AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    CAST(event_id % 5 + 1 AS INTEGER) AS wt
+        |  FROM events),
+        |rep AS (
+        |  SELECT event_type, v FROM w, unnest(range(wt))),
+        |r AS (
+        |  SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+        |      AS DOUBLE) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+        |  FROM rep),
+        |pick AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN rn = floor(1 + (n - 1) * 0.5) THEN v END) AS lov,
+        |    sum(CASE WHEN rn = floor(1 + (n - 1) * 0.5) + 1 THEN v END)
+        |      AS hiv,
+        |    max(1 + (n - 1) * 0.5 - floor(1 + (n - 1) * 0.5)) AS g
+        |  FROM r GROUP BY event_type),
+        |tw AS (
+        |  SELECT event_type, sum(wt) AS total_weight FROM w
+        |  GROUP BY event_type)
+        |SELECT pick.event_type, CAST(tw.total_weight AS BIGINT)
+        |    AS total_weight,
+        |  round(lov + g * (coalesce(hiv, lov) - lov) + 1e-9, 6) AS w_median
+        |FROM pick JOIN tw ON pick.event_type = tw.event_type
+        |ORDER BY pick.event_type""".stripMargin,
+
+    "q_item_similarity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cnt AS (SELECT p, count(*) AS c FROM li GROUP BY p),
+        |cooc AS (
+        |  SELECT x.p AS p1, y.p AS p2, count(*) AS cooc
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY x.p, y.p HAVING count(*) >= 2)
+        |SELECT p1, p2, cooc,
+        |  round(CAST(cooc AS DOUBLE) / sqrt(CAST(c1.c AS DOUBLE) * c2.c)
+        |    + 1e-9, 6) AS cosine
+        |FROM cooc
+        |JOIN cnt c1 ON cooc.p1 = c1.p
+        |JOIN cnt c2 ON cooc.p2 = c2.p
+        |ORDER BY cosine DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000) AS acct_bucket, count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS records_at_risk,
+        |  min(n) AS k_anonymity
+        |FROM g""".stripMargin,
 
     // each codec leg must equal the original table's aggregates
     "q_parquet_codecs" ->

@@ -52,6 +52,40 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(banded == nested && banded.nonEmpty)
   }
 
+  test("banded overlap join equals the nested-loop overlap on random intervals") {
+    val rnd = new java.util.Random(13)
+    val us = 1000000L
+    val left = (0 until 120).map { i =>
+      val s = rnd.nextInt(100000).toLong * us
+      (i.toLong, s, s + (1 + rnd.nextInt(5000)) * us)
+    }.toDF("lid", "ls", "le")
+    val right = (0 until 120).map { i =>
+      val s = rnd.nextInt(100000).toLong * us
+      (i.toLong, s, s + (1 + rnd.nextInt(3000)) * us)
+    }.toDF("rid", "rs", "re")
+    val banded = RangeJoin.bandedOverlapJoin(left, "ls", "le",
+        right, "rs", "re", bandMicros = 2000L * us)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val nested = left.join(right,
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(banded.length == nested.length,
+      s"first-band dedupe must emit each pair once: " +
+        s"${banded.length} vs ${nested.length}")
+    assert(banded.toSet == nested.toSet && banded.nonEmpty)
+  }
+
+  test("overlap join: touching endpoints are half-open (no match)") {
+    val us = 1000000L
+    val left = Seq((1L, 0L, 100L * us)).toDF("lid", "ls", "le")
+    val right = Seq((2L, 100L * us, 200L * us), (3L, 99L * us, 200L * us))
+      .toDF("rid", "rs", "re")
+    val out = RangeJoin.bandedOverlapJoin(left, "ls", "le",
+        right, "rs", "re", bandMicros = 50L * us)
+      .select("rid").as[Long].collect().toSet
+    assert(out == Set(3L), "[0,100) must not overlap [100,200)")
+  }
+
   test("banded interval join accepts raw long-micros columns") {
     val left = (0L until 50L).map(i => (i, i * 600L * 1000000L)).toDF("id", "t")
     val right = Seq(
