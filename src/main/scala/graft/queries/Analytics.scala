@@ -156,6 +156,19 @@ object Analytics {
         .orderBy("qid", "rank")
     }),
 
+    // Hamming distance as pure column algebra (char-array zip — no UDF,
+    // no custom expression needed): each part name vs its reversal,
+    // checked against DuckDB's native hamming().
+    "q_hamming" -> ((s, dir) => {
+      val a = col("p_name")
+      val b = reverse(col("p_name"))
+      t(s, dir, "part").select(col("p_partkey"),
+          aggregate(zip_with(split(a, ""), split(b, ""),
+            (x, y) => (x =!= y).cast("int")), lit(0),
+            (acc, v) => acc + v).as("hamming"))
+        .orderBy("p_partkey")
+    }),
+
     // Interval-OVERLAP join (two-sided range join): view windows ×
     // purchase windows that intersect in time — banded to a shuffle
     // equi-join with first-band dedupe, no BroadcastNestedLoopJoin.
@@ -656,6 +669,11 @@ object Analytics {
         |  FROM scored)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_hamming" ->
+      """SELECT p_partkey,
+        |  CAST(hamming(p_name, reverse(p_name)) AS INTEGER) AS hamming
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_join_overlap" ->
       """WITH v AS (

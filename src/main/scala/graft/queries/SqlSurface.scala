@@ -21,12 +21,25 @@ object SqlSurface {
     registerTables(spark, dir)
     graft.functions.LevenshteinSim.register(spark)
     graft.functions.JaroWinkler.register(spark)
+    graft.functions.DamerauLevenshtein.register(spark)
     spark.sql(query)
   }
 
   /** SQL text shared verbatim between the Spark run and the DuckDB
     * oracle. Restricted to the ANSI intersection both engines parse. */
   private val sharedSql: Map[String, String] = Map(
+    // TRUE Damerau-Levenshtein (unrestricted transpositions) — our
+    // codegen expression registered under the same name and semantics
+    // as DuckDB's native damerau_levenshtein, so ONE SQL text runs on
+    // both engines and the DP kernel is checked cell-exact
+    "q_sql_damerau" ->
+      """SELECT p_partkey,
+        |  CAST(damerau_levenshtein(p_name, 'small polished rings')
+        |    AS INTEGER) AS dl,
+        |  CAST(damerau_levenshtein(substr(p_name, 1, 8),
+        |    substr(reverse(p_name), 1, 8)) AS INTEGER) AS dl_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     // datetime algebra in the ANSI intersection: date_trunc + extract
     // (casts pin the cross-engine result types — DuckDB's date_trunc
     // returns DATE at month granularity and extract returns BIGINT,

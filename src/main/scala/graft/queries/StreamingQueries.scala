@@ -48,6 +48,24 @@ object StreamingQueries {
         .orderBy("user_id", "bucket", "event_id")
     }),
 
+    // Streaming running mean/variance (Welford, 3 numbers of state per
+    // key): the converged moments must match the batch avg/var_samp
+    // replay to 6/5 decimals (both are mathematically exact; only
+    // summation-order ulps differ).
+    "q_stream_welford" -> ((s, dir) => {
+      val name = s"stream_welford_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamingWelfordOnce(s, dir, name)
+      drained(q)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      s.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("n"),
+          round(col("mean") + 1e-9, 6).as("mean"),
+          round(sqrt(col("m2") / (col("n") - 1)) + 1e-9, 5).as("stddev"))
+        .orderBy("user_id")
+    }),
+
     // Streaming percentile sketch (Complete mode, one bounded mergeable
     // sketch per group): the drained approx median must land inside the
     // exact p45–p55 band computed from the batch table — the same
@@ -442,6 +460,12 @@ object StreamingQueries {
     "q_stream_approx_quantiles" ->
       """SELECT event_type, count(*) AS n, TRUE AS median_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_welford" ->
+      """SELECT user_id, count(*) AS n,
+        |  round(avg(CAST(value AS DOUBLE)) + 1e-9, 6) AS mean,
+        |  round(stddev_samp(CAST(value AS DOUBLE)) + 1e-9, 5) AS stddev
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // first-3-per-(user, day) by (event-time, id) — the batch
     // replay of the rate limiter's admission contract

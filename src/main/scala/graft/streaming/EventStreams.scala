@@ -740,6 +740,62 @@ object EventStreams {
     }
   }
 
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+  final case class WelfordOut(user_id: Long, n: Long, mean: Double,
+      m2: Double)
+
+  /** Pure Welford fold — numerically stable running mean/variance,
+    * THREE numbers of state per key regardless of stream length. */
+  private[graft] def foldWelford(st0: WelfordState,
+      xs: Iterator[Double]): WelfordState = {
+    var st = st0
+    xs.foreach { x =>
+      val n = st.n + 1
+      val delta = x - st.mean
+      val mean = st.mean + delta / n
+      st = WelfordState(n, mean, st.m2 + delta * (x - mean))
+    }
+    st
+  }
+
+  /** Streaming per-key running mean/variance (Welford) — the moment
+    * sibling of [[streamingEwma]]: each micro-batch sorts its slice by
+    * (event-time, tie) and folds into the carried (n, mean, M2). */
+  def streamingWelford(events: Dataset[MetricEvent]): Dataset[WelfordOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[WelfordState, WelfordOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[MetricEvent], state: GroupState[WelfordState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+          val st = foldWelford(
+            state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0)),
+            sorted.iterator.map(_.value))
+          state.update(st)
+          WelfordOut(uid, st.n, st.mean, st.m2)
+      }
+  }
+
+  /** Drain-once runner for [[streamingWelford]]. */
+  def runStreamingWelfordOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      streamingWelford(
+          stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")).as[MetricEvent])
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   final case class RateKey(user_id: Long, bucket: Long)
   final case class KeptEvent(user_id: Long, bucket: Long, event_id: Long,
       ts_us: Long)

@@ -37,6 +37,37 @@ class RateLimitSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("welford state is split-invariant across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.MetricEvent]
+    val q = EventStreams.streamingWelford(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("welford_spec").start()
+    val xs = Seq(3.25, 1.5, 7.0, 2.0, 9.75, 4.0)
+    try {
+      // two arbitrary batch splits; the carried (n, mean, M2) must
+      // converge to the one-pass fold bitwise
+      mem.addData(xs.take(2).zipWithIndex.map { case (v, i) =>
+        EventStreams.MetricEvent(1L, i.toLong, i.toLong, v) }: _*)
+      q.processAllAvailable()
+      mem.addData(xs.drop(2).zipWithIndex.map { case (v, i) =>
+        EventStreams.MetricEvent(1L, (i + 2).toLong, (i + 2).toLong, v) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("welford_spec")
+        .orderBy(org.apache.spark.sql.functions.col("n").desc)
+        .as[(Long, Long, Double, Double)].collect()
+      val one = EventStreams.foldWelford(
+        EventStreams.WelfordState(0L, 0.0, 0.0), xs.iterator)
+      assert(rows.head == ((1L, 6L, one.mean, one.m2)),
+        s"split fold ${rows.head} != one-pass $one")
+      val mean = xs.sum / xs.size
+      assert(math.abs(one.mean - mean) < 1e-12)
+      val m2 = xs.map(x => (x - mean) * (x - mean)).sum
+      assert(math.abs(one.m2 - m2) < 1e-9)
+    } finally q.stop()
+  }
+
   test("ties on ts admit the smaller event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
