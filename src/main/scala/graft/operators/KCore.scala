@@ -46,20 +46,20 @@ object KCore {
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
     while (!converged && it < maxIter) {
-      // TWO peels per checkpoint+count: halves the materialization and
-      // action floor (the dominant cost at small per-round work — the
-      // same batching ConnectedComponents uses). The alive set only
-      // shrinks, so count(next2) == count(alive) ⇒ both peels were
-      // no-ops ⇒ fixpoint, and next2's degrees were computed against
-      // the final set — exactly the core-internal degrees returned.
-      val next = peel(peel(alive)).localCheckpoint(true)
+      // ONE peel per checkpoint+count. (A two-peels-per-checkpoint
+      // batching was tried and measured SLOWER: the inner peel feeds
+      // BOTH restriction joins of the outer one, so unmaterialized it
+      // computes twice — 3 join+agg passes per 2 rounds instead of 2.
+      // ConnectedComponents can batch because its propagation reads the
+      // label frame once per round; the peel reads it twice.)
+      val next = peel(alive).localCheckpoint(true)
       val nextCount = next.count()
       converged = nextCount == aliveCount
       alive = next
       aliveCount = nextCount
       it += 1
     }
-    require(converged, s"k-core peeling did not converge in ${2 * maxIter} rounds")
+    require(converged, s"k-core peeling did not converge in $maxIter rounds")
     alive.select(col("node"), col("deg").as("core_degree"))
   }
 }
