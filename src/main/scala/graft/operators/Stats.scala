@@ -226,6 +226,45 @@ object Stats {
       round(col("n") / sum(col("n")).over(wPrev) + 1e-9, 6))
   }
 
+  /** Kaplan–Meier survival estimator over right-censored durations:
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with dᵢ deaths and nᵢ at-risk at
+    * each distinct event time. The product rides exp(Σ ln(·)) so it is
+    * windowable; censored subjects leave the risk set without a death
+    * term. One grouped count per distinct time + one ordered window —
+    * the curve table is |distinct times| rows, not |subjects|.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val t = col(durationCol).cast("long")
+    val ev = col(eventCol).cast("int")
+    val byTime = df.groupBy(t.as("t"))
+      .agg(sum(ev).cast("long").as("d"),
+        count(lit(1)).as("c"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byTime
+      .withColumn("__removed_before",
+        coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .withColumn("n_risk", col("__n") - col("__removed_before"))
+      .filter(col("d") > 0)
+      // a time where EVERY remaining subject dies takes the curve to
+      // exactly 0 — ln(0) is guarded out of the running sum and the
+      // zero is forced by the cumulative flag instead (Spark's log
+      // would yield null and silently DROP the −∞ term; DuckDB's
+      // raises — this form is exact on both)
+      .withColumn("__zero",
+        max((col("d") === col("n_risk")).cast("int")).over(w))
+      .withColumn("survival",
+        when(col("__zero") === 1, lit(0.0)).otherwise(exp(sum(
+          log(when(col("d") === col("n_risk"), lit(1.0)).otherwise(
+            lit(1.0) - col("d").cast("double") / col("n_risk")))).over(w))))
+      .select(col("t"), col("d").as("deaths"), col("n_risk"),
+        round(col("survival") + 1e-9, 6).as("survival"))
+  }
+
   /** Exact rolling median of the trailing `window` rows per key (value
     * ordered by `orderCols`). The trailing slice rides a ROWS window as
     * a bounded array (window is a small constant), sorted in-row — no

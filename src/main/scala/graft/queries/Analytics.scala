@@ -147,6 +147,58 @@ object Analytics {
         .limit(20)
     }),
 
+    // Unsupervised EM calibration of the Fellegi–Sunter parameters
+    // (Winkler): ONE pass aggregates blocked pairs to ≤2³ agreement
+    // patterns; EM runs on those counts. The oracle unrolls the same
+    // three iterations in SQL over the same pattern table.
+    "q_fs_em" -> ((s, dir) => {
+      val rec = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("acct_bucket"),
+        (floor(col("c_acctbal") * 100) % 100).as("cents"),
+        (col("c_custkey") % 97).as("key_mod"))
+      graft.er.FellegiSunter.emEstimate(rec, "c_custkey",
+        Seq("acct_bucket", "cents", "key_mod"),
+        Seq("c_nationkey", "c_mktsegment"), iterations = 3)
+    }),
+
+    // Kaplan–Meier survival: time-to-first-purchase per user,
+    // right-censored at the user's last observed event.
+    "q_kaplan_meier" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t_last"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tp"))
+      val durations = perUser.select(
+        (floor((coalesce(col("tp"), col("t_last")) - col("t0"))
+          / 3600000000L)).as("duration_h"),
+        col("tp").isNotNull.cast("int").as("event"))
+      Stats.kaplanMeier(durations, "duration_h", "event")
+        .orderBy("t")
+    }),
+
+    // Group-mean imputation: values deterministically nulled
+    // (event_id % 7 = 0) and refilled with the per-type mean of the
+    // surviving values — the standard tabular data-prep step.
+    "q_impute" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("__v",
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+      val means = ev.groupBy(col("event_type"))
+        .agg(round(avg(col("__v")) + 1e-9, 6).as("__mean"))
+      ev.join(broadcast(means), "event_type")
+        .withColumn("__filled", coalesce(col("__v"), col("__mean")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__v").isNull.cast("long")).as("n_imputed"),
+          round(first(col("__mean")), 6).as("mean_used"),
+          round(sum(col("__filled")), 2).as("sum_filled"))
+        .orderBy("event_type")
+    }),
+
     // TF-IDF cosine document-similarity search (inverted-index join +
     // bounded-heap top-k): embedding-free "more like this".
     "q_tfidf_doc_similarity" -> ((s, dir) => {
@@ -366,7 +418,117 @@ object Analytics {
     })
   )
 
+  /** SQL replay of the 3-iteration Fellegi–Sunter EM: generated so the
+    * per-iteration expressions mirror the Scala kernel's exact
+    * arithmetic (left-associated products, (1.0 − x) complements — a
+    * literal 0.9e0 is NOT the same double as 1.0e0 − 0.1e0). */
+  private def fsEmOracleSql: String = {
+    val attrNames = Seq("acct_bucket", "cents", "key_mod")
+    def lref(it: Int) = if (it == 0) "0.1e0" else s"lam"
+    def mref(it: Int, j: Int) = if (it == 0) "0.8e0" else s"m$j"
+    def uref(it: Int, j: Int) = if (it == 0) "0.3e0" else s"u$j"
+    def eCte(it: Int): String = {
+      val wm = (1 to 3).map(j => s"(CASE WHEN g$j = 1 THEN ${mref(it, j)} " +
+        s"ELSE (1.0e0 - ${mref(it, j)}) END)").mkString(" * ")
+      val wu = (1 to 3).map(j => s"(CASE WHEN g$j = 1 THEN ${uref(it, j)} " +
+        s"ELSE (1.0e0 - ${uref(it, j)}) END)").mkString(" * ")
+      val from = if (it == 0) "pat, tot" else s"pat, tot, i$it"
+      s"""e${it + 1} AS (
+         |  SELECT g1, g2, g3, n, nt, wm / (wm + wu) AS gm FROM (
+         |    SELECT g1, g2, g3, n, nt,
+         |      ${lref(it)} * $wm AS wm,
+         |      (1.0e0 - ${lref(it)}) * $wu AS wu
+         |    FROM $from))""".stripMargin
+    }
+    def iCte(it: Int): String = {
+      val ms = (1 to 3).map(j =>
+        s"sum(n * gm * g$j) / sum(n * gm) AS m$j").mkString(", ")
+      val us = (1 to 3).map(j =>
+        s"sum(n * (1.0e0 - gm) * g$j) / sum(n * (1.0e0 - gm)) AS u$j")
+        .mkString(", ")
+      s"""i${it + 1} AS (
+         |  SELECT sum(n * gm) / any_value(nt) AS lam, $ms, $us
+         |  FROM e${it + 1})""".stripMargin
+    }
+    val head =
+      """WITH rec AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000) AS acct_bucket,
+        |    floor(c_acctbal * 100) % 100 AS cents,
+        |    c_custkey % 97 AS key_mod
+        |  FROM customer),
+        |pat AS (
+        |  SELECT CAST(l.acct_bucket = r.acct_bucket AS INTEGER) AS g1,
+        |    CAST(l.cents = r.cents AS INTEGER) AS g2,
+        |    CAST(l.key_mod = r.key_mod AS INTEGER) AS g3,
+        |    count(*) AS n
+        |  FROM rec l JOIN rec r
+        |    ON l.c_nationkey = r.c_nationkey
+        |   AND l.c_mktsegment = r.c_mktsegment
+        |   AND l.c_custkey < r.c_custkey
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM pat)""".stripMargin
+    val iters = (0 until 3).map(it => eCte(it) + ",\n" + iCte(it))
+      .mkString(",\n")
+    val out = Seq("round(lam + 1e-9, 6) AS lambda") ++
+      attrNames.zipWithIndex.map { case (a, i) =>
+        s"round(m${i + 1} + 1e-9, 6) AS m_$a" } ++
+      attrNames.zipWithIndex.map { case (a, i) =>
+        s"round(u${i + 1} + 1e-9, 6) AS u_$a" }
+    s"$head,\n$iters\nSELECT ${out.mkString(", ")} FROM i3"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_fs_em" -> fsEmOracleSql,
+
+    "q_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t_last,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS tp
+        |  FROM events GROUP BY user_id),
+        |dd AS (
+        |  SELECT CAST(floor((coalesce(tp, t_last) - t0) / 3600000000)
+        |      AS BIGINT) AS t,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu),
+        |km AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS c
+        |  FROM dd GROUP BY t),
+        |w1 AS (
+        |  SELECT t, d, c,
+        |    coalesce(sum(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+        |  FROM km),
+        |w2 AS (
+        |  SELECT t, d, (SELECT count(*) FROM dd) - rb AS n_risk
+        |  FROM w1 WHERE d > 0)
+        |SELECT t, d AS deaths, n_risk,
+        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0e0
+        |    ELSE exp(sum(ln(CASE WHEN d = n_risk THEN 1.0e0
+        |      ELSE 1.0e0 - CAST(d AS DOUBLE) / n_risk END))
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END + 1e-9, 6)
+        |    AS survival
+        |FROM w2 ORDER BY t""".stripMargin,
+
+    "q_impute" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(value AS DOUBLE) END AS v
+        |  FROM events),
+        |m AS (SELECT event_type, round(avg(v) + 1e-9, 6) AS mean_used
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_imputed,
+        |  any_value(m.mean_used) AS mean_used,
+        |  round(sum(coalesce(v, m.mean_used)), 2) AS sum_filled
+        |FROM ev JOIN m USING (event_type)
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
     "q_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m

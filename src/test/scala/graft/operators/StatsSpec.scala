@@ -144,6 +144,28 @@ class StatsSpec extends AnyFunSuite {
     assert(out(("y", "x"))._2 == 1.0)
   }
 
+  test("kaplanMeier matches the hand-computed curve incl. censoring") {
+    // classic fixture: deaths at t=1 (n=6), t=3 (n=4 after a censor at 2),
+    // censor at 2 and 4, death at 5 with everyone left dying
+    val df = Seq(
+      (1L, 1), (1L, 1),          // two deaths at 1   n=6 → S=4/6
+      (2L, 0),                   // censored at 2
+      (3L, 1),                   // death at 3        n=3 → S=4/6·2/3
+      (4L, 0),                   // censored at 4
+      (5L, 1)                    // death at 5        n=1 → S=0
+    ).toDF("t", "e")
+    val out = Stats.kaplanMeier(df, "t", "e")
+      .select("t", "deaths", "n_risk", "survival")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2L, 6L, math.rint(4.0 / 6 * 1e6) / 1e6)))
+    assert(out(3L)._1 == 1L && out(3L)._2 == 3L)
+    assert(math.abs(out(3L)._3 - 4.0 / 6 * 2 / 3) < 1e-6)
+    assert(out(5L) == ((1L, 1L, 0.0)), "full-death tail must reach 0 exactly")
+    assert(!out.contains(2L) && !out.contains(4L),
+      "censor-only times emit no curve step")
+  }
+
   test("holtForecast tracks a linear series exactly in the limit") {
     // x_t = 10 + 2t: Holt with any alpha/beta converges to level = x_t,
     // trend = 2 (exactly linear input is a fixed point of the recurrence)
