@@ -143,6 +143,47 @@ object Multimodal {
     ImageStats(mediaId, w, h, sum)
   }
 
+  final case class AHash(mediaId: Long, nAbove: Int, bits: String)
+
+  /** 64-bit average hash (aHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dedup: 8×8 block-average
+    * downsample, threshold each block against the global block mean.
+    * All-INTEGER arithmetic (floor divisions), so the hash is exactly
+    * replayable from the pixel closed form by a SQL oracle; emitted as
+    * a 64-char bit string (row-major blocks) plus the popcount. Blocks
+    * use the x·8/w mapping (every block non-empty for w,h ≥ 8). */
+  def aHash64(mediaId: Long, img: java.awt.image.BufferedImage): AHash = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = img.getRaster
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val idx = by * 8 + x * 8 / w
+        sums(idx) += r.getSample(x, y, 0)
+        cnts(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avg = Array.tabulate(64)(i =>
+      if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+    val mean = avg.sum / 64
+    val sb = new StringBuilder(64)
+    var nAbove = 0
+    var i = 0
+    while (i < 64) {
+      if (avg(i) > mean) { sb.append('1'); nAbove += 1 }
+      else sb.append('0')
+      i += 1
+    }
+    AHash(mediaId, nAbove, sb.toString)
+  }
+
   /** Image feature vector from a REAL decode: [0]=width, [1]=height,
     * [2]=mean luma in [0,1], [3..]=normalized luma histogram over
     * (dim-3) equal bins. None when the payload is not a decodable image. */

@@ -147,6 +147,27 @@ object Analytics {
         .limit(20)
     }),
 
+    // Perceptual image fingerprinting: PNG-encode the closed-form test
+    // pattern, decode through the REAL JDK codec, 8×8 block-average
+    // hash in pure integer arithmetic — replayed pixel-exact by the
+    // oracle. The near-dup primitive for image corpora.
+    "q_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id / 16) % 8).toInt
+          val img = graft.pipeline.Multimodal.grayImage(w, h,
+            (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
+          val decoded = graft.pipeline.Multimodal.decodeImage(
+            graft.pipeline.Multimodal.encodePng(img)).get
+          graft.pipeline.Multimodal.aHash64(id, decoded)
+        }.toDF()
+        .select(col("mediaId").as("doc_id"), col("nAbove").as("n_above"),
+          col("bits"))
+        .orderBy("doc_id")
+    }),
+
     // Unsupervised EM calibration of the Fellegi–Sunter parameters
     // (Winkler): ONE pass aggregates blocked pairs to ≤2³ agreement
     // patterns; EM runs on those counts. The oracle unrolls the same
@@ -480,6 +501,33 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q_fs_em" -> fsEmOracleSql,
+
+    // pixel closed form → identical integer block/threshold arithmetic
+    "q_image_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 16 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id // 16) % 8 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w * h)) AS g FROM d),
+        |p AS (
+        |  SELECT doc_id,
+        |    ((g % w) * 7 + (g // w) * 13 + doc_id) % 256 AS v,
+        |    ((g // w) * 8 // h) * 8 + ((g % w) * 8 // w) AS b
+        |  FROM px),
+        |blk AS (
+        |  SELECT doc_id, b, sum(v) // count(*) AS bavg
+        |  FROM p GROUP BY doc_id, b),
+        |m AS (SELECT doc_id, sum(bavg) // 64 AS mean
+        |  FROM blk GROUP BY doc_id),
+        |bits AS (
+        |  SELECT blk.doc_id, b,
+        |    CASE WHEN bavg > mean THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN m ON blk.doc_id = m.doc_id)
+        |SELECT doc_id, CAST(sum(bit) AS INTEGER) AS n_above,
+        |  string_agg(CASE WHEN bit = 1 THEN '1' ELSE '0' END, ''
+        |    ORDER BY b) AS bits
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_kaplan_meier" ->
       """WITH pu AS (

@@ -117,6 +117,24 @@ class StatsVectorSpec extends AnyFunSuite {
       s"nprobe=1 must restrict candidates to the home cell: $out")
   }
 
+  test("aHash64: hand-computable patterns, PNG-roundtrip invariant") {
+    val M = Multimodal
+    // half-black/half-white 8x8: mean=127, right half above
+    val split = M.grayImage(8, 8, (x, _) => if (x < 4) 0 else 255)
+    val h1 = M.aHash64(1L, split)
+    assert(h1.nAbove == 32)
+    assert(h1.bits == "00001111" * 8)
+    // flat image: no block exceeds the mean → all zero
+    val flat = M.grayImage(16, 12, (_, _) => 77)
+    assert(M.aHash64(2L, flat).bits == "0" * 64)
+    // the hash must survive a real PNG encode/decode roundtrip
+    val grad = M.grayImage(20, 11, (x, y) => (x * 11 + y * 3) % 256)
+    val direct = M.aHash64(3L, grad)
+    val decoded = M.aHash64(3L, M.decodeImage(M.encodePng(grad)).get)
+    assert(direct == decoded, "lossless roundtrip must preserve the hash")
+    assert(direct.nAbove > 0 && direct.nAbove < 64)
+  }
+
   test("knnClassify recovers planted labels and breaks ties to smaller") {
     // 3 tight clusters in distinct directions; every query's 5
     // neighbors are its own cluster → prediction = planted label
