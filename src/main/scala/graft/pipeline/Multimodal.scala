@@ -596,6 +596,32 @@ object Multimodal {
       case _: java.io.IOException => None
     }
 
+  final case class AudioWindow(mediaId: Long, win: Int, n: Int,
+      sumSq: Long, peak: Int)
+
+  /** Windowed audio energy from a REAL decode: fixed-size sample
+    * windows (the last may be partial), each summarized by its exact
+    * integer sum of squares (RMS² numerator — callers derive RMS) and
+    * peak |amplitude|. Integer-exact, so silence/clipping detection
+    * built on it is hash-comparable across engines. */
+  def audioWindows(mediaId: Long, payload: Array[Byte],
+      windowSize: Int): Seq[AudioWindow] =
+    decodeAudio(payload).toSeq.flatMap { case (_, samples) =>
+      samples.grouped(windowSize).zipWithIndex.map { case (w, idx) =>
+        var sumSq = 0L
+        var peak = 0
+        var i = 0
+        while (i < w.length) {
+          val v = w(i).toInt
+          sumSq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioWindow(mediaId, idx, w.length, sumSq, peak)
+      }.toSeq
+    }
+
   /** Audio decode + exact integer stats (the q_audio_decode gate shape). */
   def audioStats(mediaId: Long, payload: Array[Byte]): Option[AudioStats] =
     decodeAudio(payload).map { case (rate, samples) =>

@@ -168,6 +168,24 @@ object Analytics {
         .orderBy("doc_id")
     }),
 
+    // Windowed audio energy after a REAL WAV decode: per 25-sample
+    // window the exact sum of squares (RMS² numerator) and peak — the
+    // silence/clipping primitives, integer-exact vs the PCM closed form.
+    "q_audio_windows" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = (50 + id % 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i * 997L + id * 131L) % 65536L) - 32768L).toShort)
+          graft.pipeline.Multimodal.audioWindows(id,
+            graft.pipeline.Multimodal.encodeWavPcm16(samples, 8000f), 25)
+        }.toDF()
+        .select(col("mediaId").as("doc_id"), col("win"), col("n"),
+          col("sumSq").as("sum_sq"), col("peak"))
+        .orderBy("doc_id", "win")
+    }),
+
     // Unsupervised EM calibration of the Fellegi–Sunter parameters
     // (Winkler): ONE pass aggregates blocked pairs to ≤2³ agreement
     // patterns; EM runs on those counts. The oracle unrolls the same
@@ -501,6 +519,20 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q_fs_em" -> fsEmOracleSql,
+
+    "q_audio_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(50 + doc_id % 50 AS INTEGER) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+        |v AS (
+        |  SELECT doc_id, CAST(i // 25 AS INTEGER) AS win,
+        |    ((i * 997 + doc_id * 131) % 65536) - 32768 AS x
+        |  FROM s)
+        |SELECT doc_id, win, CAST(count(*) AS INTEGER) AS n,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(x)) AS INTEGER) AS peak
+        |FROM v GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
 
     // pixel closed form → identical integer block/threshold arithmetic
     "q_image_ahash" ->

@@ -48,6 +48,20 @@ object StreamingQueries {
         .orderBy("user_id", "bucket", "event_id")
     }),
 
+    // Stateless streaming multimodal fingerprinting: the real
+    // PNG-decode + integer aHash kernel mapped over the doc stream;
+    // the drained hashes equal the batch pixel-closed-form oracle.
+    "q_stream_image_ahash" -> ((s, dir) => {
+      val name = s"stream_ahash_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.DocStreams.runStreamingImageHashOnce(
+        s, dir, name)
+      drained(q)
+      s.table(name)
+        .select(col("mediaId").as("doc_id"), col("nAbove").as("n_above"),
+          col("bits"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming running mean/variance (Welford, 3 numbers of state per
     // key): the converged moments must match the batch avg/var_samp
     // replay to 6/5 decimals (both are mathematically exact; only
@@ -460,6 +474,8 @@ object StreamingQueries {
     "q_stream_approx_quantiles" ->
       """SELECT event_type, count(*) AS n, TRUE AS median_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_image_ahash" -> Analytics.oracles("q_image_ahash"),
 
     "q_stream_welford" ->
       """SELECT user_id, count(*) AS n,

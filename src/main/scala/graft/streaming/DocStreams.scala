@@ -315,6 +315,35 @@ object DocStreams {
     * any scale, policy redeploys need no state migration, and the
     * emitted set equals the batch sample by construction (the property
     * the gate's oracle checks without knowing the stream exists). */
+  /** Stateless streaming multimodal fingerprinting: the SAME real
+    * PNG-decode + integer aHash kernel the batch gate runs, mapped over
+    * the document stream — zero state, and the drained hash set must
+    * equal the batch (and therefore the pixel-closed-form oracle)
+    * exactly. Proves the multimodal kernels compose into streaming
+    * pipelines unchanged. */
+  def runStreamingImageHashOnce(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    stream.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id / 16) % 8).toInt
+        val img = graft.pipeline.Multimodal.grayImage(w, h,
+          (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
+        graft.pipeline.Multimodal.aHash64(id,
+          graft.pipeline.Multimodal.decodeImage(
+            graft.pipeline.Multimodal.encodePng(img)).get)
+      }
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runStreamingMixtureOnce(spark: SparkSession, sfDir: String,
       queryName: String, weights: Map[String, Double],
       defaultWeight: Double): StreamingQuery = {
