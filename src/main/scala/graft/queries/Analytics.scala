@@ -168,6 +168,40 @@ object Analytics {
         .orderBy("doc_id")
     }),
 
+    // Group-coherent train/val/test split: hashing the USER (not the
+    // row) keeps all of an entity's events in one split — the leakage
+    // guard row-level splitting (q_sample_split) does not give. The
+    // per-split user counts sum to the total user count, proving no
+    // user straddles splits.
+    "q_group_split" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("split",
+          graft.pipeline.Sampling.split(col("user_id"), 80, 10))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("split")
+    }),
+
+    // Trimmed mean per group (drop the values strictly inside the top
+    // and bottom deciles by rank): the robust-location sibling of
+    // winsorize (which clamps instead of dropping).
+    "q_trimmed_mean" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+        .filter(col("__rn") > col("__n") / 10 &&
+          col("__rn") <= col("__n") - col("__n") / 10)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("value")) + 1e-9, 6).as("trimmed_mean"))
+        .orderBy("event_type")
+    }),
+
     // Windowed audio energy after a REAL WAV decode: per 25-sample
     // window the exact sum of squares (RMS² numerator) and peak — the
     // silence/clipping primitives, integer-exact vs the PCM closed form.
@@ -519,6 +553,31 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q_fs_em" -> fsEmOracleSql,
+
+    "q_group_split" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 100 AS bk
+        |  FROM events)
+        |SELECT CASE WHEN bk < 80 THEN 'train'
+        |            WHEN bk < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_kept,
+        |  round(avg(v) + 1e-9, 6) AS trimmed_mean
+        |FROM r WHERE rn > n / 10 AND rn <= n - n / 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_audio_windows" ->
       """WITH d AS (

@@ -62,6 +62,41 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming Holt linear-trend forecasting ((n, level, trend) state
+    // per key): the converged fold is bitwise the batch recurrence, so
+    // the gate reuses the recursive-CTE oracle.
+    "q_stream_holt" -> ((s, dir) => {
+      val name = s"stream_holt_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamingHoltOnce(s, dir, name)
+      drained(q)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("level") + col("trend"), 6).as("forecast"))
+        .orderBy("user_id")
+    }),
+
+    // Streaming approximate distinct (HLL++ per group, Complete mode):
+    // the estimate must land within the configured rsd bound of the
+    // exact batch count — the streaming member of the HLL family.
+    "q_stream_approx_distinct" -> ((s, dir) => {
+      val name = s"stream_apxd_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runApproxDistinctOnce(s, dir, name)
+      drained(q)
+      val exact = graft.Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      s.table(name).join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.06).as("within_bound"))
+        .orderBy("event_type")
+    }),
+
     // Streaming running mean/variance (Welford, 3 numbers of state per
     // key): the converged moments must match the batch avg/var_samp
     // replay to 6/5 decimals (both are mathematically exact; only
@@ -476,6 +511,14 @@ object StreamingQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_image_ahash" -> Analytics.oracles("q_image_ahash"),
+
+    // the streaming Holt fold converges to bitwise the batch recurrence
+    "q_stream_holt" -> Analytics.oracles("q_holt_forecast"),
+
+    "q_stream_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_welford" ->
       """SELECT user_id, count(*) AS n,

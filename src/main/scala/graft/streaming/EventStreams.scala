@@ -717,6 +717,26 @@ object EventStreams {
     }
   }
 
+  /** Streaming HLL++ distinct estimate per group (Complete mode, one
+    * fixed-size register set per group — the distinct sibling of the
+    * percentile sketch below). */
+  def runApproxDistinctOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val ev = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+    StreamConf.withStreamShuffle(spark) {
+      ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("__est"))
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Streaming percentile sketch: approx_percentile is a mergeable
     * TypedImperativeAggregate, so Complete mode carries ONE bounded
     * sketch per group however long the stream runs — the streaming
@@ -734,6 +754,66 @@ object EventStreams {
         .agg(count(lit(1)).as("n"),
           expr("approx_percentile(value, 0.5, 10000)").as("apx"))
         .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
+  final case class HoltState(n: Long, l: Double, b: Double)
+  final case class HoltOut(user_id: Long, n_events: Long, level: Double,
+      trend: Double)
+
+  /** Pure Holt fold — the IDENTICAL recurrence (and IEEE op order) the
+    * batch operator's in-row fold runs, so the converged streaming
+    * state hash-matches the batch gate (and its recursive-CTE oracle)
+    * bitwise. */
+  private[graft] def foldHolt(st0: HoltState, alpha: Double, beta: Double,
+      xs: Iterator[Double]): HoltState = {
+    var st = st0
+    xs.foreach { x =>
+      st =
+        if (st.n == 0L) HoltState(1L, x, 0.0)
+        else {
+          val lNext = alpha * x + (1.0 - alpha) * (st.l + st.b)
+          HoltState(st.n + 1, lNext,
+            beta * (lNext - st.l) + (1.0 - beta) * st.b)
+        }
+    }
+    st
+  }
+
+  /** Streaming Holt linear-trend smoothing: (n, level, trend) carried
+    * per key — the forecasting sibling of [[streamingEwma]]. */
+  def streamingHolt(events: Dataset[MetricEvent], alpha: Double,
+      beta: Double): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[HoltState, HoltOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[MetricEvent], state: GroupState[HoltState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+          val st = foldHolt(state.getOption.getOrElse(HoltState(0L, 0.0, 0.0)),
+            alpha, beta, sorted.iterator.map(_.value))
+          state.update(st)
+          HoltOut(uid, st.n, st.l, st.b)
+      }
+  }
+
+  /** Drain-once runner for [[streamingHolt]]. */
+  def runStreamingHoltOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, alpha: Double = 0.25, beta: Double = 0.1): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      streamingHolt(
+          stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")).as[MetricEvent], alpha, beta)
+        .writeStream.outputMode(OutputMode.Update)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
