@@ -28,6 +28,40 @@ object SqlSurface {
   /** SQL text shared verbatim between the Spark run and the DuckDB
     * oracle. Restricted to the ANSI intersection both engines parse. */
   private val sharedSql: Map[String, String] = Map(
+    // exact DECIMAL arithmetic: double prices pinned to DECIMAL(12,2)
+    // sum EXACTLY on both engines — no float fuzz, no rounding
+    // epsilons; result scales pinned by outer casts (sum result types
+    // differ: Spark DECIMAL(22,2), DuckDB DECIMAL(38,2))
+    "q_sql_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,6))
+        |    AS avg_qty,
+        |  CAST(min(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(4,2))
+        |    AS min_disc
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // three-valued-logic surface over planted NULLs: count(col) vs
+    // count(*), null-safe IS NOT DISTINCT FROM, coalesce, and
+    // NULLS-FIRST ordering — all integer-exact (no float aggregates)
+    "q_sql_null_semantics" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(value AS DOUBLE) END AS v
+        |  FROM events WHERE user_id < 20)
+        |SELECT user_id, count(*) AS n_rows, count(v) AS n_vals,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  CAST(sum(CASE WHEN v IS NOT DISTINCT FROM NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe,
+        |  round(min(coalesce(v, 999999.0)) + 1e-9, 6) AS min_or_sentinel,
+        |  round(max(v) + 1e-9, 6) AS max_ignoring_nulls
+        |FROM t GROUP BY user_id
+        |ORDER BY n_nulls DESC NULLS FIRST, user_id""".stripMargin,
+
     // TRUE Damerau-Levenshtein (unrestricted transpositions) — our
     // codegen expression registered under the same name and semantics
     // as DuckDB's native damerau_levenshtein, so ONE SQL text runs on
