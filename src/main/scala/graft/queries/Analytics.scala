@@ -153,7 +153,11 @@ object Analytics {
     // oracle. The near-dup primitive for image corpora.
     "q_image_ahash" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      // fan out FIRST: the doc-id scan arrives on 1-2 parquet splits and
+      // per-row codec cost is task-serial (measured 9.5 s unspread vs
+      // ~1 s across local[32])
+      graft.Tables.fanOut(t(s, dir, "documents").select(col("doc_id")))
+        .as[Long]
         .map { id =>
           val w = (8 + id % 16).toInt
           val h = (8 + (id / 16) % 8).toInt
@@ -207,7 +211,8 @@ object Analytics {
     // silence/clipping primitives, integer-exact vs the PCM closed form.
     "q_audio_windows" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      graft.Tables.fanOut(t(s, dir, "documents").select(col("doc_id")))
+        .as[Long]
         .flatMap { id =>
           val n = (50 + id % 50).toInt
           val samples = Array.tabulate(n)(i =>
