@@ -328,7 +328,11 @@ object DocStreams {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-    stream.select(col("doc_id")).as[Long]
+    // repartition within the micro-batch: the single-file source plans
+    // 1-2 input partitions and codec work is task-serial (the batch
+    // gate's fanOut, expressed stream-side)
+    stream.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .map { id =>
         val w = (8 + id % 16).toInt
         val h = (8 + (id / 16) % 8).toInt
