@@ -37,7 +37,9 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (band <= 0) plan
     else plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
-        rewrite(l, r, cond, hint, band).getOrElse(j)
+        rewrite(l, r, cond, hint, band)
+          .orElse(rewriteOverlap(l, r, cond, hint, band))
+          .getOrElse(j)
     }
   }
 
@@ -53,6 +55,77 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Some(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))))
     case LongType => Some(e)
     case _ => None
+  }
+
+  /** Interval-OVERLAP joins — `L JOIN R ON l.s < r.e AND r.s < l.e`
+    * (two strict inequalities in opposite directions; the half-open
+    * overlap test) — rewritten to the double-banded equi-join of
+    * [[graft.operators.RangeJoin.bandedOverlapJoin]]: BOTH sides
+    * explode into their covered bands, the join equates the band keys,
+    * and each qualifying pair is kept only in the first band of its
+    * intersection (`band == max(l.s, r.s) div width`), so no distinct
+    * pass is needed. Same opt-in conf, same idempotence guard (the
+    * rewritten join carries a band equality). */
+  private def rewriteOverlap(l: LogicalPlan, r: LogicalPlan,
+      cond: Expression, hint: JoinHint, band: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def leftOnly(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(l.outputSet)
+    def rightOnly(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(r.outputSet)
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (leftOnly(a) && rightOnly(b)) || (rightOnly(a) && leftOnly(b))
+      case _ => false
+    }
+    if (hasEqui) return None
+    // l.s < r.e (either spelling)
+    val lStartREnd = conjuncts.collect {
+      case LessThan(ls, re) if leftOnly(ls) && rightOnly(re) => (ls, re)
+      case GreaterThan(re, ls) if rightOnly(re) && leftOnly(ls) => (ls, re)
+    }
+    // r.s < l.e (either spelling)
+    val rStartLEnd = conjuncts.collect {
+      case LessThan(rs, le) if rightOnly(rs) && leftOnly(le) => (rs, le)
+      case GreaterThan(le, rs) if leftOnly(le) && rightOnly(rs) => (rs, le)
+    }
+    val quad = (for {
+      (ls, re) <- lStartREnd
+      (rs, le) <- rStartLEnd
+      // a genuine interval pair: the left's start and end are distinct
+      // expressions (ditto right) — otherwise this is a plain band-able
+      // point comparison the containment path owns
+      if !ls.semanticEquals(le) && !rs.semanticEquals(re)
+    } yield (ls, le, rs, re)).headOption
+    quad.flatMap { case (ls, le, rs, re) =>
+      for {
+        lsM <- micros(ls); leM <- micros(le)
+        rsM <- micros(rs); reM <- micros(re)
+      } yield {
+        val bandLit = Literal(band)
+        def gen(startM: Expression, endM: Expression, name: String,
+            child: LogicalPlan): (Generate, AttributeReference) = {
+          val sDiv = IntegralDivide(startM, bandLit)
+          val eDiv = IntegralDivide(endM, bandLit)
+          val g = Explode(new Sequence(sDiv, Greatest(Seq(sDiv, eDiv)),
+            Literal(1L)).withTimeZone(conf.sessionLocalTimeZone))
+          val out = AttributeReference(name,
+            g.elementSchema.head.dataType, g.elementSchema.head.nullable)()
+          (Generate(g, unrequiredChildIndex = Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(out), child = child),
+            out)
+        }
+        val (leftB, lOut) = gen(lsM, leM, "__graft_oband_l", l)
+        val (rightB, rOut) = gen(rsM, reM, "__graft_oband_r", r)
+        // keep each pair only in the first band of its intersection
+        val firstBand = EqualTo(lOut,
+          IntegralDivide(Greatest(Seq(lsM, rsM)), bandLit))
+        val newCond = (EqualTo(lOut, rOut) +: firstBand +: conjuncts)
+          .reduce[Expression](And)
+        Project(l.output ++ r.output,
+          Join(leftB, rightB, Inner, Some(newCond), hint))
+      }
+    }
   }
 
   private def rewrite(l: LogicalPlan, r: LogicalPlan, cond: Expression,

@@ -113,6 +113,28 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // The SAME overlap join written as a RAW non-equi join — the
+    // optimizer rule (opt-in conf) must rewrite it to the double-banded
+    // equi-join; result identical to q_join_overlap's oracle while the
+    // BroadcastNestedLoopJoin disappears from the plan (PlanSpec
+    // asserts the shape; this gate pins the values).
+    "q_join_overlap_rule" -> ((s, dir) => {
+      s.experimental.extraOptimizations = Seq(graft.plans.BandedRangeJoinRule)
+      s.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "600000000")
+      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("vid"), unix_micros(col("ts")).as("vs"),
+          (unix_micros(col("ts")) + 600000000L).as("ve"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), unix_micros(col("ts")).as("ps"),
+          (unix_micros(col("ts")) + 300000000L).as("pe"))
+      v.join(p, col("vs") < col("pe") && col("ps") < col("ve"))
+        .select(col("vid"), col("pid"),
+          (least(col("ve"), col("pe")) - greatest(col("vs"), col("ps")))
+            .as("overlap_us"))
+        .orderBy("vid", "pid")
+    }),
+
     // Mutual information between lang and source (+ entropies, NMI):
     // the information-theoretic sibling of q_chi_square over the same
     // single contingency pass.
@@ -980,6 +1002,20 @@ object Analytics {
       """SELECT p_partkey,
         |  CAST(hamming(p_name, reverse(p_name)) AS INTEGER) AS hamming
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_join_overlap_rule" ->
+      """WITH v AS (
+        |  SELECT event_id AS vid, epoch_us(ts) AS vs,
+        |    epoch_us(ts) + 600000000 AS ve
+        |  FROM events WHERE event_type = 'view' AND user_id < 30),
+        |p AS (
+        |  SELECT event_id AS pid, epoch_us(ts) AS ps,
+        |    epoch_us(ts) + 300000000 AS pe
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 30)
+        |SELECT vid, pid,
+        |  least(ve, pe) - greatest(vs, ps) AS overlap_us
+        |FROM v JOIN p ON vs < pe AND ps < ve
+        |ORDER BY vid, pid""".stripMargin,
 
     "q_join_overlap" ->
       """WITH v AS (

@@ -66,6 +66,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("overlap-join rewrite: double-banded equi-join replaces the nested loop") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events").filter(col("user_id") < 30)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), unix_micros(col("ts")).as("vs"),
+        (unix_micros(col("ts")) + 600000000L).as("ve"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), unix_micros(col("ts")).as("ps"),
+        (unix_micros(col("ts")) + 300000000L).as("pe"))
+    def naive() = v.join(p, col("vs") < col("pe") && col("ps") < col("ve"))
+      .select(col("vid"), col("pid"))
+    spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "0")
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandedRangeJoinRule)
+    val before = naive()
+    assert(before.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val expected = before.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    try {
+      spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "600000000")
+      val rewritten = naive()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+      assert(plan.contains("__graft_oband"), "overlap banding must fire")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == expected.toSeq,
+        "overlap rewrite changed the answer (dedupe or banding bug)")
+      // the containment pattern must still route to the ORIGINAL arm,
+      // not the overlap one
+      val clicks = Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val wins = Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      val cont = clicks.join(wins,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      val contPlan = cont.queryExecution.optimizedPlan.toString
+      assert(contPlan.contains("__graft_band") &&
+        !contPlan.contains("__graft_oband"), contPlan.take(2000))
+    } finally {
+      spark.conf.set(graft.plans.BandedRangeJoinRule.ConfKey, "0")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("runtime bloom-filter join: filter injected on the fact side, answer unchanged") {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, dir, "lineitem")
