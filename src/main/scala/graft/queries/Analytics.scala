@@ -135,6 +135,25 @@ object Analytics {
         .orderBy("vid", "pid")
     }),
 
+    // Time-weighted average per user: each value weighted by the span
+    // it was "current" (until the next event) — the correct mean for
+    // irregularly-sampled telemetry, where the plain avg over-weights
+    // bursts. One lag window, one aggregation.
+    "q_time_weighted_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__t", unix_micros(col("ts")))
+        .withColumn("__next", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          round(sum(col("value") * (col("__next") - col("__t"))) /
+            sum(col("__next") - col("__t")) + 1e-9, 6).as("twa"),
+          round(avg(col("value")) + 1e-9, 6).as("plain_avg"))
+        .orderBy("user_id")
+    }),
+
     // Mutual information between lang and source (+ entropies, NMI):
     // the information-theoretic sibling of q_chi_square over the same
     // single contingency pass.
@@ -1002,6 +1021,18 @@ object Analytics {
       """SELECT p_partkey,
         |  CAST(hamming(p_name, reverse(p_name)) AS INTEGER) AS hamming
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS v, epoch_us(ts) AS tu,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_spans,
+        |  round(sum(v * (nxt - tu)) / sum(nxt - tu) + 1e-9, 6) AS twa,
+        |  round(avg(v) + 1e-9, 6) AS plain_avg
+        |FROM t WHERE nxt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_join_overlap_rule" ->
       """WITH v AS (

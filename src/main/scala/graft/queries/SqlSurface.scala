@@ -548,6 +548,26 @@ object SqlSurface {
     sharedSql.map { case (name, text) =>
       name -> ((s: SparkSession, dir: String) => sql(s, dir, text))
     } ++ Map[String, (SparkSession, String) => DataFrame](
+      // SQL PIVOT clause through Catalyst's dedicated parser path (the
+      // relational pivot gate q_pivot_status uses the DataFrame API);
+      // dialects differ, so the oracle replays it as conditional
+      // aggregation rather than sharing text
+      "q_sql_pivot" -> ((s, dir) => sql(s, dir,
+        """SELECT * FROM (
+          |  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+          |PIVOT (round(sum(l_quantity), 2)
+          |       FOR l_linestatus IN ('F' AS f, 'O' AS o))
+          |ORDER BY l_returnflag""".stripMargin)),
+      // SQL UNPIVOT clause (Spark 3.4+ syntax) — melt through the
+      // parser; oracle replays as UNION ALL
+      "q_sql_unpivot" -> ((s, dir) => sql(s, dir,
+        """SELECT o_orderpriority, metric, CAST(v AS DOUBLE) AS v FROM (
+          |  SELECT o_orderpriority,
+          |    round(sum(o_totalprice), 2) AS total_price,
+          |    CAST(count(*) AS DOUBLE) AS n_orders
+          |  FROM orders GROUP BY o_orderpriority)
+          |UNPIVOT (v FOR metric IN (total_price, n_orders))
+          |ORDER BY o_orderpriority, metric""".stripMargin)),
       // the custom codegen'd Catalyst expression through the SQL surface;
       // the oracle replicates its closed-form from DuckDB's levenshtein()
       "q_sql_lev_sim" -> ((s, dir) => sql(s, dir,
@@ -564,6 +584,27 @@ object SqlSurface {
           |FROM part ORDER BY p_partkey""".stripMargin)))
 
   val oracles: Map[String, String] = sharedSql ++ Map(
+    "q_sql_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+        |    AS f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+        |    AS o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_sql_unpivot" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |    round(sum(o_totalprice), 2) AS total_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'total_price' AS metric, total_price AS v
+        |FROM a
+        |UNION ALL
+        |SELECT o_orderpriority, 'n_orders', n_orders FROM a
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+
     "q_jaro_winkler" ->
       """SELECT p_partkey,
         |  round(jaro_winkler_similarity(p_name, 'small rings') + 1e-9, 6) AS jw,
