@@ -411,6 +411,29 @@ object Analytics {
         min(col("n")).as("k_anonymity"))
     }),
 
+    // Corrupt-record quarantine on JSONL ingest: lines with planted
+    // garbage (doc_id % 13 = 0) must land in the corrupt column under
+    // PERMISSIVE mode, not kill the read or silently vanish — the
+    // dirty-lake ingest contract.
+    "q_jsonl_corrupt" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("jsonl_corrupt")
+      t(s, dir, "documents")
+        .select(when(col("doc_id") % 13 === 0,
+            concat(lit("{broken json line "), col("doc_id").cast("string")))
+          .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, n_chars BIGINT")
+      val parsed = graft.sources.Jsonl.readWithQuarantine(s, tmp, schema)
+        .localCheckpoint(true)
+      parsed.agg(
+        sum((!graft.sources.Jsonl.isCorrupt).cast("long")).as("n_good"),
+        sum(graft.sources.Jsonl.isCorrupt.cast("long")).as("n_corrupt"),
+        min(col("doc_id")).as("min_good"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_good"))
+    }),
+
     // Parquet compression-codec roundtrips: the same table written
     // with gzip / snappy / zstd and read back must be value-identical
     // (count, distinct content hashes, byte totals) — a 100 TB lake
@@ -1121,6 +1144,17 @@ object Analytics {
         |    AS records_at_risk,
         |  min(n) AS k_anonymity
         |FROM g""".stripMargin,
+
+    "q_jsonl_corrupt" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  min(CASE WHEN doc_id % 13 <> 0 THEN doc_id END) AS min_good,
+        |  CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS sum_chars_good
+        |FROM documents""".stripMargin,
 
     // each codec leg must equal the original table's aggregates
     "q_parquet_codecs" ->
