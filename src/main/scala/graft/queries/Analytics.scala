@@ -7,12 +7,18 @@ import graft.Tables
 import graft.operators.{IntervalOps, SetSimilarityJoin, Stats}
 import graft.pipeline.{TextAnalysis, VectorOps}
 
-/** Round-8 analytics surface: inferential statistics (MAD outliers,
-  * Welch t, chi-square), exact set-similarity joins (the lossless
-  * complement to MinHash LSH), interval sweeps, centroid diagnostics
-  * over embeddings, and in-row text entropy. Same determinism contract
-  * as Relational: rounded doubles, integer-exact counts, ORDER BY over
-  * a unique key prefix.
+/** Round-9 analytics surface: inferential statistics (MAD, Welch t,
+  * chi-square, mutual information, KS/EMD, Benford, Kaplan–Meier),
+  * exact set-similarity joins (the lossless complement to MinHash
+  * LSH), interval sweeps and the banded overlap join, the classical
+  * Fellegi–Sunter linkage stack (scoring, EM calibration, match
+  * clusters), classifiers (naive Bayes, kNN), vector-index
+  * compositions (PQ, IVF+PQ), multimodal fingerprints over real codecs
+  * (aHash, windowed audio energy), data-prep steps (imputation,
+  * trimmed means, group-coherent splits, corrupt-record quarantine),
+  * and format roundtrips. Same determinism contract as Relational:
+  * rounded doubles, integer-exact counts, ORDER BY over a unique key
+  * prefix.
   */
 object Analytics {
 
