@@ -417,6 +417,49 @@ object Analytics {
         min(col("n")).as("k_anonymity"))
     }),
 
+    // Range-partition planning: cut points from exact quantiles of the
+    // sort key, then the per-range row counts — the balance audit
+    // behind repartitionByRange/sort-based layout (a planned range
+    // write is balanced iff the planner's quantiles were). Quantiles
+    // rounded (nudged) before bucketing so both engines cut at the
+    // same boundaries.
+    "q_range_partition_plan" -> ((s, dir) => {
+      val k = 8
+      val cuts = (1 until k).map(i =>
+        round(expr(s"percentile_cont(${i.toDouble / k}) WITHIN GROUP " +
+          "(ORDER BY CAST(o_totalprice AS DOUBLE))") + 1e-9, 4)
+          .as(s"c$i"))
+      val bounds = t(s, dir, "orders").agg(cuts.head, cuts.tail: _*)
+      val bucket = (1 until k).foldLeft(lit(0)) { (acc, i) =>
+        acc + (col("o_totalprice") > col(s"c$i")).cast("int")
+      }
+      t(s, dir, "orders").crossJoin(broadcast(bounds))
+        .select(bucket.as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // Burst-collapse dedup: telemetry bursts (same user+type within
+    // 5 s of the previously KEPT event... approximated by the standard
+    // lag-gap rule: keep an event iff it is the first of its key or
+    // > 5 s after its predecessor) — the tolerance-window dedup
+    // exact-key dropDuplicates cannot express.
+    "q_burst_collapse" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("__prev").isNull ||
+          unix_micros(col("ts")) - col("__prev") > 5000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("user_id")
+    }),
+
     // Corrupt-record quarantine on JSONL ingest: lines with planted
     // garbage (doc_id % 13 = 0) must land in the corrupt column under
     // PERMISSIVE mode, not kill the read or silently vanish — the
@@ -1150,6 +1193,42 @@ object Analytics {
         |    AS records_at_risk,
         |  min(n) AS k_anonymity
         |FROM g""".stripMargin,
+
+    "q_range_partition_plan" ->
+      """WITH b AS (
+        |  SELECT
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.125) + 1e-9, 4) AS c1,
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) + 1e-9, 4) AS c2,
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.375) + 1e-9, 4) AS c3,
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) + 1e-9, 4) AS c4,
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.625) + 1e-9, 4) AS c5,
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) + 1e-9, 4) AS c6,
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.875) + 1e-9, 4) AS c7
+        |  FROM orders),
+        |t AS (
+        |  SELECT o_totalprice,
+        |    CAST(o_totalprice > c1 AS INTEGER) +
+        |    CAST(o_totalprice > c2 AS INTEGER) +
+        |    CAST(o_totalprice > c3 AS INTEGER) +
+        |    CAST(o_totalprice > c4 AS INTEGER) +
+        |    CAST(o_totalprice > c5 AS INTEGER) +
+        |    CAST(o_totalprice > c6 AS INTEGER) +
+        |    CAST(o_totalprice > c7 AS INTEGER) AS bucket
+        |  FROM orders, b)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_burst_collapse" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS tu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_kept
+        |FROM t WHERE prev IS NULL OR tu - prev > 5000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_jsonl_corrupt" ->
       """SELECT
