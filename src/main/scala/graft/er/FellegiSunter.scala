@@ -48,8 +48,11 @@ object FellegiSunter {
     val rr = attrs.foldLeft(r)((d, a) => d.withColumnRenamed(a, s"__r_$a"))
       .withColumnRenamed(idCol, "b")
     l.join(rr, blockCols).filter(col("a") < col("b"))
+      // null-safe agreement: missing <=> missing counts as agreement and
+      // never yields a NULL pattern bit (a plain === would NPE the EM's
+      // pattern decode on any null attribute)
       .groupBy(attrs.map(a =>
-        (col(s"__l_$a") === col(s"__r_$a")).cast("int").as(s"g_$a")): _*)
+        (col(s"__l_$a") <=> col(s"__r_$a")).cast("int").as(s"g_$a")): _*)
       .agg(count(lit(1)).as("n"))
   }
 
@@ -132,8 +135,9 @@ object FellegiSunter {
       .withColumnRenamed(idCol, "b")
     val joined = l.join(rr, blockCols).filter(col("a") < col("b"))
       .crossJoin(broadcast(u))
+    // null-safe, matching agreementPatterns' convention
     val agrees = attrs.map(a =>
-      (col(s"__l_$a") === col(s"__r_$a")).cast("int").as(s"__ag_$a"))
+      (col(s"__l_$a") <=> col(s"__r_$a")).cast("int").as(s"__ag_$a"))
     val scored = joined.select((Seq(col("a"), col("b")) ++ agrees ++
       attrs.map(a => col(s"u_$a"))): _*)
     val score = attrs.map { a =>
