@@ -417,6 +417,41 @@ object Analytics {
         min(col("n")).as("k_anonymity"))
     }),
 
+    // Period-over-period growth: monthly revenue with MoM delta and
+    // percent change (lag over the month series) — the BI staple.
+    "q_mom_growth" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("mon"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("mon"))
+      monthly
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .select(col("mon"), col("revenue"), col("n_orders"),
+          round(col("revenue") - col("prev"), 2).as("delta"),
+          round((col("revenue") - col("prev")) / col("prev") * 100 + 1e-9, 4)
+            .as("pct_change"))
+        .orderBy("mon")
+    }),
+
+    // Canonical-representative selection: the highest-quality document
+    // per source (rounded score, ties -> smallest id), ONE argmax hash
+    // aggregate — the "keep the best exemplar" curation step, no
+    // window sort.
+    "q_best_doc_per_source" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.pipeline.TextAnalysis.qualityScore(col("text")).as("q"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min_by(struct(col("doc_id"), col("q")),
+            struct((-col("q")).as("nq"), col("doc_id"))).as("__rep"))
+        .select(col("source"), col("n_docs"),
+          col("__rep.doc_id").as("rep_id"), col("__rep.q").as("rep_quality"))
+        .orderBy("source")
+    }),
+
     // Range-partition planning: cut points from exact quantiles of the
     // sort key, then the per-range row counts — the balance audit
     // behind repartitionByRange/sort-based layout (a planned range
@@ -1193,6 +1228,60 @@ object Analytics {
         |    AS records_at_risk,
         |  min(n) AS k_anonymity
         |FROM g""".stripMargin,
+
+    "q_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |    round(sum(o_totalprice), 2) AS revenue,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT mon, revenue, n_orders,
+        |    lag(revenue) OVER (ORDER BY mon) AS prev
+        |  FROM m)
+        |SELECT mon, revenue, n_orders,
+        |  round(revenue - prev, 2) AS delta,
+        |  round((revenue - prev) / prev * 100 + 1e-9, 4) AS pct_change
+        |FROM w ORDER BY mon""".stripMargin,
+
+    // the engine's quality closed form replayed (q_doc_profile formula),
+    // argmax via window rank
+    "q_best_doc_per_source" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    string_split_regex(trim(text), '\s+') AS wtoks,
+        |    length(text) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\.,;:!\?]', '', 'g')) AS INTEGER) AS np
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(wtoks,
+        |           w -> length(w))) AS DOUBLE) / len(wtoks) END AS mwl,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is',
+        |      'it','that','for'])) AS h_en,
+        |    len(toks) AS ntk, nc, np
+        |  FROM p),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    round((least(CAST(nc AS DOUBLE) / 200.0, 1.0)
+        |      + (1.0 - least(CAST(np AS DOUBLE) / greatest(nc, 1) * 10.0,
+        |          1.0))
+        |      + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        |      + least((CASE WHEN ntk = 0 THEN 0.0
+        |               ELSE CAST(h_en AS DOUBLE) / ntk END) * 5.0, 1.0))
+        |      / 4.0 + 1e-9, 4) AS q
+        |  FROM q),
+        |r AS (
+        |  SELECT doc_id, source, q, count(*) OVER (PARTITION BY source)
+        |      AS n_docs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT source, n_docs, doc_id AS rep_id, q AS rep_quality
+        |FROM r WHERE rk = 1 ORDER BY source""".stripMargin,
 
     "q_range_partition_plan" ->
       """WITH b AS (
