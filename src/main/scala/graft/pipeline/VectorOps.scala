@@ -666,6 +666,62 @@ object VectorOps {
         col("col.id").as("cid"), (-col("col.score")).as("adist"))
   }
 
+  /** DBSCAN density clustering over an embedding column, expressed
+    * relationally: ε-neighbor pairs → core points (≥ minPts neighbors,
+    * self included) → connected components over the core-core graph →
+    * border points adopt the MINIMUM adjacent core cluster (a
+    * deterministic refinement of classic DBSCAN's arrival-order
+    * assignment); everything else is noise (cluster −1).
+    *
+    * The pair stage here is the exact blocked self-join (corpus joined
+    * against its broadcast when small); at 100 TB swap in
+    * [[lshNeighborPairs]] as the candidate generator — the rest of the
+    * pipeline is unchanged, which is the point of phrasing DBSCAN as
+    * dataflow. Distances compare on ROUNDED squared L2 (1e-6 grid, the
+    * engine-parity convention), so the oracle replays bit-identically.
+    */
+  def dbscan(corpus: DataFrame, idCol: String, vecCol: String,
+      eps: Double, minPts: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val pairs = c.as("l")
+      .join(broadcast(c.as("r")), col("l.__id") < col("r.__id"))
+      .filter(round(l2DistSq(col("l.__v"), col("r.__v")), 6) <= eps * eps)
+      .select(col("l.__id").as("a"), col("r.__id").as("b"))
+      .localCheckpoint(true)
+    val und = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    // neighbor counts (self included, as in classic DBSCAN)
+    val degrees = und.groupBy(col("a").as("__id"))
+      .agg((count(lit(1)) + 1).as("__deg"))
+    val core = c.select(col("__id"))
+      .join(degrees, Seq("__id"), "left")
+      .select(col("__id"),
+        (coalesce(col("__deg"), lit(1L)) >= minPts).as("__core"))
+      .localCheckpoint(true)
+    val coreIds = core.filter(col("__core")).select(col("__id"))
+    // components over the core-core subgraph
+    val coreEdges = pairs
+      .join(coreIds.select(col("__id").as("a")), "a")
+      .join(coreIds.select(col("__id").as("b")), "b")
+      .select(col("a"), col("b"))
+    val comps = graft.operators.ConnectedComponents.components(coreEdges)
+    // core points keep their component (isolated cores self-cluster);
+    // border points adopt the min adjacent core cluster; rest is noise
+    val coreCluster = coreIds
+      .join(comps.withColumnRenamed("id", "__id"), Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("comp"), col("__id")).as("__cl"))
+    val borderCluster = und
+      .join(coreCluster.select(col("__id").as("b"), col("__cl")), "b")
+      .groupBy(col("a").as("__id"))
+      .agg(min(col("__cl")).as("__bcl"))
+    core
+      .join(coreCluster, Seq("__id"), "left")
+      .join(borderCluster, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("__core").as("is_core"),
+        when(col("__core"), col("__cl"))
+          .otherwise(coalesce(col("__bcl"), lit(-1L))).as("cluster"))
+  }
+
   /** k-nearest-neighbor classification: each query's label is the
     * majority label among its k exact cosine neighbors (ties: more
     * votes win, then the smaller label). Rides the bounded-heap top-k

@@ -79,6 +79,27 @@ object Analytics {
         .orderBy("a", "b")
     }),
 
+    // DBSCAN density clustering: planted perturbed copies (one zeroed
+    // dimension each) form ε-triples with their originals — cores and
+    // clusters recovered exactly, everything unplanted is noise. The
+    // oracle replays pairs → cores → recursive components → border
+    // adoption relationally.
+    "q_dbscan" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 150)
+      def perturbed(offset: Int, dim: Int) =
+        base.filter(col("vec_id") < 40)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === dim, lit(0.0f)).otherwise(x))
+              .as("embedding"))
+      val corpus = base.select(col("vec_id"), col("embedding"))
+        .unionAll(perturbed(100000, 3))
+        .unionAll(perturbed(200000, 5))
+      VectorOps.dbscan(corpus, "vec_id", "embedding",
+          eps = 0.35, minPts = 3)
+        .orderBy("vec_id")
+    }),
+
     // kNN classification over embeddings: 5 exact cosine neighbors vote
     // on the label (bounded-heap top-k + one argmax aggregate).
     "q_knn_classify" -> ((s, dir) => {
@@ -931,6 +952,63 @@ object Analytics {
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.95
         |ORDER BY a, b""".stripMargin,
+
+    // pairs → cores → recursive components → border adoption, with the
+    // SAME rounded-distance predicate and e0-typed epsilon (a DECIMAL
+    // 0.35*0.35 is exactly 0.1225 — NOT the double the engine compares
+    // against); DuckDB lambda indexes are 1-based (Spark's dim 3 = i 4)
+    "q_dbscan" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings WHERE vec_id < 150),
+        |b1 AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_transform(v, (x, i) -> CASE WHEN i = 4 THEN 0.0e0 ELSE x END)
+        |    AS v
+        |  FROM base WHERE vec_id < 40),
+        |b2 AS (SELECT vec_id + 200000 AS vec_id,
+        |  list_transform(v, (x, i) -> CASE WHEN i = 6 THEN 0.0e0 ELSE x END)
+        |    AS v
+        |  FROM base WHERE vec_id < 40),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM corpus a, corpus b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND round(list_reduce(list_transform(list_zip(a.v, b.v),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6)
+        |      <= 0.35e0 * 0.35e0),
+        |und AS (SELECT a, b FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT a AS id, count(*) + 1 AS deg FROM und GROUP BY a),
+        |core AS (
+        |  SELECT c.vec_id AS id, coalesce(deg.deg, 1) >= 3 AS is_core
+        |  FROM corpus c LEFT JOIN deg ON c.vec_id = deg.id),
+        |coreids AS (SELECT id FROM core WHERE is_core),
+        |ce AS (SELECT a, b FROM pairs
+        |  JOIN coreids x ON pairs.a = x.id
+        |  JOIN coreids y ON pairs.b = y.id),
+        |cund AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+        |reach AS (
+        |  SELECT a, b FROM cund
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN cund u ON r.b = u.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+        |  FROM reach GROUP BY a),
+        |corecl AS (
+        |  SELECT coreids.id, coalesce(comp.comp, coreids.id) AS cl
+        |  FROM coreids LEFT JOIN comp ON coreids.id = comp.id),
+        |border AS (
+        |  SELECT und.a AS id, min(corecl.cl) AS bcl
+        |  FROM und JOIN corecl ON und.b = corecl.id GROUP BY und.a)
+        |SELECT core.id AS vec_id, core.is_core,
+        |  CASE WHEN core.is_core THEN corecl.cl
+        |       ELSE coalesce(border.bcl, -1) END AS cluster
+        |FROM core
+        |LEFT JOIN corecl ON core.id = corecl.id
+        |LEFT JOIN border ON core.id = border.id
+        |ORDER BY vec_id""".stripMargin,
 
     // same double-promoted sequential fold as q_ann_bruteforce_topk;
     // ranking on the ROUNDED cosine, then the (votes desc, label asc)

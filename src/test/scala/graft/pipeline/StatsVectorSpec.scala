@@ -135,6 +135,44 @@ class StatsVectorSpec extends AnyFunSuite {
     assert(direct.nAbove > 0 && direct.nAbove < 64)
   }
 
+  test("dbscan: hand fixture with cores, a border point, and noise") {
+    // 1-D embeddings, eps=1.5 (eps²=2.25), minPts=3 (self included):
+    //  1.0 and 2.0 have two ε-neighbors each → cores (one cluster,
+    //  min core id 2); 0.0 reaches only 1.0 and 3.4 only 2.0 → borders
+    //  adopting the core cluster; 10.0 → noise
+    val pts = Seq((1L, 0.0f), (2L, 1.0f), (3L, 2.0f), (4L, 3.4f),
+      (5L, 10.0f)).map { case (id, x) => (id, Array(x)) }
+    val df = pts.toDF("id", "vec")
+    val out = VectorOps.dbscan(df, "id", "vec", eps = 1.5, minPts = 3)
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(2L) == ((true, 2L)) && out(3L) == ((true, 2L)),
+      s"1.0 and 2.0 are the cores of one cluster: $out")
+    assert(out(1L) == ((false, 2L)) && out(4L) == ((false, 2L)),
+      s"0.0 and 3.4 are borders adopting the core cluster: $out")
+    assert(out(5L) == ((false, -1L)), s"10.0 is noise: $out")
+  }
+
+  test("dbscan: two separated blobs cluster separately; minPts respected") {
+    val rnd = new java.util.Random(17)
+    def blob(center: Float, ids: Range) = ids.map { i =>
+      (i.toLong, Array(center + rnd.nextFloat() * 0.2f,
+        rnd.nextFloat() * 0.2f))
+    }
+    val df = (blob(0f, 0 until 8) ++ blob(50f, 100 until 108) ++
+      Seq((999L, Array(25f, 25f)))).toDF("id", "vec")
+    val out = VectorOps.dbscan(df, "id", "vec", eps = 1.0, minPts = 3)
+      .as[(Long, Boolean, Long)].collect()
+    val clusters = out.filter(_._3 >= 0).groupBy(_._3)
+    assert(clusters.size == 2, s"two blobs expected: ${out.toSeq}")
+    assert(out.find(_._1 == 999L).get._3 == -1L, "isolated point is noise")
+    clusters.values.foreach { members =>
+      val ids = members.map(_._1)
+      assert(ids.forall(_ < 50) || ids.forall(_ >= 100),
+        s"blobs must not merge: ${ids.toSeq}")
+    }
+  }
+
   test("knnClassify recovers planted labels and breaks ties to smaller") {
     // 3 tight clusters in distinct directions; every query's 5
     // neighbors are its own cluster → prediction = planted label
