@@ -438,6 +438,46 @@ object Analytics {
         min(col("n")).as("k_anonymity"))
     }),
 
+    // Synchronous label propagation (2 rounds) over the supplier ring
+    // graph: deterministic min-tie-break makes the rounds exactly
+    // unrollable in SQL — the community-detection sibling of connected
+    // components (which ignores label frequency).
+    "q_graph_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+      val ring = li.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("sk"))).as("sks"))
+        .where(size(col("sks")) > 1)
+        .select(col("sks"), concat(slice(col("sks"), 2, Int.MaxValue),
+          slice(col("sks"), 1, 1)).as("nxts"))
+        .select(explode(arrays_zip(col("sks"), col("nxts"))).as("z"))
+        .select(col("z.sks").as("a"), col("z.nxts").as("b"))
+      graft.operators.LabelProp.run(ring, rounds = 2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy(col("n_members").desc, col("label"))
+        .limit(30)
+    }),
+
+    // Clamped running balance (inventory floor-at-zero): the nonlinear
+    // fold b' = max(0, b + Δ) over each user's time-ordered deltas —
+    // unlike a plain cumulative sum, not windowable; carried by the
+    // same in-row fold discipline as EWMA/Holt, and the SCALAR
+    // accumulator keeps the DuckDB list_reduce replay safe.
+    "q_clamped_balance" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(
+              unix_micros(col("ts")).as("t"), col("event_id").as("tie"),
+              (col("value") - 25.0).as("d")))), e => e.getField("d")),
+            lit(0.0d), (b, d) => greatest(lit(0.0d), b + d)), 6)
+            .as("balance"))
+        .orderBy("user_id")
+    }),
+
     // Period-over-period growth: monthly revenue with MoM delta and
     // percent change (lag over the month series) — the BI staple.
     "q_mom_growth" -> ((s, dir) => {
@@ -1306,6 +1346,49 @@ object Analytics {
         |    AS records_at_risk,
         |  min(n) AS k_anonymity
         |FROM g""".stripMargin,
+
+    // the ring multiset (NO distinct — multi-edges weight label
+    // frequencies) and two synchronous rounds unrolled
+    "q_graph_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk))
+        |      AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS cnt
+        |  FROM pairs),
+        |ring AS (SELECT sk AS a, nxt AS b FROM w
+        |  WHERE cnt > 1 AND sk <> nxt),
+        |und AS (SELECT a, b FROM ring UNION ALL SELECT b, a FROM ring),
+        |r1 AS (
+        |  SELECT a, b AS label, count(*) AS n FROM und GROUP BY a, b),
+        |l1 AS (
+        |  SELECT a AS node, label FROM (
+        |    SELECT a, label, row_number() OVER (PARTITION BY a
+        |      ORDER BY n DESC, label ASC) AS rk FROM r1)
+        |  WHERE rk = 1),
+        |r2 AS (
+        |  SELECT und.a, l1.label, count(*) AS n
+        |  FROM und JOIN l1 ON und.b = l1.node GROUP BY und.a, l1.label),
+        |l2 AS (
+        |  SELECT a AS node, label FROM (
+        |    SELECT a, label, row_number() OVER (PARTITION BY a
+        |      ORDER BY n DESC, label ASC) AS rk FROM r2)
+        |  WHERE rk = 1)
+        |SELECT label, count(*) AS n_members, min(node) AS min_node,
+        |  max(node) AS max_node
+        |FROM l2 GROUP BY label
+        |ORDER BY n_members DESC, label LIMIT 30""".stripMargin,
+
+    "q_clamped_balance" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(list_reduce(
+        |    list_prepend(0.0e0,
+        |      list(CAST(value AS DOUBLE) - 25.0e0 ORDER BY ts, event_id)),
+        |    (b, d) -> greatest(0.0e0, b + d)), 6) AS balance
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_mom_growth" ->
       """WITH m AS (
