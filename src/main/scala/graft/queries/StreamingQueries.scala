@@ -62,6 +62,20 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming debounce (burst-collapse): keep an event only > 5 s
+    // after the previously KEPT event of its (user, type) key — one
+    // timestamp of state per key; the sequential kept-anchor rule is
+    // replayed by a recursive-CTE oracle.
+    "q_stream_burst_collapse" -> ((s, dir) => {
+      val name = s"stream_burst_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runBurstCollapseOnce(s, dir, name)
+      drained(q)
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("user_id")
+    }),
+
     // Streaming Holt linear-trend forecasting ((n, level, trend) state
     // per key): the converged fold is bitwise the batch recurrence, so
     // the gate reuses the recursive-CTE oracle.
@@ -514,6 +528,26 @@ object StreamingQueries {
 
     // the streaming Holt fold converges to bitwise the batch recurrence
     "q_stream_holt" -> Analytics.oracles("q_holt_forecast"),
+
+    // the kept-anchor debounce is sequential — recursive-CTE replay
+    "q_stream_burst_collapse" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, event_type, rn, t AS last_kept, 1 AS kept
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.rn,
+        |    CASE WHEN e.t - rec.last_kept > 5000000 THEN e.t
+        |         ELSE rec.last_kept END,
+        |    CASE WHEN e.t - rec.last_kept > 5000000 THEN 1 ELSE 0 END
+        |  FROM rec JOIN e ON e.user_id = rec.user_id
+        |    AND e.event_type = rec.event_type AND e.rn = rec.rn + 1)
+        |SELECT user_id, CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM rec GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,

@@ -876,6 +876,59 @@ object EventStreams {
     }
   }
 
+  final case class BurstEvent(user_id: Long, event_type: String,
+      ts_us: Long, event_id: Long)
+  final case class BurstKey(user_id: Long, event_type: String)
+
+  /** Streaming burst-collapse: keep an event iff it arrives more than
+    * `gapUs` after the previously KEPT event of its (user, type) key —
+    * the gap-based dedup sibling of the count-based rate limiter, with
+    * ONE timestamp of state per live key. The kept-event anchor (vs
+    * the batch lag rule's previous-RAW-event anchor) is the
+    * "debounce" semantics a real throttle wants: a long burst emits
+    * one event per gap instead of none after the first. */
+  def streamingBurstCollapse(events: Dataset[BurstEvent],
+      gapUs: Long): Dataset[BurstEvent] = {
+    require(gapUs > 0, "gap must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(e => BurstKey(e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, BurstEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: BurstKey, rows: Iterator[BurstEvent], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val kept = sorted.filter { e =>
+            val keep = lastKept == Long.MinValue || e.ts_us - lastKept > gapUs
+            if (keep) lastKept = e.ts_us
+            keep
+          }
+          if (kept.nonEmpty) state.update(lastKept)
+          kept.iterator
+      }
+  }
+
+  /** Drain-once runner for [[streamingBurstCollapse]] (5 s gap). */
+  def runBurstCollapseOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, gapUs: Long = 5000000L): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      streamingBurstCollapse(
+          stream.select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+            .as[BurstEvent], gapUs)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   final case class RateKey(user_id: Long, bucket: Long)
   final case class KeptEvent(user_id: Long, bucket: Long, event_id: Long,
       ts_us: Long)
