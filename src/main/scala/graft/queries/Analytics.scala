@@ -556,6 +556,45 @@ object Analytics {
         .orderBy("user_id")
     }),
 
+    // Warehouse profile: one scorecard row per table (rows, columns,
+    // null cells, distinct leading-key values) — schema-driven over
+    // whatever columns each table has, the ANALYZE-style health scan.
+    "q_warehouse_profile" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "events", "documents")
+        .map { name =>
+          val df = t(s, dir, name)
+          val keyCol = df.columns.head
+          val nullCells = df.columns.map(c =>
+            sum(col(c).isNull.cast("long")))
+            .reduce(_ + _)
+          df.agg(count(lit(1)).as("n_rows"),
+            nullCells.as("n_null_cells"),
+            countDistinct(col(keyCol)).as("n_distinct_key"))
+            .select(lit(name).as("table_name"),
+              lit(df.columns.length).as("n_cols"),
+              col("n_rows"), col("n_null_cells"), col("n_distinct_key"))
+        }.reduce(_.unionByName(_)).orderBy("table_name")
+    }),
+
+    // Referential-integrity scan down the fact chain: orphan counts
+    // and parent coverage for each FK edge, each ONE anti-join.
+    "q_referential_integrity" -> ((s, dir) => {
+      def fkRow(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck))
+          .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(child.agg(count(lit(1)).as("n_child")))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+      fkRow("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(fkRow("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .unionByName(fkRow("customer->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .orderBy("fk")
+    }),
+
     // Corrupt-record quarantine on JSONL ingest: lines with planted
     // garbage (doc_id % 13 = 0) must land in the corrupt column under
     // PERMISSIVE mode, not kill the read or silently vanish — the
@@ -1479,6 +1518,83 @@ object Analytics {
         |SELECT user_id, count(*) AS n_kept
         |FROM t WHERE prev IS NULL OR tu - prev > 5000000
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_warehouse_profile" ->
+      """WITH p AS (
+        |  SELECT 'customer' AS table_name, 5 AS n_cols,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN c_name IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_cells,
+        |    count(DISTINCT c_custkey) AS n_distinct_key
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', 6, count(*),
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(DISTINCT o_orderkey)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 11, count(*),
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_orderkey)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', 6, count(*),
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN ts IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN user_id IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN event_type IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN value IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT event_id)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents', 5, count(*),
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN text IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN lang IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN source IS NULL THEN 1 ELSE 0 END +
+        |      CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT doc_id)
+        |  FROM documents)
+        |SELECT * FROM p ORDER BY table_name""".stripMargin,
+
+    "q_referential_integrity" ->
+      """SELECT 'customer->nation' AS fk,
+        |  (SELECT count(*) FROM customer) AS n_child,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |    AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY fk""".stripMargin,
 
     "q_jsonl_corrupt" ->
       """SELECT
