@@ -62,6 +62,22 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming Markov transitions (one string of state per user):
+    // drained (prev -> next) counts equal the batch lag replay; the
+    // conditional probabilities re-derive in the gate aggregation.
+    "q_stream_transitions" -> ((s, dir) => {
+      val name = s"stream_trans_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runStreamingTransitionsOnce(s, dir, name)
+      drained(q)
+      val counts = s.table(name)
+        .groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
+      counts.withColumn("p",
+          round(col("n") / sum(col("n")).over(w) + 1e-9, 6))
+        .orderBy("prev", "next")
+    }),
+
     // Streaming debounce (burst-collapse): keep an event only > 5 s
     // after the previously KEPT event of its (user, type) key — one
     // timestamp of state per key; the sequential kept-anchor rule is
@@ -528,6 +544,8 @@ object StreamingQueries {
 
     // the streaming Holt fold converges to bitwise the batch recurrence
     "q_stream_holt" -> Analytics.oracles("q_holt_forecast"),
+
+    "q_stream_transitions" -> Analytics.oracles("q_markov_transitions"),
 
     // the kept-anchor debounce is sequential — recursive-CTE replay
     "q_stream_burst_collapse" ->

@@ -820,6 +820,55 @@ object EventStreams {
     }
   }
 
+  final case class TransitionEvent(user_id: Long, ts_us: Long,
+      event_id: Long, event_type: String)
+  final case class Transition(prev: String, next: String)
+
+  /** Streaming Markov-transition extraction: one string of state per
+    * user (the last seen event type); each micro-batch sorts its slice
+    * and emits the (prev → next) pairs, chaining across batches through
+    * the carried state — the streaming feed for the batch
+    * [[graft.operators.Stats.transitionMatrix]]. */
+  def streamingTransitions(
+      events: Dataset[TransitionEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TransitionEvent], state: GroupState[String]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+          var prev = state.getOption.orNull
+          val out = Vector.newBuilder[Transition]
+          sorted.foreach { e =>
+            if (prev != null) out += Transition(prev, e.event_type)
+            prev = e.event_type
+          }
+          if (prev != null) state.update(prev)
+          out.result().iterator
+      }
+  }
+
+  /** Drain-once runner for [[streamingTransitions]]. */
+  def runStreamingTransitionsOnce(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      streamingTransitions(
+          stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type")).as[TransitionEvent])
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   final case class WelfordState(n: Long, mean: Double, m2: Double)
   final case class WelfordOut(user_id: Long, n: Long, mean: Double,
       m2: Double)

@@ -68,6 +68,28 @@ class RateLimitSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition state chains across micro-batch boundaries") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.TransitionEvent]
+    val q = EventStreams.streamingTransitions(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_spec").start()
+    def ev(us: Long, id: Long, t: String) =
+      EventStreams.TransitionEvent(1L, us, id, t)
+    try {
+      mem.addData(ev(10, 1, "a"), ev(20, 2, "b"))
+      q.processAllAvailable()
+      // the cross-batch pair (b -> c) exists ONLY via carried state
+      mem.addData(ev(30, 3, "c"), ev(40, 4, "a"))
+      q.processAllAvailable()
+      val got = spark.table("trans_spec")
+        .as[(String, String)].collect().toSeq.sorted
+      assert(got == Seq(("a", "b"), ("b", "c"), ("c", "a")),
+        s"expected chained transitions, got $got")
+    } finally q.stop()
+  }
+
   test("ties on ts admit the smaller event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
