@@ -62,6 +62,22 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming clamped balance (floor-at-zero fold, 2 numbers of
+    // state/key): converges bitwise to the batch in-row fold, so it
+    // reuses the scalar list_reduce oracle.
+    "q_stream_clamped_balance" -> ((s, dir) => {
+      val name = s"stream_bal_${runCounter.incrementAndGet()}"
+      val q = EventStreams.runClampedBalanceOnce(s, dir, name)
+      drained(q)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("balance"), 6).as("balance"))
+        .orderBy("user_id")
+    }),
+
     // Streaming Markov transitions (one string of state per user):
     // drained (prev -> next) counts equal the batch lag replay; the
     // conditional probabilities re-derive in the gate aggregation.
@@ -546,6 +562,9 @@ object StreamingQueries {
     "q_stream_holt" -> Analytics.oracles("q_holt_forecast"),
 
     "q_stream_transitions" -> Analytics.oracles("q_markov_transitions"),
+
+    // bitwise the batch clamped fold
+    "q_stream_clamped_balance" -> Analytics.oracles("q_clamped_balance"),
 
     // the kept-anchor debounce is sequential — recursive-CTE replay
     "q_stream_burst_collapse" ->

@@ -820,6 +820,51 @@ object EventStreams {
     }
   }
 
+  final case class BalanceState(n: Long, b: Double)
+  final case class BalanceOut(user_id: Long, n_events: Long, balance: Double)
+
+  /** Streaming clamped balance: the floor-at-zero fold
+    * b' = max(0, b + Δ) carried per key — nonlinear, so no windowed
+    * cumulative sum expresses it; converges bitwise to the batch
+    * in-row fold (q_clamped_balance). */
+  def streamingClampedBalance(events: Dataset[MetricEvent],
+      offset: Double): Dataset[BalanceOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[BalanceState, BalanceOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[MetricEvent], state: GroupState[BalanceState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+          var st = state.getOption.getOrElse(BalanceState(0L, 0.0))
+          sorted.foreach { e =>
+            st = BalanceState(st.n + 1,
+              math.max(0.0, st.b + (e.value - offset)))
+          }
+          state.update(st)
+          BalanceOut(uid, st.n, st.b)
+      }
+  }
+
+  /** Drain-once runner for [[streamingClampedBalance]]. */
+  def runClampedBalanceOnce(spark: SparkSession, eventsDir: String,
+      queryName: String, offset: Double = 25.0): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    val stream = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir), "ts")
+    StreamConf.withStreamShuffle(spark) {
+      streamingClampedBalance(
+          stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")).as[MetricEvent], offset)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   final case class TransitionEvent(user_id: Long, ts_us: Long,
       event_id: Long, event_type: String)
   final case class Transition(prev: String, next: String)
