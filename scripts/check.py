@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py [--lax] <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name> parquet written by graft.Verify, runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
 same sf tables, and compares: row count, column names, and a hash of the
 value matrix with columns sorted by name and rows sorted canonically.
+
+STRICT float compare is the default: raw repr(), no rounding, no ±0
+folding — the driver's hash is representation-sensitive, and the lax
+compare once shipped 7 locally-green gates that failed the driver
+(-0.0 vs 0.0 and sub-1e-9 drift are invisible to it). Pass --lax for
+the old behavior (9-digit rounding, ±0 → "0") when triaging whether a
+mismatch is value-level or representation-level.
 """
 import json
 import sys
@@ -16,10 +23,15 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+STRICT = True
+
 
 def norm_cell(v):
     if isinstance(v, float):
-        # guard against -0.0 vs 0.0 and tiny repr noise post-rounding
+        if STRICT:
+            # raw shortest-repr: distinguishes -0.0 vs 0.0 and every ulp
+            return repr(v)
+        # lax: guard against -0.0 vs 0.0 and tiny repr noise post-rounding
         if v == 0:
             return "0"
         return repr(round(v, 9))
@@ -38,7 +50,13 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    global STRICT
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--lax" in sys.argv:
+        STRICT = False
+    if "--strict" in sys.argv:  # accepted for explicitness; the default
+        STRICT = True
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -88,10 +88,14 @@ object Blocking {
     totals.crossJoin(cand).crossJoin(truthStats)
       .select(lit(scheme).as("scheme"), col("n").as("n_docs"),
         col("total_pairs"), col("cand_pairs"),
-        round(lit(1.0) - col("cand_pairs") / col("total_pairs").cast("double"),
-          6).as("reduction_ratio"),
+        // ratios pinned to the 1e-6 grid as INTEGERS (explicit IEEE
+        // multiply + scale-0 round) — decimal-scale round(x, n) drifts
+        // across engine builds, integer outputs hash identically
+        round((lit(1.0) - col("cand_pairs") / col("total_pairs")
+          .cast("double")) * lit(1e6) + lit(1e-3)).cast("long")
+          .as("reduction_ratio_e6"),
         col("true_pairs"), col("found_true"),
-        round(col("found_true") / col("true_pairs").cast("double"), 6)
-          .as("completeness"))
+        round(col("found_true") / col("true_pairs").cast("double")
+          * lit(1e6) + lit(1e-3)).cast("long").as("completeness_e6"))
   }
 }

@@ -24,29 +24,56 @@ object Stats {
     * |v − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
     * normality). The per-group cutoff table is tiny → broadcast back.
     *
-    * Exact medians sort each group's values inside one aggregate
-    * buffer; at 100 TB swap `percentile_cont` for `approx_percentile`
-    * (same call shape, mergeable sketch) — the gate pins the exact
-    * variant so the oracle can replay it.
+    * Exact medians rank each group's values (one sort per grouped
+    * window); at 100 TB swap the exact rank-pick for
+    * `approx_percentile` (mergeable sketch) — the gate pins the exact
+    * variant so the oracle can replay it. Median and MAD are emitted
+    * quantized to the 1e-6 grid as BIGINTs (`median_e6`, `mad_e6`) so
+    * the result hashes identically on any engine build.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
     val v = col(valueCol).cast("double")
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST($valueCol AS DOUBLE))")
-        .as("__med"))
+    val med = gridMedian(df.select(col(groupCol), v.as("__v")),
+        groupCol, "__v")
+      .select(col(groupCol), col("__med6"))
     val dev = df.join(broadcast(med), groupCol)
-      .withColumn("__dev", abs(v - col("__med")))
-    val mad = dev.groupBy(col(groupCol))
-      .agg(first(col("__med")).as("__med"),
-        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY __dev)").as("__mad"))
-    dev.drop("__med").join(broadcast(mad), groupCol)
+      .withColumn("__medd", col("__med6").cast("double") / lit(1e6))
+      .withColumn("__dev", abs(v - col("__medd")))
+    val mad = gridMedian(dev.select(col(groupCol), col("__dev")),
+        groupCol, "__dev")
+      .select(col(groupCol), col("__med6").as("__mad6"))
+    dev.join(broadcast(mad), groupCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        round(first(col("__med")), 6).as("median"),
-        round(first(col("__mad")), 6).as("mad"),
-        sum((abs(v - col("__med")) > lit(k * 1.4826) * col("__mad"))
+        first(col("__med6")).as("median_e6"),
+        first(col("__mad6")).as("mad_e6"),
+        sum((col("__dev") >
+          lit(k * 1.4826) * (col("__mad6").cast("double") / lit(1e6)))
           .cast("long")).as("n_outliers"))
+  }
+
+  /** Per-group exact median quantized to the 1e-6 grid as a BIGINT.
+    *
+    * Deliberately avoids `percentile_cont`: its interpolation
+    * arithmetic is engine- and version-specific (`a + f·(b − a)` vs
+    * `(1−f)·a + f·b` differ in ulps). Instead both interpolation rows
+    * are picked by explicit rank — lo = (n+1) div 2, hi = n div 2 + 1 —
+    * and folded as sum/count, which any engine replays bit-identically;
+    * the grid quantization then pins the result as an integer.
+    */
+  private def gridMedian(d: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val vc = col(valueCol)
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(vc)
+    val wAll = Window.partitionBy(col(groupCol))
+    d.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === floor((col("__n") + 1) / 2) ||
+        col("__rn") === floor(col("__n") / 2) + 1)
+      .groupBy(col(groupCol))
+      .agg(round(sum(vc) / count(lit(1)) * lit(1e6) + lit(1e-3))
+        .cast("long").as("__med6"))
   }
 
   /** Welch's unequal-variance t-test between two groups of one value
@@ -228,10 +255,19 @@ object Stats {
 
   /** Kaplan–Meier survival estimator over right-censored durations:
     * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with dᵢ deaths and nᵢ at-risk at
-    * each distinct event time. The product rides exp(Σ ln(·)) so it is
-    * windowable; censored subjects leave the risk set without a death
-    * term. One grouped count per distinct time + one ordered window —
-    * the curve table is |distinct times| rows, not |subjects|.
+    * each distinct event time. Censored subjects leave the risk set
+    * without a death term. One grouped count per distinct time + one
+    * ordered window — the curve table is |distinct times| rows, not
+    * |subjects|.
+    *
+    * Each per-step factor is quantized to the 1e-6 grid as an INTEGER
+    * and the running product is a sequential left fold over the
+    * window-ordered factor list — no ln/exp (libm varies across engine
+    * builds) and no decimal-scale rounding (varies across DuckDB
+    * versions) touches the curve, so any engine replays it
+    * bit-identically. A full-death step (d = n_risk) quantizes to
+    * factor 0 and zeroes the curve exactly from there on. `survival_e6`
+    * is the curve in integer micro-units.
     */
   def kaplanMeier(df: DataFrame, durationCol: String,
       eventCol: String): DataFrame = {
@@ -250,19 +286,16 @@ object Stats {
       .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
       .withColumn("n_risk", col("__n") - col("__removed_before"))
       .filter(col("d") > 0)
-      // a time where EVERY remaining subject dies takes the curve to
-      // exactly 0 — ln(0) is guarded out of the running sum and the
-      // zero is forced by the cumulative flag instead (Spark's log
-      // would yield null and silently DROP the −∞ term; DuckDB's
-      // raises — this form is exact on both)
-      .withColumn("__zero",
-        max((col("d") === col("n_risk")).cast("int")).over(w))
-      .withColumn("survival",
-        when(col("__zero") === 1, lit(0.0)).otherwise(exp(sum(
-          log(when(col("d") === col("n_risk"), lit(1.0)).otherwise(
-            lit(1.0) - col("d").cast("double") / col("n_risk")))).over(w))))
+      .withColumn("__f6",
+        round((lit(1.0) - col("d").cast("double") / col("n_risk"))
+          * lit(1e6) + lit(1e-3)).cast("long"))
+      .withColumn("__fd", col("__f6").cast("double") / lit(1e6))
+      .withColumn("__surv",
+        aggregate(collect_list(col("__fd")).over(w), lit(1.0d),
+          (acc, x) => acc * x))
       .select(col("t"), col("d").as("deaths"), col("n_risk"),
-        round(col("survival") + 1e-9, 6).as("survival"))
+        round(col("__surv") * lit(1e6) + lit(1e-3)).cast("long")
+          .as("survival_e6"))
   }
 
   /** Exact rolling median of the trailing `window` rows per key (value

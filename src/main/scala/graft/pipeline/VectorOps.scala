@@ -478,8 +478,9 @@ object VectorOps {
     * onto `k` dimensions: y_j = Σ_i x_i·s(i,j) / √k with the Rademacher
     * signs above. Stateless column algebra — a per-row O(dim·k) map
     * with full pushdown and no shuffle; the projected columns are
-    * appended as y0..y(k-1) plus the squared-norm ratio ||y||²/||x||²
-    * (the JL distortion diagnostic, E[ratio] = 1). */
+    * appended as y0_e4..y(k-1)_e4 (1e-4-grid integers) plus the
+    * squared-norm ratio ||y||²/||x||² as norm_ratio_e3 (the JL
+    * distortion diagnostic, E[ratio] = 1, in integer milli-units). */
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, seed: String = "rp"): DataFrame = {
     val signs = rademacherSigns(dim, k, seed)
@@ -495,10 +496,16 @@ object VectorOps {
       transform(col(vecCol), v => v.cast("double") * v.cast("double")),
       lit(0.0d), (a, b) => a + b)
     val ny = ys.map(y => y * y).reduce(_ + _)
+    // projections pinned as INTEGERS on a 1e-4 grid (norm ratio 1e-3):
+    // explicit IEEE multiply + scale-0 round + BIGINT cast. A rounded
+    // DOUBLE here once emitted -0.0 for y ∈ (−1e-4, 0) and decimal-
+    // scale round(x, n) drifts across engine builds; integers can do
+    // neither.
     df.select(col(idCol) +:
       (ys.zipWithIndex.map { case (y, j) =>
-        round(y + lit(1e-9), 4).as(s"y$j")
-      } :+ round(ny / nx + lit(1e-9), 3).as("norm_ratio")): _*)
+        round(y * lit(1e4) + lit(1e-3)).cast("long").as(s"y${j}_e4")
+      } :+ round(ny / nx * lit(1e3) + lit(1e-3)).cast("long")
+        .as("norm_ratio_e3")): _*)
   }
 
   /** Per-label centroids as arrays: posexplode → per-(label, dim) mean

@@ -895,15 +895,21 @@ object Analytics {
         |  FROM km),
         |w2 AS (
         |  SELECT t, d, (SELECT count(*) FROM dd) - rb AS n_risk
-        |  FROM w1 WHERE d > 0)
+        |  FROM w1 WHERE d > 0),
+        |f AS (
+        |  SELECT t, d, n_risk,
+        |    CAST(round((1.0e0 - CAST(d AS DOUBLE) / n_risk) * 1e6 + 1e-3)
+        |      AS BIGINT) AS f6
+        |  FROM w2),
+        |s AS (
+        |  SELECT t, d, n_risk,
+        |    list(CAST(f6 AS DOUBLE) / 1e6)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS fs
+        |  FROM f)
         |SELECT t, d AS deaths, n_risk,
-        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
-        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0e0
-        |    ELSE exp(sum(ln(CASE WHEN d = n_risk THEN 1.0e0
-        |      ELSE 1.0e0 - CAST(d AS DOUBLE) / n_risk END))
-        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END + 1e-9, 6)
-        |    AS survival
-        |FROM w2 ORDER BY t""".stripMargin,
+        |  CAST(round(list_reduce(list_prepend(1.0e0, fs),
+        |    (a, b) -> a * b) * 1e6 + 1e-3) AS BIGINT) AS survival_e6
+        |FROM s ORDER BY t""".stripMargin,
 
     "q_impute" ->
       """WITH ev AS (
@@ -922,23 +928,39 @@ object Analytics {
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
     "q_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
-        |  FROM events GROUP BY event_type),
+      """WITH vals AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |r1 AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM vals),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(round(sum(v) / count(*) * 1e6 + 1e-3) AS BIGINT) AS med6
+        |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY event_type),
         |dev AS (
-        |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, med.m,
-        |    abs(CAST(e.value AS DOUBLE) - med.m) AS d
-        |  FROM events e JOIN med USING (event_type)),
+        |  SELECT vals.event_type, vals.v, med.med6,
+        |    abs(vals.v - med.med6 / 1e6) AS d
+        |  FROM vals JOIN med USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, d,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
         |mad AS (
-        |  SELECT event_type, any_value(m) AS m, quantile_cont(d, 0.5) AS md
-        |  FROM dev GROUP BY event_type)
-        |SELECT d.event_type, count(*) AS n,
-        |  round(any_value(mad.m), 6) AS median,
-        |  round(any_value(mad.md), 6) AS mad,
-        |  sum(CASE WHEN abs(d.v - mad.m) > 3.0 * 1.4826 * mad.md
-        |      THEN 1 ELSE 0 END) AS n_outliers
-        |FROM dev d JOIN mad USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+        |  SELECT event_type,
+        |    CAST(round(sum(d) / count(*) * 1e6 + 1e-3) AS BIGINT) AS mad6
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY event_type)
+        |SELECT dev.event_type, count(*) AS n,
+        |  any_value(dev.med6) AS median_e6,
+        |  any_value(mad.mad6) AS mad_e6,
+        |  CAST(sum(CASE WHEN dev.d > 3.0e0 * 1.4826e0 * (mad.mad6 / 1e6)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
 
     "q_welch_ttest" ->
       """WITH g AS (

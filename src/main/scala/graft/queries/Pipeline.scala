@@ -237,16 +237,20 @@ object Pipeline {
         sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
       val tot = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"),
         count(lit(1)).as("v"))
+      // probabilities pinned to the 1e-8 grid as INTEGERS (explicit
+      // IEEE multiply + scale-0 round) — integer outputs hash
+      // identically on any engine build, and the top-20 order rides
+      // the integers with a token tiebreak
       counts.crossJoin(tot)
         .select(col("tok"), col("ca"), col("cb"),
-          round((col("ca") + 1) / (col("ta") + col("v")) + lit(1e-12), 8)
-            .as("p_a"),
-          round((col("cb") + 1) / (col("tb") + col("v")) + lit(1e-12), 8)
-            .as("p_b"),
+          round((col("ca") + 1) / (col("ta") + col("v")) * lit(1e8)
+            + lit(1e-4)).cast("long").as("p_a_e8"),
+          round((col("cb") + 1) / (col("tb") + col("v")) * lit(1e8)
+            + lit(1e-4)).cast("long").as("p_b_e8"),
           round(abs((col("ca") + 1) / (col("ta") + col("v"))
-            - (col("cb") + 1) / (col("tb") + col("v"))) + lit(1e-12), 8)
-            .as("drift"))
-        .orderBy(col("drift").desc, col("tok"))
+            - (col("cb") + 1) / (col("tb") + col("v"))) * lit(1e8)
+            + lit(1e-4)).cast("long").as("drift_e8"))
+        .orderBy(col("drift_e8").desc, col("tok"))
         .limit(20)
     }),
 
@@ -293,36 +297,42 @@ object Pipeline {
           greatest(col("id_a"), col("id_b")).as("b"))
         .join(cmp.select(col("doc_id").as("a"), col("sfx").as("sfx_a")), "a")
         .join(cmp.select(col("doc_id").as("b"), col("sfx").as("sfx_b")), "b")
+        // similarity and the P/R/F1 ratios ride the 1e-6 grid as
+        // INTEGERS (explicit IEEE multiply + scale-0 round): the
+        // threshold compare is integer-vs-integer and the outputs hash
+        // identically on any engine build
         .select(col("a"), col("b"),
           round(graft.functions.JaroWinkler.jaro_winkler(
-            col("sfx_a"), col("sfx_b")) + lit(1e-9), 6).as("sim"))
+            col("sfx_a"), col("sfx_b")) * lit(1e6) + lit(1e-3))
+            .cast("long").as("sim_e6"))
       val scored = pairs
         .join(truth.withColumn("is_true", lit(1L)), Seq("a", "b"), "left")
         .withColumn("is_true", coalesce(col("is_true"), lit(0L)))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       scored
-        .withColumn("theta",
-          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)))
-        .groupBy("theta")
+        .withColumn("theta_e6",
+          explode(array(Seq(500000L, 600000L, 700000L, 800000L, 900000L)
+            .map(lit): _*)))
+        .groupBy("theta_e6")
         .agg(
-          sum(when(col("sim") >= col("theta"), 1L).otherwise(0L))
+          sum(when(col("sim_e6") >= col("theta_e6"), 1L).otherwise(0L))
             .as("n_pred"),
-          sum(when(col("sim") >= col("theta"), col("is_true"))
+          sum(when(col("sim_e6") >= col("theta_e6"), col("is_true"))
             .otherwise(0L)).as("tp"))
         .crossJoin(nTruth)
-        .select(col("theta"), col("n_pred"), col("tp"),
-          round(when(col("n_pred") === 0, lit(0.0))
-            .otherwise(col("tp") / col("n_pred").cast("double"))
-            + lit(1e-9), 6).as("precision"),
-          round(col("tp") / col("n_truth").cast("double") + lit(1e-9), 6)
-            .as("recall"),
-          round(when(col("tp") === 0, lit(0.0)).otherwise(
+        .select(col("theta_e6"), col("n_pred"), col("tp"),
+          round((when(col("n_pred") === 0, lit(0.0))
+            .otherwise(col("tp") / col("n_pred").cast("double")))
+            * lit(1e6) + lit(1e-3)).cast("long").as("precision_e6"),
+          round(col("tp") / col("n_truth").cast("double") * lit(1e6)
+            + lit(1e-3)).cast("long").as("recall_e6"),
+          round((when(col("tp") === 0, lit(0.0)).otherwise(
             lit(2.0) * (col("tp") / col("n_pred").cast("double"))
               * (col("tp") / col("n_truth").cast("double"))
               / ((col("tp") / col("n_pred").cast("double"))
-                + (col("tp") / col("n_truth").cast("double"))))
-            + lit(1e-9), 6).as("f1"))
-        .orderBy("theta")
+                + (col("tp") / col("n_truth").cast("double")))))
+            * lit(1e6) + lit(1e-3)).cast("long").as("f1_e6"))
+        .orderBy("theta_e6")
     }),
 
     // SimHash near-dup detection on the same planted corpus. Promoted
@@ -1868,13 +1878,17 @@ object Pipeline {
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx
         |  FROM embeddings)
         |SELECT vec_id,
-        |  round(ys[1] + 1e-9, 4) AS y0, round(ys[2] + 1e-9, 4) AS y1,
-        |  round(ys[3] + 1e-9, 4) AS y2, round(ys[4] + 1e-9, 4) AS y3,
-        |  round(ys[5] + 1e-9, 4) AS y4, round(ys[6] + 1e-9, 4) AS y5,
-        |  round(ys[7] + 1e-9, 4) AS y6, round(ys[8] + 1e-9, 4) AS y7,
-        |  round((ys[1]*ys[1] + ys[2]*ys[2] + ys[3]*ys[3] + ys[4]*ys[4]
-        |    + ys[5]*ys[5] + ys[6]*ys[6] + ys[7]*ys[7] + ys[8]*ys[8]) / nx
-        |    + 1e-9, 3) AS norm_ratio
+        |  CAST(round(ys[1] * 1e4 + 1e-3) AS BIGINT) AS y0_e4,
+        |  CAST(round(ys[2] * 1e4 + 1e-3) AS BIGINT) AS y1_e4,
+        |  CAST(round(ys[3] * 1e4 + 1e-3) AS BIGINT) AS y2_e4,
+        |  CAST(round(ys[4] * 1e4 + 1e-3) AS BIGINT) AS y3_e4,
+        |  CAST(round(ys[5] * 1e4 + 1e-3) AS BIGINT) AS y4_e4,
+        |  CAST(round(ys[6] * 1e4 + 1e-3) AS BIGINT) AS y5_e4,
+        |  CAST(round(ys[7] * 1e4 + 1e-3) AS BIGINT) AS y6_e4,
+        |  CAST(round(ys[8] * 1e4 + 1e-3) AS BIGINT) AS y7_e4,
+        |  CAST(round((ys[1]*ys[1] + ys[2]*ys[2] + ys[3]*ys[3]
+        |    + ys[4]*ys[4] + ys[5]*ys[5] + ys[6]*ys[6] + ys[7]*ys[7]
+        |    + ys[8]*ys[8]) / nx * 1e3 + 1e-3) AS BIGINT) AS norm_ratio_e3
         |FROM proj ORDER BY vec_id""".stripMargin,
 
     "q_corpus_drift" ->
@@ -1915,12 +1929,15 @@ object Pipeline {
         |tot AS (
         |  SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM counts)
         |SELECT tok, ca, cb,
-        |  round((ca + 1) / CAST(ta + v AS DOUBLE) + 1e-12, 8) AS p_a,
-        |  round((cb + 1) / CAST(tb + v AS DOUBLE) + 1e-12, 8) AS p_b,
-        |  round(abs((ca + 1) / CAST(ta + v AS DOUBLE)
-        |    - (cb + 1) / CAST(tb + v AS DOUBLE)) + 1e-12, 8) AS drift
+        |  CAST(round((ca + 1) / CAST(ta + v AS DOUBLE) * 1e8 + 1e-4)
+        |    AS BIGINT) AS p_a_e8,
+        |  CAST(round((cb + 1) / CAST(tb + v AS DOUBLE) * 1e8 + 1e-4)
+        |    AS BIGINT) AS p_b_e8,
+        |  CAST(round(abs((ca + 1) / CAST(ta + v AS DOUBLE)
+        |    - (cb + 1) / CAST(tb + v AS DOUBLE)) * 1e8 + 1e-4)
+        |    AS BIGINT) AS drift_e8
         |FROM counts CROSS JOIN tot
-        |ORDER BY drift DESC, tok LIMIT 20""".stripMargin,
+        |ORDER BY drift_e8 DESC, tok LIMIT 20""".stripMargin,
 
     "q_blocking_quality" ->
       """WITH corpus AS (
@@ -1954,10 +1971,11 @@ object Pipeline {
         |  JOIN keyed kb ON truth.b = kb.doc_id AND ka.scheme = kb.scheme
         |  GROUP BY ka.scheme)
         |SELECT tot.scheme, n_docs, total_pairs, cand_pairs,
-        |  round(1.0 - cand_pairs / CAST(total_pairs AS DOUBLE), 6)
-        |    AS reduction_ratio,
+        |  CAST(round((1.0e0 - cand_pairs / CAST(total_pairs AS DOUBLE))
+        |    * 1e6 + 1e-3) AS BIGINT) AS reduction_ratio_e6,
         |  true_pairs, found_true,
-        |  round(found_true / CAST(true_pairs AS DOUBLE), 6) AS completeness
+        |  CAST(round(found_true / CAST(true_pairs AS DOUBLE) * 1e6 + 1e-3)
+        |    AS BIGINT) AS completeness_e6
         |FROM tot JOIN cand ON tot.scheme = cand.scheme
         |         JOIN hits ON tot.scheme = hits.scheme
         |ORDER BY tot.scheme""".stripMargin,
@@ -1979,31 +1997,37 @@ object Pipeline {
         |pairs AS (
         |  SELECT least(x.doc_id, y.doc_id) AS a,
         |    greatest(x.doc_id, y.doc_id) AS b,
-        |    round(jaro_winkler_similarity(x.sfx, y.sfx) + 1e-9, 6) AS sim
+        |    CAST(round(jaro_winkler_similarity(x.sfx, y.sfx) * 1e6 + 1e-3)
+        |      AS BIGINT) AS sim_e6
         |  FROM ranked x JOIN ranked y ON y.r > x.r AND y.r <= x.r + 5),
         |scored AS (
-        |  SELECT pairs.sim,
+        |  SELECT pairs.sim_e6,
         |    CASE WHEN truth.a IS NULL THEN 0 ELSE 1 END AS is_true
         |  FROM pairs LEFT JOIN truth
         |    ON pairs.a = truth.a AND pairs.b = truth.b),
         |nt AS (SELECT count(*) AS n_truth FROM truth),
         |sweep AS (
-        |  SELECT theta,
-        |    sum(CASE WHEN sim >= theta THEN 1 ELSE 0 END) AS n_pred,
-        |    sum(CASE WHEN sim >= theta THEN is_true ELSE 0 END) AS tp
+        |  SELECT theta_e6,
+        |    sum(CASE WHEN sim_e6 >= theta_e6 THEN 1 ELSE 0 END) AS n_pred,
+        |    sum(CASE WHEN sim_e6 >= theta_e6 THEN is_true ELSE 0 END) AS tp
         |  FROM scored CROSS JOIN
-        |    (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS theta) th
-        |  GROUP BY theta)
-        |SELECT theta, n_pred, tp,
-        |  round(CASE WHEN n_pred = 0 THEN 0.0
-        |    ELSE tp / CAST(n_pred AS DOUBLE) END + 1e-9, 6) AS precision,
-        |  round(tp / CAST(n_truth AS DOUBLE) + 1e-9, 6) AS recall,
-        |  round(CASE WHEN tp = 0 THEN 0.0
-        |    ELSE 2.0 * (tp / CAST(n_pred AS DOUBLE))
+        |    (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+        |      AS theta_e6) th
+        |  GROUP BY theta_e6)
+        |SELECT CAST(theta_e6 AS BIGINT) AS theta_e6,
+        |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+        |  CAST(round((CASE WHEN n_pred = 0 THEN 0.0e0
+        |    ELSE tp / CAST(n_pred AS DOUBLE) END) * 1e6 + 1e-3)
+        |    AS BIGINT) AS precision_e6,
+        |  CAST(round(tp / CAST(n_truth AS DOUBLE) * 1e6 + 1e-3)
+        |    AS BIGINT) AS recall_e6,
+        |  CAST(round((CASE WHEN tp = 0 THEN 0.0e0
+        |    ELSE 2.0e0 * (tp / CAST(n_pred AS DOUBLE))
         |      * (tp / CAST(n_truth AS DOUBLE))
         |      / ((tp / CAST(n_pred AS DOUBLE))
-        |        + (tp / CAST(n_truth AS DOUBLE))) END + 1e-9, 6) AS f1
-        |FROM sweep CROSS JOIN nt ORDER BY theta""".stripMargin,
+        |        + (tp / CAST(n_truth AS DOUBLE))) END) * 1e6 + 1e-3)
+        |    AS BIGINT) AS f1_e6
+        |FROM sweep CROSS JOIN nt ORDER BY theta_e6""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       """WITH docs AS (

@@ -29,17 +29,20 @@ object SqlSurface {
     * oracle. Restricted to the ANSI intersection both engines parse. */
   private val sharedSql: Map[String, String] = Map(
     // exact DECIMAL arithmetic: double prices pinned to DECIMAL(12,2)
-    // sum EXACTLY on both engines — no float fuzz, no rounding
-    // epsilons; result scales pinned by outer casts (sum result types
-    // differ: Spark DECIMAL(22,2), DuckDB DECIMAL(38,2))
+    // sum EXACTLY on both engines — no float fuzz. Every output is an
+    // INTEGER (cents / micro-units): decimal sums scaled by 100 are
+    // integral so the BIGINT cast is exact, and the average avoids
+    // avg(DECIMAL) entirely (its result scale and rounding mode differ
+    // across engines) — exact sum → double → explicit 1e6 multiply →
+    // scale-0 round, which every engine build computes identically
     "q_sql_decimal" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |    AS DECIMAL(18,2)) AS sum_price,
-        |  CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,6))
-        |    AS avg_qty,
-        |  CAST(min(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(4,2))
-        |    AS min_disc
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+        |    AS BIGINT) AS sum_price_cents,
+        |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+        |    AS DOUBLE) * 1e6 / count(*)) AS BIGINT) AS avg_qty_e6,
+        |  CAST(min(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT)
+        |    AS min_disc_cents
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 

@@ -509,10 +509,9 @@ object StreamingQueries {
     }),
 
     // Sessionization via the NATIVE session_window streaming
-    // aggregation (gap widened 1µs to align its merge predicate with
-    // the custom kernel's close predicate): the drained session table
-    // must equal the SAME relational oracle as q_sessionize — closing
-    // the custom-kernel / native-operator / relational-replay triangle.
+    // aggregation: the drained session table must equal the SAME
+    // relational oracle as q_sessionize — closing the custom-kernel /
+    // native-operator / relational-replay triangle.
     "q_stream_session_window" -> ((s, dir) => {
       val name = s"stream_sesswin_${runCounter.incrementAndGet()}"
       val q = EventStreams.runSessionWindowOnce(s, dir, name)

@@ -175,8 +175,9 @@ object DocStreams {
     * test:graft.ProbeAnalysis). The distinct
     * drained pair set must equal the batch `lshNeighborPairs` answer —
     * and therefore DuckDB's brute-force all-pairs cosine join. */
-  def runStreamingEmbeddingDedupOnce(spark: SparkSession, sfDir: String,
+  def runStreamingEmbeddingDedupOnce(parent: SparkSession, sfDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
     val base = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
@@ -189,13 +190,13 @@ object DocStreams {
           .as("embedding"))
     val buckets = vecBuckets(base.unionAll(planted), "vec_id", "embedding",
       bits = 10, probes = 20)
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       embeddingMatcher(buckets, minCosine = 0.9).toDF()
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Streaming LM-perplexity scoring: documents arrive as a stream and
@@ -205,8 +206,9 @@ object DocStreams {
     * is a streaming aggregation drained in Complete mode. Scores must
     * hash-match the batch operator — and therefore the same DuckDB
     * relational replay that gates q_doc_perplexity. */
-  def runStreamingPerplexityOnce(spark: SparkSession, sfDir: String,
+  def runStreamingPerplexityOnce(parent: SparkSession, sfDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val lm = graft.pipeline.TextAnalysis.charNgramLm(
@@ -218,14 +220,14 @@ object DocStreams {
       .parquet(sfDir)
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 2 === 1)
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       graft.pipeline.TextAnalysis.perplexityScores(
           stream, lm, "doc_id", "text")
         .writeStream.outputMode(OutputMode.Complete)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Streaming exact ingest dedup against a STATIC corpus — the
@@ -285,8 +287,9 @@ object DocStreams {
     * distance is GUARANTEED (maxHamming 3 → 4 x 16-bit chunks, 4..7 →
     * 8 x 8-bit chunks), and the default distance is the batch
     * operator's 3 — r5's streaming-only best-effort 6 is gone. */
-  def runStreamingSimHashDedupOnce(spark: SparkSession, sfDir: String,
+  def runStreamingSimHashDedupOnce(parent: SparkSession, sfDir: String,
       queryName: String, maxHamming: Int = 3): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val base = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -298,13 +301,13 @@ object DocStreams {
           greatest(length(col("text")) - 30, lit(10))).as("text"))
     val chunks = simHashChunks(base.unionAll(mutated), "doc_id", "text",
       hashFn = Dedup.md5Long, numChunks = Dedup.autoNumChunks(maxHamming))
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       simHashMatcher(chunks, maxHamming).toDF()
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Stateless streaming mixture sampling: the deterministic

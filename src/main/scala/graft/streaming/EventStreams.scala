@@ -101,8 +101,9 @@ object EventStreams {
 
   /** Run a streaming windowed-count job over parquet files and drain it
     * into an in-memory table (AvailableNow = process everything, stop). */
-  def runWindowedCountsOnce(spark: SparkSession, eventsDir: String,
+  def runWindowedCountsOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     // the file stream source requires a directory: point it at the sf dir
@@ -115,13 +116,13 @@ object EventStreams {
         .parquet(eventsDir), "ts")
     // Complete mode: append would withhold windows newer than the final
     // watermark; this job drains everything available and stops.
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       windowedCounts(withTs)
         .writeStream.outputMode(OutputMode.Complete)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Streaming OHLC resampling: [[graft.operators.EventAnalytics
@@ -129,22 +130,23 @@ object EventStreams {
     * the (ts, tie) struct order are ordinary declarative aggregates, so
     * Complete mode keeps one bar per (key, bucket) of state and the
     * drained result must equal the batch bars bitwise. */
-  def runOhlcOnce(spark: SparkSession, eventsDir: String,
+  def runOhlcOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val ev = graft.Tables.normalizeEventTime(
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       graft.operators.EventAnalytics.resampleOhlc(ev, Seq("event_type"),
           date_trunc("day", col("ts")), "ts", "event_id", "value")
         .writeStream.outputMode(OutputMode.Complete)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Continuous data-quality monitoring: the row-local rule classes of
@@ -154,14 +156,15 @@ object EventStreams {
     * stream length). Key-uniqueness and referential rules are
     * deliberately absent: they would need per-key state, a different
     * operator (the CDC merge family covers that shape). */
-  def runQualityMonitorOnce(spark: SparkSession, eventsDir: String,
+  def runQualityMonitorOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val ev = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(eventsDir)
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       graft.pipeline.Quality.audit(ev, Seq(
           graft.pipeline.Quality.Check("event_type_allowed",
             !col("event_type").isin("view", "click", "signup", "purchase")),
@@ -173,7 +176,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Attribution pairs: (view, click) of the same user with the click
@@ -209,8 +212,9 @@ object EventStreams {
   /** Drain-once runner for the stream-stream interval join: both sides
     * read the events file as independent streams, join with watermarks,
     * land pairs in a memory table. */
-  def runStreamStreamJoinOnce(spark: SparkSession, eventsDir: String,
+  def runStreamStreamJoinOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     def side(eventType: String): DataFrame =
@@ -222,13 +226,13 @@ object EventStreams {
     // A stream-stream join keeps FOUR state stores per shuffle
     // partition; per-batch commit cost is per-store, not per-row, so 32
     // partitions cost ~128 store commits a micro-batch — see StreamConf.
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       viewClickPairs(side("view"), side("click"))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** LEFT OUTER stream-stream interval join: like [[viewClickPairs]]
@@ -289,8 +293,9 @@ object EventStreams {
   }
 
   /** Drain-once runner for the FULL OUTER stream-stream join. */
-  def runStreamStreamFullJoinOnce(spark: SparkSession, eventsDir: String,
+  def runStreamStreamFullJoinOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     def side(eventType: String): DataFrame =
@@ -299,18 +304,19 @@ object EventStreams {
             .option("pathGlobFilter", "events.parquet")
             .parquet(eventsDir), "ts")
         .filter(col("event_type") === eventType)
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       viewClickPairsFullOuter(side("view"), side("click"))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Drain-once runner for the LEFT OUTER stream-stream join. */
-  def runStreamStreamLeftJoinOnce(spark: SparkSession, eventsDir: String,
+  def runStreamStreamLeftJoinOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     def side(eventType: String): DataFrame =
@@ -319,13 +325,13 @@ object EventStreams {
             .option("pathGlobFilter", "events.parquet")
             .parquet(eventsDir), "ts")
         .filter(col("event_type") === eventType)
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       viewClickPairsLeftOuter(side("view"), side("click"))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Drain-once runner for the STREAM-STATIC join: the event stream
@@ -362,15 +368,16 @@ object EventStreams {
     * emits only once the watermark closes ALL of its hours — which is
     * why Append is the only legal mode and why the oracle filters to
     * days whose end the final watermark passed. */
-  def runChainedAggOnce(spark: SparkSession, eventsDir: String,
+  def runChainedAggOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val stream = graft.Tables.normalizeEventTime(
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       stream
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -385,7 +392,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Drain-once runner for the foreachBatch PRODUCTION sink path: the
@@ -420,11 +427,12 @@ object EventStreams {
     * `dedupWithinWatermark` / `runStreamingDedupBoundedOnce`. Emitted
     * KEYS are deterministic (which physical row represented the key is
     * not, so only keys are emitted). */
-  def runStreamingDedupOnce(spark: SparkSession, eventsDir: String,
+  def runStreamingDedupOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir)
@@ -434,7 +442,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Bounded-state streaming dedup: each key's state lives only until
@@ -457,16 +465,17 @@ object EventStreams {
     * micro-batch, so no state expires mid-run and the emitted key set
     * equals batch DISTINCT — which makes this oracle-checkable while
     * still exercising the bounded-state operator. */
-  def runStreamingDedupBoundedOnce(spark: SparkSession, eventsDir: String,
+  def runStreamingDedupBoundedOnce(parent: SparkSession, eventsDir: String,
       queryName: String, watermark: String = "2 hours",
       checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val withTs = graft.Tables.normalizeEventTime(
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       val w = dedupWithinWatermark(
           withTs.select(col("ts"), col("user_id"), col("event_type")),
           watermark, Seq("user_id", "event_type"))
@@ -476,7 +485,7 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
       checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
         .start()
-    }
+    })
   }
 
   /** Drain-once runner for sessionization via the NATIVE
@@ -498,15 +507,16 @@ object EventStreams {
     * drain emits every session's final state, open tails included,
     * exactly like the batch kernel — Append would withhold sessions
     * newer than the final watermark. */
-  def runSessionWindowOnce(spark: SparkSession, eventsDir: String,
+  def runSessionWindowOnce(parent: SparkSession, eventsDir: String,
       queryName: String, gapUs: Long = 30 * 60 * 1000000L): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val stream = graft.Tables.normalizeEventTime(
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       stream
         .withWatermark("ts", "2 hours")
         .groupBy(session_window(col("ts"), s"$gapUs microseconds"),
@@ -520,7 +530,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class FunnelEvent(user_id: Long, ts_us: Long, step: Int)
@@ -564,9 +574,10 @@ object EventStreams {
     * event types map to their step index, non-funnel events are
     * filtered before the stateful fold (state exists only for users
     * that touched the funnel). */
-  def runStreamingFunnelOnce(spark: SparkSession, eventsDir: String,
+  def runStreamingFunnelOnce(parent: SparkSession, eventsDir: String,
       queryName: String,
       steps: Seq[String] = Seq("signup", "click", "purchase")): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -578,7 +589,7 @@ object EventStreams {
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col("event_type") === s, lit(i)).otherwise(acc)
       }
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingFunnel(
           stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             stepIdx.as("step"))
@@ -587,7 +598,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class MetricEvent(user_id: Long, ts_us: Long, event_id: Long,
@@ -661,10 +672,13 @@ object EventStreams {
   }
 
   /** Drain-once runner for the [[EwmaTwsProcessor]] EWMA.
-    * transformWithState requires the RocksDB state store — the runner
-    * pins it for this query and restores the session's choice after. */
-  def runStreamingEwmaTwsOnce(spark: SparkSession, eventsDir: String,
+    * transformWithState requires the RocksDB state store — pinned
+    * directly on this runner's private clone (regardless of the
+    * session's [[StreamConf.StateStoreKey]] opt-in), so no shared
+    * session conf is touched and nothing needs restoring. */
+  def runStreamingEwmaTwsOnce(parent: SparkSession, eventsDir: String,
       queryName: String, alpha: Double = 0.25): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -672,9 +686,9 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    val prev = spark.conf.getOption(StreamConf.StateStoreKey)
-    spark.conf.set(StreamConf.StateStoreKey, "rocksdb")
-    try StreamConf.withStreamShuffle(spark) {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    StreamConf.publish(parent, spark, queryName, {
       stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("value")).as[MetricEvent]
         .groupByKey(_.user_id)
@@ -685,18 +699,15 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally prev match {
-      case Some(v) => spark.conf.set(StreamConf.StateStoreKey, v)
-      case None => try spark.conf.unset(StreamConf.StateStoreKey)
-        catch { case _: Throwable => () }
-    }
+    })
   }
 
   /** Drain-once runner for [[streamingEwma]] over the events parquet
     * (Update mode, memory sink; ns timestamps normalized to the same
     * microsecond precision the batch operator folds in). */
-  def runStreamingEwmaOnce(spark: SparkSession, eventsDir: String,
+  def runStreamingEwmaOnce(parent: SparkSession, eventsDir: String,
       queryName: String, alpha: Double = 0.25): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -706,7 +717,7 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingEwma(
           stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"), col("value")).as[MetricEvent], alpha)
@@ -714,27 +725,28 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Streaming HLL++ distinct estimate per group (Complete mode, one
     * fixed-size register set per group — the distinct sibling of the
     * percentile sketch below). */
-  def runApproxDistinctOnce(spark: SparkSession, eventsDir: String,
+  def runApproxDistinctOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val ev = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(eventsDir)
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       ev.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("__est"))
         .writeStream.outputMode(OutputMode.Complete)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   /** Streaming percentile sketch: approx_percentile is a mergeable
@@ -742,14 +754,15 @@ object EventStreams {
     * sketch per group however long the stream runs — the streaming
     * member of the approx-aggregate family (HLL gate q_approx_distinct,
     * batch sketch gate q_approx_quantiles). */
-  def runApproxQuantilesOnce(spark: SparkSession, eventsDir: String,
+  def runApproxQuantilesOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     val ev = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(eventsDir)
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr("approx_percentile(value, 0.5, 10000)").as("apx"))
@@ -757,7 +770,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class HoltState(n: Long, l: Double, b: Double)
@@ -800,8 +813,9 @@ object EventStreams {
   }
 
   /** Drain-once runner for [[streamingHolt]]. */
-  def runStreamingHoltOnce(spark: SparkSession, eventsDir: String,
+  def runStreamingHoltOnce(parent: SparkSession, eventsDir: String,
       queryName: String, alpha: Double = 0.25, beta: Double = 0.1): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -809,7 +823,7 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingHolt(
           stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"), col("value")).as[MetricEvent], alpha, beta)
@@ -817,7 +831,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class BalanceState(n: Long, b: Double)
@@ -845,8 +859,9 @@ object EventStreams {
   }
 
   /** Drain-once runner for [[streamingClampedBalance]]. */
-  def runClampedBalanceOnce(spark: SparkSession, eventsDir: String,
+  def runClampedBalanceOnce(parent: SparkSession, eventsDir: String,
       queryName: String, offset: Double = 25.0): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -854,7 +869,7 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingClampedBalance(
           stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"), col("value")).as[MetricEvent], offset)
@@ -862,7 +877,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class TransitionEvent(user_id: Long, ts_us: Long,
@@ -894,8 +909,9 @@ object EventStreams {
   }
 
   /** Drain-once runner for [[streamingTransitions]]. */
-  def runStreamingTransitionsOnce(spark: SparkSession, eventsDir: String,
+  def runStreamingTransitionsOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -903,7 +919,7 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingTransitions(
           stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"), col("event_type")).as[TransitionEvent])
@@ -911,7 +927,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class WelfordState(n: Long, mean: Double, m2: Double)
@@ -950,8 +966,9 @@ object EventStreams {
   }
 
   /** Drain-once runner for [[streamingWelford]]. */
-  def runStreamingWelfordOnce(spark: SparkSession, eventsDir: String,
+  def runStreamingWelfordOnce(parent: SparkSession, eventsDir: String,
       queryName: String): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -959,7 +976,7 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingWelford(
           stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"), col("value")).as[MetricEvent])
@@ -967,7 +984,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class BurstEvent(user_id: Long, event_type: String,
@@ -1002,8 +1019,9 @@ object EventStreams {
   }
 
   /** Drain-once runner for [[streamingBurstCollapse]] (5 s gap). */
-  def runBurstCollapseOnce(spark: SparkSession, eventsDir: String,
+  def runBurstCollapseOnce(parent: SparkSession, eventsDir: String,
       queryName: String, gapUs: Long = 5000000L): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -1011,7 +1029,7 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingBurstCollapse(
           stream.select(col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("ts_us"), col("event_id"))
@@ -1020,7 +1038,7 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 
   final case class RateKey(user_id: Long, bucket: Long)
@@ -1064,9 +1082,10 @@ object EventStreams {
     * the testdata arrival rates). AvailableNow = single batch, so the
     * admitted set equals the batch row_number-≤-cap replay — the
     * DuckDB oracle. */
-  def runRateLimitOnce(spark: SparkSession, eventsDir: String,
+  def runRateLimitOnce(parent: SparkSession, eventsDir: String,
       queryName: String, windowUs: Long = 86400L * 1000000L,
       maxPerWindow: Int = 3): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
@@ -1074,7 +1093,7 @@ object EventStreams {
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(eventsDir), "ts")
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       streamingRateLimit(
           stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"), col("value")).as[MetricEvent],
@@ -1083,6 +1102,6 @@ object EventStreams {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 }

@@ -85,9 +85,10 @@ object Frequency {
     * user-id frequencies, land the snapshot stream in a memory table.
     * The gate selects each shard's latest snapshot (`latestCounters`)
     * and takes the exact top-k. */
-  def runStreamingTopUsersOnce(spark: SparkSession, sfDir: String,
+  def runStreamingTopUsersOnce(parent: SparkSession, sfDir: String,
       queryName: String, shards: Int = 32,
       capacity: Int = 4096): StreamingQuery = {
+    val spark = StreamConf.isolated(parent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     import spark.implicits._
@@ -95,12 +96,12 @@ object Frequency {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .select(col("user_id")).as[Long]
-    StreamConf.withStreamShuffle(spark) {
+    StreamConf.publish(parent, spark, queryName, {
       spaceSavingSketch(users, shards, capacity).toDF()
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-    }
+    })
   }
 }

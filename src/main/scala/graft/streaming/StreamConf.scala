@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Shuffle-partition pinning for the drain-once STATEFUL streaming
-  * runners.
+/** Session isolation + shuffle-partition pinning for the drain-once
+  * STATEFUL streaming runners.
   *
   * A stateful streaming operator keeps one state store per shuffle
   * partition, and per-micro-batch commit cost is per-STORE, not
@@ -16,21 +17,16 @@ import org.apache.spark.sql.SparkSession
   * more partitions become right — which is why this is a per-query
   * knob, not a session default.
   *
-  * The streaming query clones the session and captures the conf at
-  * `start()`; the batch session's setting is restored immediately
-  * after, so no batch query observes the pin.
-  *
-  * The pin-start-restore sequence MUTATES the shared session conf, so
-  * it is serialized under a lock: two threads starting streams can no
-  * longer interleave their save/restore and clobber each other's
-  * values. A concurrent BATCH query planned by another thread during
-  * the (short) locked window could still observe the pinned value —
-  * full isolation would need the stream built from a cloned
-  * `newSession()`, which the memory-sink drain pattern rules out
-  * (memory sink tables are session-scoped temp views, and every gate
-  * reads them back from the parent session). Gates run sequentially;
-  * library users running concurrent mixed workloads should start
-  * streams from a dedicated session.
+  * Isolation model: each runner builds its sources AND starts its
+  * query on a `cloneSession()` of the caller's session ([[isolated]]),
+  * so the pinned conf lives only in the clone and the shared session
+  * conf is NEVER mutated — concurrent batch queries and concurrent
+  * stream starts cannot observe or clobber each other's settings.
+  * Because memory-sink tables are registered in the session that
+  * starts the stream (the clone), [[publish]] drains the query and
+  * re-registers the result under the same name in the parent session;
+  * a drained memory-sink table is driver-resident by construction, so
+  * the copy moves no data an executor ever held.
   */
 object StreamConf {
 
@@ -50,20 +46,44 @@ object StreamConf {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  def withStreamShuffle[T](spark: SparkSession, n: Int = 8)(f: => T): T = synchronized {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    if (spark.conf.getOption(StateStoreKey).contains("rocksdb"))
-      spark.conf.set(providerKey, RocksDbProvider)
-    try f finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => try spark.conf.unset(providerKey)
-          catch { case _: Throwable => () }
-      }
+  /** An isolated session with the stream's conf pinned: `newSession()`
+    * shares the SparkContext and builder-level conf but has its own
+    * runtime conf, so the shuffle pin and state-store provider are set
+    * on the new session only. The `StateStoreKey` opt-in is read from
+    * the PARENT (specs set it there); runners set any source-reading
+    * conf they need (e.g. nanos-as-long) on the returned session
+    * themselves. */
+  def isolated(parent: SparkSession, n: Int = 8): SparkSession = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    if (parent.conf.getOption(StateStoreKey).contains("rocksdb"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProvider)
+    s
+  }
+
+  /** Await an AvailableNow drain of `q` (started on `child`) and FAIL
+    * LOUDLY if it died or hung, then re-register the child's
+    * memory-sink table `queryName` as a parent-session temp view so
+    * gates read it from the session they hold. Returns the terminated
+    * query (callers' `drained(q)` re-check is a no-op). */
+  def publish(parent: SparkSession, child: SparkSession,
+      queryName: String, q: StreamingQuery,
+      timeoutMs: Long = 300000): StreamingQuery = {
+    val done = q.awaitTermination(timeoutMs)
+    q.exception.foreach { e =>
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' failed: ${e.message}", e)
     }
+    if (!done) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' did not drain within ${timeoutMs} ms; " +
+          "refusing to read its sink table")
+    }
+    val out = child.table(queryName)
+    parent.createDataFrame(out.collectAsList(), out.schema)
+      .createOrReplaceTempView(queryName)
+    q
   }
 }

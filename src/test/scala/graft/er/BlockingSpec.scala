@@ -47,9 +47,9 @@ class BlockingSpec extends AnyFunSuite {
     val m = Blocking.quality(corpus, "id", col("blk"), truth, "s").head()
     assert(m.getAs[Long]("total_pairs") == 15L)
     assert(m.getAs[Long]("cand_pairs") == 6L)
-    assert(math.abs(m.getAs[Double]("reduction_ratio") - 0.6) < 1e-9)
+    assert(m.getAs[Long]("reduction_ratio_e6") == 600000L)
     assert(m.getAs[Long]("true_pairs") == 2L)
     assert(m.getAs[Long]("found_true") == 1L)
-    assert(math.abs(m.getAs[Double]("completeness") - 0.5) < 1e-9)
+    assert(m.getAs[Long]("completeness_e6") == 500000L)
   }
 }

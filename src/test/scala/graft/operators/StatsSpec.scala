@@ -19,8 +19,8 @@ class StatsSpec extends AnyFunSuite {
       .toDF("k", "v")
     val out = Stats.madOutliers(df, "k", "v").collect().head
     assert(out.getAs[Long]("n") == 10)
-    assert(out.getAs[Double]("median") == 5.5)
-    assert(out.getAs[Double]("mad") == 2.5)
+    assert(out.getAs[Long]("median_e6") == 5500000L)
+    assert(out.getAs[Long]("mad_e6") == 2500000L)
     assert(out.getAs[Long]("n_outliers") == 1)
   }
 
@@ -155,13 +155,14 @@ class StatsSpec extends AnyFunSuite {
       (5L, 1)                    // death at 5        n=1 → S=0
     ).toDF("t", "e")
     val out = Stats.kaplanMeier(df, "t", "e")
-      .select("t", "deaths", "n_risk", "survival")
-      .as[(Long, Long, Long, Double)].collect()
+      .select("t", "deaths", "n_risk", "survival_e6")
+      .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    assert(out(1L) == ((2L, 6L, math.rint(4.0 / 6 * 1e6) / 1e6)))
+    assert(out(1L) == ((2L, 6L, 666667L)))   // round((4/6)·1e6)
     assert(out(3L)._1 == 1L && out(3L)._2 == 3L)
-    assert(math.abs(out(3L)._3 - 4.0 / 6 * 2 / 3) < 1e-6)
-    assert(out(5L) == ((1L, 1L, 0.0)), "full-death tail must reach 0 exactly")
+    // grid-quantized fold: 0.666667 · 0.666667 = 0.444444888…
+    assert(out(3L)._3 == 444445L)
+    assert(out(5L) == ((1L, 1L, 0L)), "full-death tail must reach 0 exactly")
     assert(!out.contains(2L) && !out.contains(4L),
       "censor-only times emit no curve step")
   }
