@@ -41,6 +41,12 @@ object FellegiSunter {
     * the data), the sufficient statistic EM needs. */
   def agreementPatterns(records: DataFrame, idCol: String,
       attrs: Seq[String], blockCols: Seq[String]): DataFrame = {
+    // attrs are renamed __l_/__r_ before the blockCols equi-join, so an
+    // attribute doubling as a block column would break the join (or
+    // silently change semantics) — reject it up front
+    require(attrs.toSet.intersect(blockCols.toSet).isEmpty,
+      s"attrs and blockCols must be disjoint: " +
+        s"${attrs.toSet.intersect(blockCols.toSet).mkString(", ")}")
     val cols = (Seq(idCol) ++ blockCols ++ attrs).distinct.map(col)
     val r = records.select(cols: _*)
     val l = attrs.foldLeft(r)((d, a) => d.withColumnRenamed(a, s"__l_$a"))
@@ -126,6 +132,9 @@ object FellegiSunter {
       blockCols: Seq[String]): DataFrame = {
     require(attrs.nonEmpty && attrs.forall(m.contains),
       "every attribute needs an m-probability")
+    require(attrs.toSet.intersect(blockCols.toSet).isEmpty,
+      s"attrs and blockCols must be disjoint: " +
+        s"${attrs.toSet.intersect(blockCols.toSet).mkString(", ")}")
     val u = uProbabilities(records, attrs)
     val cols = (Seq(idCol) ++ blockCols ++ attrs).distinct.map(col)
     val r = records.select(cols: _*)

@@ -25,6 +25,18 @@ object IO {
       .option("nullValue", nullValue)
       .csv(path)
 
+  /** S1 companion: write records as headered CSV under the same
+    * null-sentinel contract `readRecordsCsv` expects (nulls → sentinel
+    * on disk; fields containing delimiter/quote are quoted by the
+    * writer, so the round trip is lossless for newline-free text). */
+  def writeRecordsCsv(df: DataFrame, path: String,
+      nullValue: String = "NA", partitions: Int = 1): Unit =
+    df.repartition(partitions).write
+      .option("header", "true")
+      .option("nullValue", nullValue)
+      .mode("overwrite")
+      .csv(path)
+
   /** S3: read a persisted linkage chain. */
   def readChain(spark: SparkSession, path: String): Dataset[LinkageSample] = {
     implicit val enc = Encoders.product[LinkageSample]

@@ -42,10 +42,16 @@ object DamerauLevenshtein {
   /** Lowrance–Wagner DP over a (la+2)×(lb+2) matrix with the
     * last-occurrence table. O(la·lb) time, O(la·lb) ints — the matrix
     * is name-length-sized in every realistic comparator use; kernels
-    * comparing documents should fingerprint instead. */
+    * comparing documents should fingerprint instead.
+    *
+    * Operates on Unicode CODE POINTS, not UTF-16 code units — DuckDB's
+    * native `damerau_levenshtein` (the shared-SQL oracle for this
+    * kernel) is codepoint-based, and a code-unit DP would silently
+    * diverge on any non-BMP input (each astral character would count
+    * as two units). */
   def distance(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0) return lb
@@ -60,16 +66,16 @@ object DamerauLevenshtein {
     while (i <= la) { set(i + 1, 0, maxd); set(i + 1, 1, i); i += 1 }
     var j = 0
     while (j <= lb) { set(0, j + 1, maxd); set(1, j + 1, j); j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k: Int = da.getOrDefault(b.charAt(j - 1), 0)
+        val k: Int = da.getOrDefault(b(j - 1), 0)
         val l = db
         var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
         val sub = get(i, j) + cost
         val ins = get(i + 1, j) + 1
         val del = get(i, j + 1) + 1
@@ -78,7 +84,7 @@ object DamerauLevenshtein {
           math.min(math.min(sub, ins), math.min(del, trans)))
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      da.put(a(i - 1), i)
       i += 1
     }
     get(la + 1, lb + 1)

@@ -101,10 +101,19 @@ object Clustering {
         .orderBy("id_a", "id_b")
     }),
 
-    // End-to-end Bayesian ER (rows-only: MCMC is not SQL-expressible).
-    // Bounded input (300 base records + 60 planted distorted duplicates)
-    // so the cost is scale-factor-independent; output is the pairwise
-    // metrics against the planted ground truth.
+    // End-to-end Bayesian ER. MCMC is not SQL-expressible, but the
+    // fixed-seed chain is DETERMINISTIC, so the gate pins its
+    // evaluation as oracle-checkable content: structural counts the
+    // oracle recomputes from `customer`, plus floor booleans on the
+    // pairwise precision/recall/F1 and ARI vs the planted truth
+    // (reference semantics ProjectStep.scala:67-124). Two dup kinds are
+    // planted — EXACT copies (custkey%10=0; the sampler links ~all of
+    // them: measured p=1.0) and 1-char-distorted names (custkey%10=5;
+    // the hard path — partially linked), giving measured
+    // p=1.0 / r≈.51 / f1≈.67 / ari≈.67 at every SF; floors sit 10-20%
+    // under the measured values so only a real sampler regression
+    // trips them. Bounded input (≤300 base records) keeps the cost
+    // scale-factor-independent.
     "q_er_pipeline" -> ((s, dir) => erPipeline(s, dir))
   )
 
@@ -119,9 +128,13 @@ object Clustering {
         col("c_nationkey").cast("string").as("nation"),
         col("c_mktsegment").as("segment"))
 
-    // plant duplicates: every 5th record, with the name's 3rd character
-    // cycled — a deterministic single-field distortion
-    val dups = base.filter(col("rid").cast("long") % 5 === 0)
+    // planted duplicates, two difficulties: every 10th record copied
+    // EXACTLY, every (10k+5)th with the name's 3rd character cycled (a
+    // deterministic single-field distortion)
+    val exactDups = base.filter(col("rid").cast("long") % 10 === 0)
+      .select(concat(col("rid"), lit("-dup")).as("rid"),
+        col("name"), col("nation"), col("segment"))
+    val distortedDups = base.filter(col("rid").cast("long") % 10 === 5)
       .select(concat(col("rid"), lit("-dup")).as("rid"),
         concat(substring(col("name"), 1, 2), lit("X"),
           substring(col("name"), 4, 100)).as("name"),
@@ -129,7 +142,7 @@ object Clustering {
     // persist: downstream (stats pass, per-attribute dictionary builds,
     // encode, truth join) would otherwise re-run the filtered customer
     // scan once per job
-    val records = base.unionAll(dups)
+    val records = base.unionAll(exactDups).unionAll(distortedDups)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val prior = BetaParams(0.5, 50.0)
@@ -150,7 +163,16 @@ object Clustering {
     // planted truth: rid with and without the "-dup" suffix share an entity
     val truth = records.select(col("rid").as("recordId"),
       regexp_replace(col("rid"), "-dup$", "").as("clusterId"))
-    Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId")
+    val pm = Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId")
+    val ari = Analysis.adjustedRandIndex(pred, truth, "recordId", "clusterId")
+    val counts = records.agg(count(lit(1)).as("n_records"),
+      sum(col("rid").endsWith("-dup").cast("long")).as("n_truth_pairs"))
+    pm.crossJoin(ari).crossJoin(counts).select(
+      col("n_records"), col("n_truth_pairs"),
+      (col("precision") >= 0.95).cast("long").as("precision_ok"),
+      (col("recall") >= 0.45).cast("long").as("recall_ok"),
+      (col("f1") >= 0.6).cast("long").as("f1_ok"),
+      (col("ari") >= 0.6).cast("long").as("ari_ok"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -217,6 +239,22 @@ object Clustering {
         |SELECT count(*) AS n_groups,
         |  count(CASE WHEN n >= 5 THEN 1 END) AS n_big_groups
         |FROM groups""".stripMargin,
+
+    // Fixed-seed MCMC evaluation pinned as data: the oracle recomputes
+    // the structural counts from `customer` and expects every quality
+    // floor to hold — a floor miss (sampler regression) or a count
+    // drift (ingest regression) breaks the hash.
+    "q_er_pipeline" ->
+      """SELECT
+        |  CAST(count(*) + sum(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_truth_pairs,
+        |  CAST(1 AS BIGINT) AS precision_ok,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS f1_ok,
+        |  CAST(1 AS BIGINT) AS ari_ok
+        |FROM customer WHERE c_custkey <= 300""".stripMargin,
 
     "q_blocking_sorted_neighborhood" ->
       """WITH ranked AS (

@@ -725,6 +725,48 @@ object Pipeline {
         .orderBy("source", "lang")
     }),
 
+    // CSV round trip (S1): the corpus — with planted nulls (doc_id%13,
+    // exercising the null sentinel) and planted delimiter/quote
+    // characters (doc_id%17, exercising CSV quoting) — is written as
+    // headered CSV and read back through the S1 reader (header +
+    // DROPMALFORMED + null sentinel), with a planted malformed extra
+    // file DROPMALFORMED must swallow. The oracle replays the planted
+    // mutations relationally over the parquet originals, so quoting/
+    // escape loss, a sentinel miss, or a surviving malformed row all
+    // surface as a hash mismatch. The malformed plant goes through the
+    // Hadoop FS resolved from the scratch path — the same resolution
+    // the CSV reader uses — so the gate is cluster-safe.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = graft.util.Scratch.dir("csvrt")
+      val fixture = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(", \"quoted\""))).otherwise(col("text"))
+          .as("text"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        col("source"), col("n_chars"))
+      graft.er.IO.writeRecordsCsv(fixture, tmp, nullValue = "NA",
+        partitions = 4)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val bad = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "malformed.csv"), true)
+      try bad.write(
+        ("doc_id,text,lang,source,n_chars\n" +
+          "999999,boom,xx,srcX,12,EXTRA,COLS\n").getBytes("UTF-8"))
+      finally bad.close()
+      graft.er.IO.readRecordsCsv(s, tmp, nullValue = "NA")
+        .groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(col("lang").isNull.cast("long")).as("n_null_lang"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          min(col("doc_id").cast("long")).as("min_id"),
+          max(col("doc_id").cast("long")).as("max_id"))
+        .orderBy("source")
+    }),
+
     // ORC round-trip (the second columnar lake format, beyond the
     // parquet/CSV/JSONL legs): documents written as ORC, read back
     // through a filtered aggregation whose predicate must reach the ORC
@@ -2503,6 +2545,22 @@ object Pipeline {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ', "quoted"'
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT source, lang, count(*) AS n,

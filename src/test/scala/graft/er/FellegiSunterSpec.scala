@@ -43,6 +43,19 @@ class FellegiSunterSpec extends AnyFunSuite {
     assert(out((2L, 3L))._1 == 1)
   }
 
+  test("attr doubling as a block column is rejected up front") {
+    val df = Seq((1L, 1, "p", "q")).toDF("id", "blk", "x", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      FellegiSunter.scoreBlockedPairs(df, "id", Seq("x", "blk"),
+        Map("x" -> 0.9, "blk" -> 0.8), Seq("blk"))
+    }
+    assert(e1.getMessage.contains("disjoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      FellegiSunter.agreementPatterns(df, "id", Seq("blk", "y"), Seq("blk"))
+    }
+    assert(e2.getMessage.contains("disjoint"))
+  }
+
   test("matches rank above non-matches on a planted-duplicate table") {
     val rnd = new java.util.Random(11)
     val base = (0 until 200).map { i =>

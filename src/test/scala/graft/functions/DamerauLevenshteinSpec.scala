@@ -20,6 +20,20 @@ class DamerauLevenshteinSpec extends AnyFunSuite {
     assert(dl("same", "same") == 0)
   }
 
+  test("codepoint semantics: non-BMP characters count as ONE unit") {
+    // U+1F600 GRINNING FACE is 2 UTF-16 code units; DuckDB's native
+    // damerau_levenshtein (the shared-SQL oracle) counts code points,
+    // so replacing one astral char must cost 1, not 2
+    val grin = new String(Character.toChars(0x1F600))
+    val rocket = new String(Character.toChars(0x1F680))
+    assert(dl(grin, rocket) == 1)
+    assert(dl(s"a${grin}b", s"a${rocket}b") == 1)
+    assert(dl(s"$grin$rocket", s"$rocket$grin") == 1,
+      "astral transposition is one edit")
+    assert(dl(grin, "") == 1 && dl("", grin) == 1)
+    assert(dl("héllo", "hello") == 1)
+  }
+
   test("metric properties on random strings") {
     val rnd = new java.util.Random(21)
     def rs() = (0 until 1 + rnd.nextInt(10))
