@@ -275,4 +275,77 @@ class EREndToEndSpec extends AnyFunSuite {
     assert(partIds == Set(0, 1), s"expected both LPT partitions used: $partIds")
     assert(after.summary == run().summary)
   }
+
+  test("RLdata10000-shaped 2-partition run recovers duplicates (F1 floor)") {
+    // the reference's canonical MEDIUM workload shape (RLdata10000:
+    // ~10k records, ~10% duplicated entities, one distorted attribute
+    // per duplicate — examples/RLdata10000.conf:48-66), run with TWO
+    // KD-tree partitions so the sweep/merge path actually crosses the
+    // partitioner — the 500-row shape above runs single-partition only.
+    // Rich name vocabulary so identity is recoverable (like RLdata, and
+    // unlike the digit-suffix names of q_er_pipeline's hard path).
+    import spark.implicits._
+    val fn10k = (0 until 400).map(i => s"NAME${i}X${i % 7}")
+    val ln10k = (0 until 150).map(i => s"SURNAME${i}Y")
+    val rng = new java.util.SplittableRandom(515151L)
+    val rows = (0 until 9090).flatMap { e =>
+      val fn = fn10k(rng.nextInt(fn10k.length))
+      val ln = ln10k(rng.nextInt(ln10k.length))
+      val by = (1940 + rng.nextInt(60)).toString
+      val bm = (1 + rng.nextInt(12)).toString
+      val bd = (1 + rng.nextInt(28)).toString
+      val base = (s"rec-$e-0", fn, ln, by, bm, bd)
+      if (rng.nextInt(10) == 0) {
+        val dup = rng.nextInt(5) match {
+          case 0 => (s"rec-$e-1", distort(fn, rng), ln, by, bm, bd)
+          case 1 => (s"rec-$e-1", fn, distort(ln, rng), by, bm, bd)
+          case 2 => (s"rec-$e-1", fn, ln, distort(by, rng), bm, bd)
+          case _ => (s"rec-$e-1", fn, ln, by, bm, bd)
+        }
+        Seq(base, dup)
+      } else Seq(base)
+    }
+    val df = rows.toDF("rec_id", "fname", "lname", "by", "bm", "bd").cache()
+    val prior = BetaParams(0.5, 50.0)
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("lname", LevenshteinSimilarity(7.0, 10.0), prior),
+      AttributeSpec("by", ConstantSimilarity, prior),
+      AttributeSpec("bm", ConstantSimilarity, prior),
+      AttributeSpec("bd", ConstantSimilarity, prior))
+    val init = ERState.initialize(spark, df, "rec_id", None, specs,
+      idx => KDTreePartitioner.fit(idx, Seq(0), 1), seed = 319158L)
+    assert(init.partitioner.numPartitions == 2)
+    val result = Sampler.run(init, numSweeps = 30, burnIn = 10, thin = 4,
+      sweepsPerJob = 5)
+    val chain = result.chain.get.cache()
+
+    // both partitions genuinely carry records in every recorded sample
+    val perPart = Analysis.partitionSizes(chain)
+      .groupBy("partitionId").min("numRecords")
+      .collect().map(r => r.getInt(0) -> r.getAs[Number](1).longValue).toMap
+    assert(perPart.keySet == Set(0, 1), s"partitions seen: ${perPart.keySet}")
+    assert(perPart.values.forall(_ > 1000L),
+      s"KD split degenerated: $perPart")
+
+    val smpc = Analysis.sharedMostProbableClusters(chain)
+    val pred = Analysis.membershipFromClusters(smpc.select("records"),
+      "records")
+    val truth = df.select(org.apache.spark.sql.functions.col("rec_id")
+        .as("recordId"),
+      org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("rec_id"), "^rec-(\\d+)-", 1)
+        .as("clusterId"))
+    val m = Analysis.pairwiseMetrics(pred, truth, "recordId", "clusterId")
+      .head()
+    val (p, r, f1) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    info(s"RLdata10000-shaped 2-partition: precision=$p recall=$r f1=$f1")
+    // measured plateau at this chain length: p=1.0, r=.401, f1=.572 —
+    // the chain links the (effectively) undistorted dup mass cleanly
+    // and never merges a wrong pair; floors sit under that with margin,
+    // so only a partitioner/sweep regression trips them
+    assert(p > 0.95, s"precision=$p — wrong merges across 2 partitions")
+    assert(f1 > 0.5, s"f1=$f1 — duplicates not recovered across 2 partitions")
+    chain.unpersist(); df.unpersist()
+  }
 }
