@@ -159,7 +159,10 @@ object Clustering {
       sweepsPerJob = 4)
 
     val smpc = Analysis.sharedMostProbableClusters(result.chain.get)
+    // pred feeds BOTH the pairwise metrics and the ARI — persist it so
+    // the SMPC aggregation over the chain runs once, not twice
     val pred = Analysis.membershipFromClusters(smpc.select("records"), "records")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // planted truth: rid with and without the "-dup" suffix share an entity
     val truth = records.select(col("rid").as("recordId"),
       regexp_replace(col("rid"), "-dup$", "").as("clusterId"))
