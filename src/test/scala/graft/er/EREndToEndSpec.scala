@@ -316,6 +316,12 @@ class EREndToEndSpec extends AnyFunSuite {
     val init = ERState.initialize(spark, df, "rec_id", None, specs,
       idx => KDTreePartitioner.fit(idx, Seq(0), 1), seed = 319158L)
     assert(init.partitioner.numPartitions == 2)
+    // short chain: the exact-dup mass links fully within ~20 sweeps and
+    // the curve plateaus (verified identical SMPC at 30/k=5, 50/k=2 and
+    // 60/k=10); distorted-CATEGORICAL dups (case 2 distorts `by`, which
+    // has no similarity gradient) need the 300-sweep chains of
+    // ERTune rl10k (F1 0.986 there) — this test pins the short-chain
+    // plateau, not convergence
     val result = Sampler.run(init, numSweeps = 30, burnIn = 10, thin = 4,
       sweepsPerJob = 5)
     val chain = result.chain.get.cache()
