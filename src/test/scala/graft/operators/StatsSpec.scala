@@ -24,6 +24,35 @@ class StatsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_outliers") == 1)
   }
 
+  test("madOutliers: odd/even groups and negative values hit the exact ranks") {
+    // odd group: median is exactly the middle element (-1); deviations
+    // 4,0,4 -> MAD 4. even group: median = mean of the two middles
+    // ((-2+4)/2 = 1); deviations sorted 3,3,9,9 -> MAD (3+9)/2 = 6.
+    val odd = Seq(-5.0, -1.0, 3.0).map(("o", _))
+    val even = Seq(-8.0, -2.0, 4.0, 10.0).map(("e", _))
+    val out = Stats.madOutliers((odd ++ even).toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("o").getAs[Long]("median_e6") == -1000000L)
+    assert(out("o").getAs[Long]("mad_e6") == 4000000L)
+    assert(out("o").getAs[Long]("n_outliers") == 0)
+    assert(out("e").getAs[Long]("median_e6") == 1000000L)
+    assert(out("e").getAs[Long]("mad_e6") == 6000000L)
+    assert(out("e").getAs[Long]("n_outliers") == 0)
+  }
+
+  test("kaplanMeier: censor-only input emits no steps; lone death hits 0") {
+    val censored = Seq((1L, 0), (2L, 0), (3L, 0)).toDF("t", "e")
+    assert(Stats.kaplanMeier(censored, "t", "e").count() == 0,
+      "all-censored input must produce an empty curve")
+    val lone = Seq((2L, 1)).toDF("t", "e")
+    val r = Stats.kaplanMeier(lone, "t", "e").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("deaths") == 1L)
+    assert(r.head.getAs[Long]("n_risk") == 1L)
+    assert(r.head.getAs[Long]("survival_e6") == 0L,
+      "d = n_risk quantizes the factor to 0 exactly")
+  }
+
   test("welchTTest matches a closed-form reference computation") {
     val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0)
     val b = Seq(9.0, 9.5, 10.0, 10.5)
