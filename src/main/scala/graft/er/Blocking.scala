@@ -66,8 +66,9 @@ object Blocking {
   /** Evaluate a blocking scheme against a ground-truth match set:
     * reduction ratio (how much of the quadratic pair space the blocks
     * prune) and pairs completeness (what fraction of true matches
-    * survive blocking). Aggregation-only — candidate pairs are COUNTED
-    * per block (c·(c-1)/2), never enumerated.
+    * survive blocking), both as `*_e6` integer micro-units.
+    * Aggregation-only — candidate pairs are COUNTED per block
+    * (c·(c-1)/2), never enumerated.
     *
     * `truth` must have columns (a, b) keyed like `idCol`.
     */
