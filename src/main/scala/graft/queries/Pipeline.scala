@@ -178,6 +178,44 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // Leakage-free train/val/test split: documents are split by their
+    // DEDUP-CLUSTER representative (LSH near-dup pairs -> min-label
+    // connected components), not by their own id, so near-duplicates
+    // can never straddle splits — the eval-contamination guard every
+    // pretraining pipeline needs on top of row-level (q_sample_split)
+    // and group-level (q_group_split) splitting. The gate carries its
+    // own proof: n_leaks (near-dup pairs whose endpoints land in
+    // different splits) must be 0, and the oracle re-derives the
+    // complete pair set, the components AND the md5 split hash
+    // relationally, so a recall loss in LSH, a wrong component label,
+    // or a split-hash mismatch all break the hash.
+    "q_leakage_free_split" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      // eager checkpoint: the LSH candidate+verify pipeline feeds BOTH
+      // the component derivation and the leak join — run it once
+      val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 3, bands = 16, rowsPerBand = 4)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val comp = graft.operators.ConnectedComponents.components(pairs)
+      val keyed = docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("split_key"))
+      val withSplit = keyed.withColumn("split",
+        Sampling.split(col("split_key"), 80, 10))
+      val sp = withSplit.select(col("doc_id"), col("split"))
+      val leaks = pairs
+        .join(sp.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+        .join(sp.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          sum((col("sa") =!= col("sb")).cast("long")).as("n_leaks"))
+      withSplit.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_key")).as("n_groups"))
+        .crossJoin(leaks)
+        .orderBy("split")
+    }),
+
     // Johnson-Lindenstrauss random projection 64 -> 8 dims with
     // deterministic Rademacher signs (md5-parity of "rp:i:j", the
     // engine-portable derivation the oracle replays in SQL). Stateless
@@ -2340,6 +2378,64 @@ object Pipeline {
         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
         |SELECT a AS id, least(a, min(b)) AS comp
         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_leakage_free_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM docs),
+        |sz AS (SELECT doc_id, len(g) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz sa ON inter.a = sa.doc_id
+        |  JOIN sz sb ON inter.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS comp
+        |  FROM reach GROUP BY a),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS split_key
+        |  FROM docs d LEFT JOIN comp c ON d.doc_id = c.id),
+        |ws AS (
+        |  SELECT doc_id, split_key,
+        |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, split_key,
+        |    CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 100 AS bk FROM keyed)),
+        |leaks AS (
+        |  SELECT count(*) AS n_dup_pairs,
+        |    CAST(sum(CASE WHEN wa.split <> wb.split THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_leaks
+        |  FROM pairs JOIN ws wa ON pairs.a = wa.doc_id
+        |             JOIN ws wb ON pairs.b = wb.doc_id)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT split_key) AS n_groups, n_dup_pairs, n_leaks
+        |FROM ws CROSS JOIN leaks
+        |GROUP BY split, n_dup_pairs, n_leaks ORDER BY split""".stripMargin,
 
     "q_doc_repetition" ->
       """WITH p AS (
