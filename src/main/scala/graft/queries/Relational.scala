@@ -33,7 +33,7 @@ object Relational {
     * agg; order sizes are bounded, so no hot-key risk), sort in-row,
     * zip each supplier with its successor — equivalent to the oracle's
     * distinct + lead/first_value windows at one shuffle less. */
-  private def ringEdges(s: SparkSession, dir: String): DataFrame =
+  private def ringEdgesDerive(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
       .groupBy(col("o"))
@@ -43,6 +43,23 @@ object Relational {
         slice(col("sks"), 1, 1)).as("nxts"))
       .select(explode(arrays_zip(col("sks"), col("nxts"))).as("z"))
       .select(col("z.sks").as("src"), col("z.nxts").as("dst"))
+
+  /** The ring edge list, materialized ONCE per (JVM, sf dir) as a
+    * Scratch parquet asset: six graph gates consume the same edges, and
+    * a real pipeline persists its edge list rather than re-deriving it
+    * per algorithm. Oracles still re-derive the ring relationally, so
+    * the asset's content stays hash-checked by every consumer. */
+  private val ringEdgesAsset =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ringEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = ringEdgesAsset.computeIfAbsent(dir, { d =>
+      val p = graft.util.Scratch.dir(
+        "ring_edges_" + java.lang.Integer.toHexString(d.hashCode))
+      ringEdgesDerive(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2/P: projection + predicate, both pushed into the parquet scan.
