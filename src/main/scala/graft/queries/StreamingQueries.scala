@@ -331,6 +331,35 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // The SAME stateful dedup under the RocksDB state store — the
+    // 100 TB posture for large keyed state (state bounded by local
+    // disk + incremental checkpoints, not executor heap). The gate
+    // PROVES the provider engaged (RocksDB-specific custom metrics in
+    // the progress report; the heap store never emits them) and then
+    // must hash-match the same batch-DISTINCT oracle as q_stream_dedup:
+    // the backend choice cannot change a single row.
+    "q_stream_dedup_rocksdb" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val name = s"stream_dedup_rdb_${runCounter.incrementAndGet()}"
+      val key = graft.streaming.StreamConf.StateStoreKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "rocksdb")
+      try {
+        val q = EventStreams.runStreamingDedupOnce(s, dir, name)
+        drained(q)
+        val metrics = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet.asScala)
+        require(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"state store was not RocksDB; metrics: ${metrics.mkString(",")}")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.table(name)
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Bounded-state streaming dedup (withWatermark +
     // dropDuplicatesWithinWatermark): single AvailableNow batch → no
     // state expires mid-run → emitted keys equal batch DISTINCT, while
@@ -724,6 +753,10 @@ object StreamingQueries {
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_dedup_rocksdb" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
