@@ -1452,6 +1452,46 @@ object Pipeline {
     sb.toString
   }
 
+  /** Shared oracle prefix: the planted-dup corpus, its exact-Jaccard
+    * near-dup pair set (which the complete 32x4-band LSH provably
+    * equals at J >= 0.8), and the min-label transitive closure — the
+    * WITH chain both q_dedup_clusters and q_leakage_free_split build
+    * on. One definition so the two oracles cannot drift apart. */
+  private val dupPairClosureSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+      |      THEN [array_to_string(
+      |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+      |      ELSE list_distinct(list_transform(
+      |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+      |        i -> array_to_string(
+      |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+      |    END AS g
+      |  FROM docs),
+      |sz AS (SELECT doc_id, len(g) AS n FROM sh),
+      |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b FROM inter
+      |  JOIN sz sa ON inter.a = sa.doc_id
+      |  JOIN sz sb ON inter.b = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_kmeans_assign" -> (kmeansOracleCtes(k = 8, iters = 2, dim = 64) +
       "SELECT vec_id, cluster, dist_sq FROM fin ORDER BY vec_id"),
@@ -2358,77 +2398,13 @@ object Pipeline {
 
     // The minhash pair derivation closed transitively with a recursive
     // CTE, then min reachable id per node = the component label.
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id,
-        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
-        |      THEN [array_to_string(
-        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
-        |      ELSE list_distinct(list_transform(
-        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
-        |        i -> array_to_string(
-        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
-        |    END AS g
-        |  FROM docs),
-        |sz AS (SELECT doc_id, len(g) AS n FROM sh),
-        |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT a, b FROM inter
-        |  JOIN sz sa ON inter.a = sa.doc_id
-        |  JOIN sz sb ON inter.b = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-        |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+    "q_dedup_clusters" -> (dupPairClosureSql +
+      """
         |SELECT a AS id, least(a, min(b)) AS comp
-        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin),
 
-    "q_leakage_free_split" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id,
-        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
-        |      THEN [array_to_string(
-        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
-        |      ELSE list_distinct(list_transform(
-        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
-        |        i -> array_to_string(
-        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
-        |    END AS g
-        |  FROM docs),
-        |sz AS (SELECT doc_id, len(g) AS n FROM sh),
-        |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT a, b FROM inter
-        |  JOIN sz sa ON inter.a = sa.doc_id
-        |  JOIN sz sb ON inter.b = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-        |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    "q_leakage_free_split" -> (dupPairClosureSql +
+      """,
         |comp AS (
         |  SELECT a AS id, least(a, min(b)) AS comp
         |  FROM reach GROUP BY a),
@@ -2451,7 +2427,7 @@ object Pipeline {
         |SELECT split, count(*) AS n_docs,
         |  count(DISTINCT split_key) AS n_groups, n_dup_pairs, n_leaks
         |FROM ws CROSS JOIN leaks
-        |GROUP BY split, n_dup_pairs, n_leaks ORDER BY split""".stripMargin,
+        |GROUP BY split, n_dup_pairs, n_leaks ORDER BY split""".stripMargin),
 
     "q_doc_repetition" ->
       """WITH p AS (
