@@ -436,6 +436,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally spark.conf.unset(StreamConf.StateStoreKey)
   }
 
+  test("concurrent stream starts from different threads are isolated") {
+    // the guarantee the per-runner newSession() isolation buys: two
+    // threads starting pinned-shuffle streams simultaneously cannot
+    // clobber each other's conf (the pre-refactor save/set/restore on
+    // the SHARED session could interleave), and each drained table
+    // still equals its batch answer
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = flavorDirs("ltz")
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val f1 = Future(
+      EventStreams.runStreamingDedupOnce(spark, dir, "conc_dedup"))
+    val f2 = Future(
+      EventStreams.runWindowedCountsOnce(spark, dir, "conc_counts"))
+    Await.result(f1, 180.seconds)
+    Await.result(f2, 180.seconds)
+    val dedup = spark.table("conc_dedup")
+    val batchDedup = graft.Tables.load(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+    assert(dedup.count() > 0)
+    assert(dedup.exceptAll(batchDedup).isEmpty &&
+      batchDedup.exceptAll(dedup).isEmpty)
+    val counts = spark.table("conc_counts")
+      .select("window_start", "event_type", "n", "sum_value")
+    val batchCounts = graft.Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    assert(counts.count() > 0)
+    assert(counts.exceptAll(batchCounts).isEmpty &&
+      batchCounts.exceptAll(counts).isEmpty)
+    // and the shared session's own shuffle setting was never touched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shuffleBefore)
+  }
+
   test("gate drain helper fails loudly on a stream that does not terminate") {
     // a rate source on a ProcessingTime trigger never drains; the gate
     // helper must throw (and stop the query) instead of letting a caller
