@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/check.py [--lax] <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py [--lax] [--ordered] <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name> parquet written by graft.Verify, runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
@@ -42,20 +42,29 @@ def norm_cell(v):
     return str(v)
 
 
+ORDERED = False
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
+    if not ORDERED:
+        out.sort()
     return out
 
 
 def main():
-    global STRICT
+    global STRICT, ORDERED
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--lax" in sys.argv:
         STRICT = False
     if "--strict" in sys.argv:  # accepted for explicitness; the default
         STRICT = True
+    if "--ordered" in sys.argv:
+        # compare rows in DELIVERED order instead of canonically sorted:
+        # catches a nondeterministic ORDER BY (ties without a unique
+        # tiebreak) that the sorted compare masks
+        ORDERED = True
     sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:

@@ -648,7 +648,10 @@ object Relational {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "measure", "value")
-        .orderBy("l_orderkey", "l_linenumber", "measure")
+        // value tiebreak: the TPC-H-ish testdata does NOT guarantee a
+        // unique l_linenumber per order, so (okey, lineno, measure) can
+        // tie — pin the delivered order completely
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")
     }),
 
     // RANGE-frame window: per-user running 1-hour event-time sum — the
@@ -1745,7 +1748,7 @@ object Relational {
         |  FROM lineitem WHERE l_orderkey < 200)
         |UNPIVOT (value FOR measure IN
         |  (l_quantity, l_extendedprice, l_discount))
-        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
 
     "q_window_range_frame" ->
       """WITH e AS (

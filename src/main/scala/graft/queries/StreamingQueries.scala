@@ -844,7 +844,8 @@ object StreamingQueries {
         |SELECT user_id, view_id, click_id, gap_us FROM pairs
         |UNION ALL SELECT * FROM vexp
         |UNION ALL SELECT * FROM cexp
-        |ORDER BY user_id, view_id, click_id""".stripMargin,
+        |ORDER BY user_id, view_id NULLS FIRST,
+        |  click_id NULLS FIRST""".stripMargin,
 
     "q_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment
