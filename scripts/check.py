@@ -53,8 +53,43 @@ def canon(rows, cols):
     return out
 
 
+KNOWN_FLAGS = {"--lax", "--strict", "--ordered"}
+
+
+def type_class(t):
+    """Driver-hash equivalence class of a DuckDB type string.
+
+    Empirically (CORRECTNESS_r09 vs this check): the driver's hash
+    widens all <=64-bit integers to one class (9 gates ship INTEGER
+    where the oracle says BIGINT and are driver-green), but HUGEINT
+    (int128, what DuckDB's sum(INTEGER) returns) hashes differently
+    from BIGINT even when every value is equal — exactly the 3
+    driver-red/local-green gates of rounds 8-9. So: bucket the 64-bit
+    integer widths together, keep everything else (HUGEINT, UHUGEINT,
+    DECIMAL, FLOAT vs DOUBLE, ...) exact.
+    """
+    u = t.upper()
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT64"
+    return u
+
+
+def coltypes(con, sql):
+    """column_name -> DuckDB type class for an arbitrary SELECT."""
+    return {r[0]: type_class(r[1])
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
 def main():
     global STRICT, ORDERED
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    unknown = [f for f in flags if f not in KNOWN_FLAGS]
+    if unknown:
+        print(f"error: unknown flag(s) {unknown}; "
+              f"usage: check.py [--lax] [--strict] [--ordered] "
+              f"<sfDir> <verifyOutDir>")
+        sys.exit(2)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--lax" in sys.argv:
         STRICT = False
@@ -91,6 +126,27 @@ def main():
             continue
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: cols spark={sorted(gcols)} duck={sorted(ecols)}")
+            n_fail += 1
+            continue
+        # Type parity: the driver's hash serializes the Arrow TYPE, not
+        # just the value, so an oracle sum() leaking HUGEINT (int128)
+        # against Spark's int64 fails the driver even when every value
+        # matches (this shipped driver-red/local-green gates twice).
+        # fetchall() erases types, so compare DESCRIBE output instead.
+        try:
+            gtypes = coltypes(
+                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            etypes = coltypes(con, f"({sql})")
+        except Exception as e:
+            print(f"FAIL {name}: describe error: {e}")
+            n_fail += 1
+            continue
+        tbad = [(c, gtypes.get(c), etypes.get(c))
+                for c in sorted(gcols) if gtypes.get(c) != etypes.get(c)]
+        if tbad:
+            print(f"FAIL {name}: type mismatch "
+                  + "; ".join(f"{c}: spark={g} duck={e}"
+                              for c, g, e in tbad))
             n_fail += 1
             continue
         if len(grows) != len(erows):

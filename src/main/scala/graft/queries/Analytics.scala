@@ -894,7 +894,8 @@ object Analytics {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
         |  FROM km),
         |w2 AS (
-        |  SELECT t, d, (SELECT count(*) FROM dd) - rb AS n_risk
+        |  SELECT t, d,
+        |    CAST((SELECT count(*) FROM dd) - rb AS BIGINT) AS n_risk
         |  FROM w1 WHERE d > 0),
         |f AS (
         |  SELECT t, d, n_risk,

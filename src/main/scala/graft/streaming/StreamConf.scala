@@ -18,10 +18,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * knob, not a session default.
   *
   * Isolation model: each runner builds its sources AND starts its
-  * query on a `cloneSession()` of the caller's session ([[isolated]]),
-  * so the pinned conf lives only in the clone and the shared session
-  * conf is NEVER mutated — concurrent batch queries and concurrent
-  * stream starts cannot observe or clobber each other's settings.
+  * query on a private `newSession()` with the parent's runtime conf
+  * copied over ([[isolated]] — `cloneSession()` is `private[sql]`, so
+  * the copy is done explicitly), then the pins applied on top. The
+  * pinned conf lives only in the private session and the shared
+  * session conf is NEVER mutated — concurrent batch queries and
+  * concurrent stream starts cannot observe or clobber each other's
+  * settings, while runtime conf a caller set on its session (timezone,
+  * ANSI mode, ...) still applies inside the stream.
   * Because memory-sink tables are registered in the session that
   * starts the stream (the clone), [[publish]] drains the query and
   * re-registers the result under the same name in the parent session;
@@ -46,17 +50,29 @@ object StreamConf {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** An isolated session with the stream's conf pinned: `newSession()`
-    * shares the SparkContext and builder-level conf but has its own
-    * runtime conf, so the shuffle pin and state-store provider are set
-    * on the new session only. The `StateStoreKey` opt-in is read from
-    * the PARENT (specs set it there); runners set any source-reading
-    * conf they need (e.g. nanos-as-long) on the returned session
+  /** An isolated session with the stream's conf pinned. `newSession()`
+    * shares the SparkContext and builder-level conf but starts from
+    * DEFAULT runtime conf, so the parent's modifiable runtime conf is
+    * copied over first (static/read-only entries skipped) — callers
+    * who set runtime conf on their session (timezone, ANSI mode) get
+    * it inside the stream too. Then the shuffle pin and state-store
+    * provider are applied on the new session only. `stateStore` is the
+    * explicit backend choice (`Some("rocksdb")` → RocksDB); when
+    * absent, the parent's `StateStoreKey` conf opt-in still applies
+    * (the library-level switch). Runners set any source-reading conf
+    * they need (e.g. nanos-as-long) on the returned session
     * themselves. */
-  def isolated(parent: SparkSession, n: Int = 8): SparkSession = {
+  def isolated(parent: SparkSession, n: Int = 8,
+      stateStore: Option[String] = None): SparkSession = {
     val s = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.getOption(k) != Some(v) && s.conf.isModifiable(k))
+        s.conf.set(k, v)
+    }
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    if (parent.conf.getOption(StateStoreKey).contains("rocksdb"))
+    val backend =
+      stateStore.orElse(parent.conf.getOption(StateStoreKey))
+    if (backend.contains("rocksdb"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         RocksDbProvider)
     s

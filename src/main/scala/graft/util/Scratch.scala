@@ -28,6 +28,16 @@ object Scratch {
     d.toString
   }
 
+  /** Collision-free scratch-name suffix for an arbitrary string key
+    * (e.g. a dataset dir). String.hashCode is 32-bit and collides in
+    * practice; two colliding dirs cached in one JVM would resolve to
+    * the same Scratch path, and dir() deletes the existing contents, so
+    * the second dataset's write would destroy the first's asset. */
+  def keyFor(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   /** One Hadoop `Configuration` per executor JVM — constructing one
     * parses the XML resource chain (tens of ms), which a per-partition
     * `new Configuration()` pays 32× per stage. Read-only after init, so

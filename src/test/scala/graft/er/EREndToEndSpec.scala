@@ -247,6 +247,45 @@ class EREndToEndSpec extends AnyFunSuite {
     assert(clusteringOf(after) == clusteringOf(after2))
   }
 
+  test("same-seed runs agree across input physical layouts (SMPC identical)") {
+    import spark.implicits._
+    // q_er_pipeline's oracle pins its quality flags to 1, which assumes
+    // the fixed-seed chain is bit-deterministic across ENVIRONMENTS —
+    // core count and input partitioning included. Prove the layout leg:
+    // the same logical input delivered as 1 partition vs 13 shuffled
+    // partitions must produce the IDENTICAL shared-most-probable
+    // clustering, because ERState.initialize canonicalizes record order
+    // and the sweep is a pure function of (seed, iteration, partition).
+    val rng = new java.util.SplittableRandom(424242L)
+    val rows = (0 until 120).flatMap { e =>
+      val fn = firstNames(rng.nextInt(firstNames.length))
+      val ln = lastNames(rng.nextInt(lastNames.length))
+      val base = Seq((s"rec-$e-0", fn, ln))
+      if (e % 5 == 0) base :+ ((s"rec-$e-1", distort(fn, rng), ln))
+      else base
+    }
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+      AttributeSpec("lname", ConstantSimilarity, BetaParams(0.5, 50.0)))
+
+    def smpcOf(numParts: Int): Seq[String] = {
+      val df =
+        if (numParts == 1) rows.toDF("rec_id", "fname", "lname").coalesce(1)
+        else rows.reverse.toDF("rec_id", "fname", "lname").repartition(numParts)
+      val init = ERState.initialize(spark, df, "rec_id", None, specs,
+        _ => SinglePartition, seed = 99L)
+      val res = Sampler.run(init, numSweeps = 8, burnIn = 2, thin = 2,
+        sweepsPerJob = 4)
+      Analysis.sharedMostProbableClusters(res.chain.get)
+        .select("records").as[Seq[String]].collect()
+        .map(_.sorted.mkString(",")).sorted.toSeq
+    }
+
+    val a = smpcOf(1)
+    val b = smpcOf(13)
+    assert(a == b, "SMPC must not depend on input physical layout")
+  }
+
   test("LPT-split partitions run the full sampler loop (small skewed domain)") {
     import spark.implicits._
     // split attribute with 5 values, one dominant: every KD node takes
