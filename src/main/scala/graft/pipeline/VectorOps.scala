@@ -345,28 +345,8 @@ object VectorOps {
       else df.persist(persistLevel)
     val vecs = cached(graft.Tables.fanOut(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec")))
-    // all probe sketches in ONE pass over the corpus (posexplode); the
-    // sketch projection is the expensive part and both sides of the
-    // bucket self-join consume it
-    val sketches = cached(vecs
-      .select(col("id"),
-        posexplode(array((0 until probes).map(seed =>
-          hyperplaneSketch(col("vec"), bits, seed)): _*)))
-      .withColumnRenamed("pos", "probe")
-      .withColumnRenamed("col", "bucket"))
-    // df-capped posting lists instead of an uncapped bucket self-join:
-    // with few bits (coarse buckets) or clustered embeddings a hot
-    // bucket costs B² pairs; beyond `maxBucket` a bucket is dropped —
-    // its members are crowd-similar and pairs that matter also collide
-    // in other probes' buckets
-    val cands = cached(sketches
-      .groupBy("probe", "bucket")
-      .agg(collect_set(col("id")).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucket))
-      .select(explode(col("__ids")).as("a"), col("__ids"))
-      .select(col("a"), explode(col("__ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct())
+    val cands = cached(
+      lshCandidatePairs(vecs, "id", "vec", bits, probes, maxBucket))
     val candIds = cands.select(col("a").as("id"))
       .union(cands.select(col("b").as("id"))).distinct()
     // norms computed ONCE per candidate vector here, not once per pair in
@@ -381,6 +361,37 @@ object VectorOps {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** The UNVERIFIED candidate stage of [[lshNeighborPairs]]: distinct
+    * (a, b), a < b, pairs that share at least one (probe, bucket) under
+    * the hyperplane sketch. Factored out so verify predicates other
+    * than cosine (e.g. [[dbscan]]'s rounded squared-L2 grid) can reuse
+    * the bucketed pair generation — candidates come from id-only
+    * shuffles; vectors never self-join all-pairs.
+    *
+    * All probe sketches come from ONE pass over the corpus
+    * (posexplode); buckets become df-capped posting lists instead of an
+    * uncapped bucket self-join: with few bits (coarse buckets) or
+    * clustered embeddings a hot bucket costs B² pairs; beyond
+    * `maxBucket` a bucket is dropped — its members are crowd-similar
+    * and pairs that matter also collide in other probes' buckets. */
+  def lshCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, probes: Int, maxBucket: Int = 8192): DataFrame = {
+    val sketches = graft.Tables.fanOut(corpus)
+      .select(col(idCol).as("id"),
+        posexplode(array((0 until probes).map(seed =>
+          hyperplaneSketch(col(vecCol), bits, seed)): _*)))
+      .withColumnRenamed("pos", "probe")
+      .withColumnRenamed("col", "bucket")
+    sketches
+      .groupBy("probe", "bucket")
+      .agg(collect_set(col("id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(col("__ids")).as("a"), col("__ids"))
+      .select(col("a"), explode(col("__ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
   }
 
   /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
@@ -680,21 +691,42 @@ object VectorOps {
     * deterministic refinement of classic DBSCAN's arrival-order
     * assignment); everything else is noise (cluster −1).
     *
-    * The pair stage here is the exact blocked self-join (corpus joined
-    * against its broadcast when small); at 100 TB swap in
-    * [[lshNeighborPairs]] as the candidate generator — the rest of the
-    * pipeline is unchanged, which is the point of phrasing DBSCAN as
-    * dataflow. Distances compare on ROUNDED squared L2 (1e-6 grid, the
-    * engine-parity convention), so the oracle replays bit-identically.
+    * The pair stage is size-routed: at or below `exactPairThreshold`
+    * corpus rows it is the exact blocked self-join (corpus joined
+    * against its broadcast — quadratic but lossless and shuffle-free);
+    * above it, candidates come from [[lshCandidatePairs]] in a
+    * full-recall configuration (few bits, many probes — fixed seeds, so
+    * the result is reproducible) and only candidates pay the exact
+    * distance check — the corpus never self-joins all-pairs, which is
+    * the 100 TB path. Either way the SAME exact ε predicate decides
+    * membership, so the two paths differ only if LSH misses an ε-pair
+    * (per-pair miss ≈ (1−(1−θ/π)^bits)^probes; ~1e-8 at the defaults
+    * for near-duplicate angles — asserted equal on the planted spec
+    * corpus). The rest of the pipeline is shared, which is the point of
+    * phrasing DBSCAN as dataflow. Distances compare on ROUNDED squared
+    * L2 (1e-6 grid, the engine-parity convention), so the oracle
+    * replays bit-identically.
     */
   def dbscan(corpus: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minPts: Int): DataFrame = {
+      eps: Double, minPts: Int, exactPairThreshold: Long = 100000L,
+      lshBits: Int = 4, lshProbes: Int = 24): DataFrame = {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val pairs = c.as("l")
-      .join(broadcast(c.as("r")), col("l.__id") < col("r.__id"))
-      .filter(round(l2DistSq(col("l.__v"), col("r.__v")), 6) <= eps * eps)
-      .select(col("l.__id").as("a"), col("r.__id").as("b"))
-      .localCheckpoint(true)
+    val exact = c.count() <= exactPairThreshold
+    val epsPred = (l: Column, r: Column) =>
+      round(l2DistSq(l, r), 6) <= eps * eps
+    val rawPairs =
+      if (exact)
+        c.as("l")
+          .join(broadcast(c.as("r")), col("l.__id") < col("r.__id"))
+          .filter(epsPred(col("l.__v"), col("r.__v")))
+          .select(col("l.__id").as("a"), col("r.__id").as("b"))
+      else
+        lshCandidatePairs(c, "__id", "__v", lshBits, lshProbes)
+          .join(c.toDF("a", "__va"), "a")
+          .join(c.toDF("b", "__vb"), "b")
+          .filter(epsPred(col("__va"), col("__vb")))
+          .select(col("a"), col("b"))
+    val pairs = rawPairs.localCheckpoint(true)
     val und = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
     // neighbor counts (self included, as in classic DBSCAN)
     val degrees = und.groupBy(col("a").as("__id"))

@@ -24,6 +24,23 @@ object Analytics {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Planted DBSCAN corpus shared by q_dbscan and q_dbscan_lsh:
+    * perturbed copies (one zeroed dimension each) form ε-triples with
+    * their originals — cores and clusters recovered exactly, everything
+    * unplanted is noise. */
+  private def dbscanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").filter(col("vec_id") < 150)
+    def perturbed(offset: Int, dim: Int) =
+      base.filter(col("vec_id") < 40)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === dim, lit(0.0f)).otherwise(x))
+            .as("embedding"))
+    base.select(col("vec_id"), col("embedding"))
+      .unionAll(perturbed(100000, 3))
+      .unionAll(perturbed(200000, 5))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Robust outlier scan: MAD cutoff per event_type (two exact-
     // percentile passes + a broadcast cutoff join — see operators/Stats).
@@ -85,18 +102,21 @@ object Analytics {
     // oracle replays pairs → cores → recursive components → border
     // adoption relationally.
     "q_dbscan" -> ((s, dir) => {
-      val base = t(s, dir, "embeddings").filter(col("vec_id") < 150)
-      def perturbed(offset: Int, dim: Int) =
-        base.filter(col("vec_id") < 40)
-          .select((col("vec_id") + offset).as("vec_id"),
-            transform(col("embedding"),
-              (x, i) => when(i === dim, lit(0.0f)).otherwise(x))
-              .as("embedding"))
-      val corpus = base.select(col("vec_id"), col("embedding"))
-        .unionAll(perturbed(100000, 3))
-        .unionAll(perturbed(200000, 5))
-      VectorOps.dbscan(corpus, "vec_id", "embedding",
+      VectorOps.dbscan(dbscanCorpus(s, dir), "vec_id", "embedding",
           eps = 0.35, minPts = 3)
+        .orderBy("vec_id")
+    }),
+
+    // The SAME planted corpus through DBSCAN's 100 TB pair stage:
+    // exactPairThreshold = 0 forces LSH candidate generation (4 bits ×
+    // 24 probes, fixed seeds) + exact ε verify instead of the broadcast
+    // all-pairs join. The oracle is the identical exact relational
+    // replay, so the gate hash-PROVES the full-recall config loses no
+    // ε-pair on this corpus — the swap the dbscan scaladoc promises,
+    // wired and checked rather than prose.
+    "q_dbscan_lsh" -> ((s, dir) => {
+      VectorOps.dbscan(dbscanCorpus(s, dir), "vec_id", "embedding",
+          eps = 0.35, minPts = 3, exactPairThreshold = 0L)
         .orderBy("vec_id")
     }),
 
@@ -804,7 +824,7 @@ object Analytics {
     s"$head,\n$iters\nSELECT ${out.mkString(", ")} FROM i3"
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_fs_em" -> fsEmOracleSql,
 
     "q_group_split" ->
@@ -1111,6 +1131,7 @@ object Analytics {
         |LEFT JOIN corecl ON core.id = corecl.id
         |LEFT JOIN border ON core.id = border.id
         |ORDER BY vec_id""".stripMargin,
+
 
     // same double-promoted sequential fold as q_ann_bruteforce_topk;
     // ranking on the ROUNDED cosine, then the (votes desc, label asc)
@@ -1896,4 +1917,11 @@ object Analytics {
         |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
         |FROM run GROUP BY g ORDER BY g""".stripMargin
   )
+
+  // q_dbscan_lsh routes the pair stage through LSH candidates but must
+  // lose NO ε-pair, so its oracle is the IDENTICAL exact relational
+  // replay as q_dbscan — any recall loss in the full-recall config is
+  // a hash mismatch on the driver
+  val oracles: Map[String, String] = oraclesBase +
+    ("q_dbscan_lsh" -> oraclesBase("q_dbscan"))
 }

@@ -153,6 +153,35 @@ class StatsVectorSpec extends AnyFunSuite {
     assert(out(5L) == ((false, -1L)), s"10.0 is noise: $out")
   }
 
+  test("dbscan: LSH candidate path equals the exact all-pairs path") {
+    // the 100 TB pair stage (lshCandidatePairs in the full-recall
+    // 4-bits × 24-probes config + exact ε verify) must produce the
+    // IDENTICAL clustering as the broadcast all-pairs join on a planted
+    // near-duplicate corpus: 40 base vectors, each with two perturbed
+    // copies (one dimension zeroed) inside ε, plus isolated noise
+    val rnd = new java.util.Random(99)
+    def vec(seed: Int): Array[Float] = {
+      val r = new java.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 4f - 2f)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val v = vec(i * 7919)
+      Seq((i.toLong, v),
+        (i + 1000L, v.updated(3, 0.0f)),
+        (i + 2000L, v.updated(5, 0.0f)))
+    } ++ (0 until 30).map(i => (i + 9000L, vec(i * 104729 + 13)))
+    val df = rows.toDF("id", "vec")
+    def run(threshold: Long) =
+      VectorOps.dbscan(df, "id", "vec", eps = 1.2, minPts = 3,
+          exactPairThreshold = threshold)
+        .as[(Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    val exact = run(1000000L)
+    val lsh = run(0L)
+    assert(exact.exists(_._2), "fixture must produce cores")
+    assert(exact == lsh,
+      "LSH-routed DBSCAN must equal exact DBSCAN on the planted corpus")
+  }
+
   test("dbscan: two separated blobs cluster separately; minPts respected") {
     val rnd = new java.util.Random(17)
     def blob(center: Float, ids: Range) = ids.map { i =>
