@@ -117,8 +117,18 @@ object Bench {
       // build to whichever gate alphabetically consumes them first made
       // q_dedup_clusters/q_graph_* spike 2.5-4x on the driver's cold
       // harness (r9). Build them off-clock here.
-      queries.Pipeline.warmSharedAssets(spark, sfDir)
-      queries.Relational.warmSharedAssets(spark, sfDir)
+      if (sys.env.get("SPARK_GRAFT_NO_ASSET_WARM").isEmpty) {
+        queries.Pipeline.warmSharedAssets(spark, sfDir)
+        queries.Relational.warmSharedAssets(spark, sfDir)
+        // the build persists large intermediates (shingle/band tables);
+        // release EVERYTHING it pinned — SQL cache AND raw RDD blocks —
+        // and compact the heap before the timed loop, otherwise the
+        // expanded old-gen taxes every allocation-heavy gate after
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
+        System.gc()
+      }
       // same story for the other driver-paced graph loops: run each on
       // a toy edge set so the gate executions measure graph work, not
       // the loop machinery's first-execution JIT
@@ -173,8 +183,19 @@ object Bench {
       val stealPct =
         if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
       // release caches a query persisted (shingle/sketch/state tables) so
-      // later queries aren't timed under accumulated memory pressure
+      // later queries aren't timed under accumulated memory pressure —
+      // including raw RDD blocks (localCheckpoint lineage truncations in
+      // the graph/CC loops), which catalog.clearCache does NOT touch and
+      // which otherwise pile up across 261 gates (measured: +2.9 s on
+      // q_image_ahash alone after one big checkpointing build)
       spark.catalog.clearCache()
+      // this cleanup runs AFTER dt is recorded, so the release + heap
+      // compaction is off every gate's clock
+      val pinned = spark.sparkContext.getPersistentRDDs.values
+      if (pinned.nonEmpty) {
+        pinned.foreach(_.unpersist(true))
+        System.gc()
+      }
       // a gate query may install session-wide optimizer state (e.g.
       // q_join_range_rule's BandedRangeJoinRule + band conf) — reset it so
       // every later query's plan is independent of execution order
