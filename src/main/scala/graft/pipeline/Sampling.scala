@@ -35,6 +35,61 @@ object Sampling {
   /** Keep a deterministic ~pct% sample. */
   def sampleHash(id: Column, pct: Int): Column = hashBucket(id, 100) < pct
 
+  /** DSIR-style hashed-n-gram importance log-weights ("Data Selection
+    * for Language Models via Importance Resampling", Xie et al. 2023):
+    * score every document by how target-like its token distribution is,
+    * log w(d) = Σ_tokens [ln p_target(bucket(tok)) − ln p_raw(bucket(tok))],
+    * where both unigram bucket models are add-one-smoothed categorical
+    * distributions over `buckets` hashed features — p estimated from
+    * the rows matching `isTarget`, p_raw from the rest. Sampling
+    * proportional to exp(log w) then yields raw data distributed like
+    * the target domain; this operator emits the weights (plus the
+    * token count), leaving the resampling policy to the caller
+    * ([[weightedSample]] / [[mixtureSample]]).
+    *
+    * Scale shape: one tokenize+hash pass (portable md5 buckets, so the
+    * oracle replays them bit-exactly), the two bucket LMs are ONE
+    * grouped aggregate over ≤ `buckets` rows (broadcast back as log
+    * ratios), and the per-doc score folds (bucket, count) pairs in
+    * bucket order over an in-row sorted array — one shuffle keyed by
+    * doc, float addition order pinned, no per-token state. */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "need at least one bucket")
+    val toks = graft.Tables.fanOut(docs)
+      .select(col(idCol).as("__id"), isTarget.as("__t"),
+        explode(Dedup.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col("__id"), col("__t"),
+        pmod(Dedup.md5Long(col("__tok")), lit(buckets.toLong)).as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both bucket LMs in one aggregate over <= buckets rows
+    val counts = toks.groupBy(col("__b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__cs"))
+    val totals = toks.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tt"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__ts"))
+    val bD = lit(buckets.toDouble)
+    val deltas = counts.crossJoin(totals)
+      .select(col("__b"),
+        (log((col("__ct") + lit(1L)).cast("double") /
+            (col("__tt").cast("double") + bD)) -
+          log((col("__cs") + lit(1L)).cast("double") /
+            (col("__ts").cast("double") + bD))).as("__d"))
+    toks.groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(deltas), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("__n")).as("n_toks"),
+        sort_array(collect_list(
+          struct(col("__b"), col("__n"), col("__d")))).as("__cs"))
+      .select(col("__id").as(idCol), col("n_toks"),
+        aggregate(col("__cs"), lit(0.0d), (acc, s) =>
+          acc + s("__n").cast("double") * s("__d")).as("log_weight"))
+  }
+
   /** Sequence packing for pretraining: assign documents to fixed
     * token-budget bins. Docs are hash-sharded (so packing parallelizes —
     * no global sort at 100 TB), then packed contiguously within each

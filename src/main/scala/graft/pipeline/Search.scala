@@ -131,4 +131,33 @@ object Search {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("cid"), col("col.score").as("cosine"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009): fuse
+    * N rankings of the same id space into one list by
+    * score(id) = Σ_lists 1 / (k + rank_list(id)), ids absent from a
+    * list contributing nothing — the standard hybrid-retrieval combiner
+    * (BM25 ∪ embedding ANN) that needs no score calibration because it
+    * only consumes RANKS.
+    *
+    * Each input must carry (id, rank). Determinism: contributions are
+    * folded IN LIST ORDER over an in-row sorted (list, rank) array —
+    * one aggregation shuffle keyed by id, no float sum whose order
+    * depends on partitioning — so the double result is bit-stable and
+    * relationally replayable (a per-list pivot join adds the same
+    * contributions in the same order). At scale each list is a top-k
+    * (bounded); the fuse is one groupBy over ≤ N·k rows. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (df, li) =>
+      df.select(col("id"), lit(li).as("__li"),
+        col("rank").cast("long").as("__rank"))
+    }.reduce(_ unionAll _)
+    tagged.groupBy(col("id"))
+      .agg(sort_array(collect_list(
+        struct(col("__li"), col("__rank")))).as("__rs"))
+      .select(col("id"), size(col("__rs")).as("n_lists"),
+        aggregate(col("__rs"), lit(0.0d), (acc, s) =>
+          acc + lit(1.0) / (lit(k.toDouble) + s("__rank").cast("double")))
+          .as("rrf"))
+  }
 }

@@ -113,6 +113,44 @@ object Pipeline {
         .limit(20)
     }),
 
+    // Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 (lexical)
+    // fused with embedding-cosine top-20 around vec 0 (semantic) at
+    // k=60 — rank-only combination, no score calibration. Contributions
+    // fold in list order (in-row sorted array), so the double is
+    // bit-stable and the oracle's pivot join adds the same terms in the
+    // same order.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s").desc, col("id"))
+      val bmRank = graft.pipeline.Search.bm25(t(s, dir, "documents"),
+          "doc_id", "text", Seq("vector", "merge", "scan"))
+        .select(col("doc_id").as("id"), round(col("score"), 6).as("s"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20).select(col("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val annRank = VectorOps.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+        .select(col("cid").as("id"), col("rank"))
+      graft.pipeline.Search.rrfFuse(Seq(bmRank, annRank), 60)
+        .select(col("id"), col("n_lists"),
+          round(col("rrf") * 1e9 + 1e-4).cast("long").as("rrf_e9"))
+        .orderBy(col("rrf_e9").desc, col("id"))
+    }),
+
+    // DSIR importance weights (hashed-unigram bucket LMs, target =
+    // src0): the data-selection primitive — log w(d) says how
+    // target-like each document's token distribution is; resample
+    // proportional to exp(log w) to shift the corpus toward the target
+    // domain. Portable md5 buckets + in-row bucket-order fold, so the
+    // oracle replays the arithmetic bit-exactly.
+    "q_dsir_weights" -> ((s, dir) => {
+      Sampling.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", buckets = 256)
+        .select(col("doc_id"), col("n_toks"),
+          round(col("log_weight") + 1e-9, 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // Exact-dedup hashing: md5 content hash per doc (oracle-checked —
     // proves byte-identical hashing across engines).
     "q_doc_content_hash" -> ((s, dir) => {
@@ -1614,6 +1652,101 @@ object Pipeline {
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, round(score, 6) AS score
         |FROM scores ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the same BM25 replay feeds the lexical leg; the semantic leg is
+    // the q_ann_bruteforce cosine replay for qid 0; fusion is a full
+    // outer pivot join whose two coalesced terms add in the engine's
+    // fold order (list 0 = bm25 first)
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+        |      FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            avg(dl) AS avgdl FROM dd),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+        |  WHERE term IN ('vector', 'merge', 'scan')
+        |  GROUP BY doc_id, dl, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+        |        (tf.tf * 2.2) /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+        |      AS score
+        |  FROM tf JOIN dfr USING (term), stats
+        |  GROUP BY tf.doc_id),
+        |bmr AS (SELECT doc_id AS id, row_number() OVER
+        |    (ORDER BY round(score, 6) DESC, doc_id) AS r FROM scores),
+        |bm AS (SELECT id, r FROM bmr WHERE r <= 20),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id AS cid, round(
+        |    list_reduce(list_transform(list_zip(e.v, q.qv),
+        |      p -> p[1] * p[2]), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+        |       (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+        |       (a, b) -> a + b))), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |annr AS (SELECT cid AS id, row_number() OVER
+        |    (ORDER BY cosine DESC, cid ASC) AS r FROM scored),
+        |ann AS (SELECT id, r FROM annr WHERE r <= 20),
+        |f AS (
+        |  SELECT coalesce(bm.id, ann.id) AS id,
+        |    (CASE WHEN bm.id IS NOT NULL THEN 1 ELSE 0 END +
+        |     CASE WHEN ann.id IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+        |    coalesce(1.0 / (60 + bm.r), 0.0) +
+        |      coalesce(1.0 / (60 + ann.r), 0.0) AS rrf
+        |  FROM bm FULL OUTER JOIN ann ON bm.id = ann.id)
+        |SELECT id, n_lists,
+        |  CAST(round(rrf * 1e9 + 1e-4) AS BIGINT) AS rrf_e9
+        |FROM f ORDER BY rrf_e9 DESC, id""".stripMargin,
+
+    // the bucket LMs and the per-doc bucket-order fold replayed with
+    // the SAME portable md5 buckets and the SAME add-one smoothing;
+    // n*delta terms fold left-to-right in bucket order on both engines
+    "q_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, t,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 256
+        |      AS b
+        |  FROM (SELECT doc_id, source = 'src0' AS t,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |            AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0),
+        |cnt AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+        |  FROM tk GROUP BY b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |               CAST(sum(cs) AS BIGINT) AS ts FROM cnt),
+        |d AS (
+        |  SELECT b,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (CAST(tt AS DOUBLE) + 256.0)) -
+        |    ln(CAST(cs + 1 AS DOUBLE) / (CAST(ts AS DOUBLE) + 256.0))
+        |      AS dl
+        |  FROM cnt, tot),
+        |pb AS (SELECT doc_id, b, count(*) AS n FROM tk
+        |       GROUP BY doc_id, b),
+        |fold AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+        |    list(struct_pack(n := n, dl := dl) ORDER BY b) AS cs
+        |  FROM pb JOIN d USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_toks,
+        |  round(list_reduce(
+        |    list_prepend(0.0e0, list_transform(cs, s -> s.n * s.dl)),
+        |    (a, x) -> a + x) + 1e-9, 6) AS log_weight
+        |FROM fold ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH grams AS (
