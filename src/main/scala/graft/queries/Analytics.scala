@@ -480,6 +480,26 @@ object Analytics {
         .limit(30)
     }),
 
+    // Newman-Girvan modularity of the label-prop communities over the
+    // same ring graph — all-integer decomposition (score_num =
+    // 4·m·e_c − D_c², Q = Σ score_num / 4m²), so the quality score of
+    // the detected communities is hash-exact, not a float estimate.
+    "q_graph_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+      val ring = li.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("sk"))).as("sks"))
+        .where(size(col("sks")) > 1)
+        .select(col("sks"), concat(slice(col("sks"), 2, Int.MaxValue),
+          slice(col("sks"), 1, 1)).as("nxts"))
+        .select(explode(arrays_zip(col("sks"), col("nxts"))).as("z"))
+        .select(col("z.sks").as("a"), col("z.nxts").as("b"))
+      val labels = graft.operators.LabelProp.run(ring, rounds = 2)
+      graft.operators.Modularity.perCommunity(ring, labels)
+        .orderBy(col("score_num").desc, col("label"))
+        .limit(40)
+    }),
+
     // Clamped running balance (inventory floor-at-zero): the nonlinear
     // fold b' = max(0, b + Δ) over each user's time-ordered deltas —
     // unlike a plain cumulative sum, not windowable; carried by the
@@ -1464,6 +1484,55 @@ object Analytics {
         |  max(node) AS max_node
         |FROM l2 GROUP BY label
         |ORDER BY n_members DESC, label LIMIT 30""".stripMargin,
+
+    // same 2-round label-prop replay, then the all-integer modularity
+    // decomposition over the identical ring multigraph
+    "q_graph_modularity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT o, sk,
+        |    coalesce(lead(sk) OVER (PARTITION BY o ORDER BY sk),
+        |             first_value(sk) OVER (PARTITION BY o ORDER BY sk))
+        |      AS nxt,
+        |    count(*) OVER (PARTITION BY o) AS cnt
+        |  FROM pairs),
+        |ring AS (SELECT sk AS a, nxt AS b FROM w
+        |  WHERE cnt > 1 AND sk <> nxt),
+        |und AS (SELECT a, b FROM ring UNION ALL SELECT b, a FROM ring),
+        |r1 AS (
+        |  SELECT a, b AS label, count(*) AS n FROM und GROUP BY a, b),
+        |l1 AS (
+        |  SELECT a AS node, label FROM (
+        |    SELECT a, label, row_number() OVER (PARTITION BY a
+        |      ORDER BY n DESC, label ASC) AS rk FROM r1)
+        |  WHERE rk = 1),
+        |r2 AS (
+        |  SELECT und.a, l1.label, count(*) AS n
+        |  FROM und JOIN l1 ON und.b = l1.node GROUP BY und.a, l1.label),
+        |l2 AS (
+        |  SELECT a AS node, label FROM (
+        |    SELECT a, label, row_number() OVER (PARTITION BY a
+        |      ORDER BY n DESC, label ASC) AS rk FROM r2)
+        |  WHERE rk = 1),
+        |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a),
+        |cs AS (
+        |  SELECT l2.label, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(deg.deg) AS BIGINT) AS deg_sum
+        |  FROM l2 JOIN deg ON l2.node = deg.node GROUP BY l2.label),
+        |ii AS (
+        |  SELECT la.label, CAST(count(*) AS BIGINT) AS e_intra
+        |  FROM ring
+        |  JOIN l2 la ON ring.a = la.node
+        |  JOIN l2 lb ON ring.b = lb.node
+        |  WHERE la.label = lb.label GROUP BY la.label),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM ring)
+        |SELECT cs.label, cs.n_members, cs.deg_sum,
+        |  coalesce(ii.e_intra, 0) AS e_intra, mm.m_edges,
+        |  4 * mm.m_edges * coalesce(ii.e_intra, 0)
+        |    - cs.deg_sum * cs.deg_sum AS score_num
+        |FROM cs LEFT JOIN ii ON cs.label = ii.label, mm
+        |ORDER BY score_num DESC, cs.label LIMIT 40""".stripMargin,
 
     "q_clamped_balance" ->
       """SELECT user_id, count(*) AS n_events,
