@@ -120,6 +120,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_NO_ASSET_WARM").isEmpty) {
         queries.Pipeline.warmSharedAssets(spark, sfDir)
         queries.Relational.warmSharedAssets(spark, sfDir)
+        queries.Analytics.warmSharedAssets(spark, sfDir)
         // the build persists large intermediates (shingle/band tables);
         // release EVERYTHING it pinned — SQL cache AND raw RDD blocks —
         // and compact the heap before the timed loop, otherwise the

@@ -51,7 +51,7 @@ object Relational {
     * the asset's content stays hash-checked by every consumer. */
   private val ringEdgesAsset =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ringEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ringEdges(s: SparkSession, dir: String): DataFrame = {
     val path = ringEdgesAsset.computeIfAbsent(dir, { d =>
       val p = graft.util.Scratch.dir(
         "ring_edges_" + graft.util.Scratch.keyFor(d))
