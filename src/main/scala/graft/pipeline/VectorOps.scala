@@ -779,4 +779,99 @@ object VectorOps {
       .select(col("qid"), (-col("__w.__neg")).cast("int").as("pred_label"),
         col("__w.__votes").as("votes"))
   }
+
+  /** 1e-7-grid quantization shared by the PCA moment pass and power
+    * iteration: explicit IEEE multiply, +1e-3 nudge (in grid units, so
+    * 1e-10 absolute) to keep values off half-integer round boundaries,
+    * scale-0 HALF_UP round (matching Spark's `round` and DuckDB's),
+    * exact BIGINT→double division back. Every cross-row float sum in
+    * the PCA pipeline passes through this grid, so downstream
+    * arithmetic sees identical BYTES on both engines regardless of
+    * partial-aggregation order. */
+  private def q7(x: Double): Double =
+    java.math.BigDecimal.valueOf(x * 1e7 + 1e-3)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue() / 1e7
+  private def q7c(c: Column): Column =
+    round(c * lit(1e7) + lit(1e-3)).cast("long").cast("double") / lit(1e7)
+
+  /** Top principal component of an embedding column by the classic
+    * two-phase distributed PCA: a single-pass second-moment sweep (the
+    * d×d Gram/mean statistics — the ONLY thing that ever touches the
+    * corpus), then power iteration on the tiny d×d covariance at the
+    * driver (the same bounded-model sync point as [[lloydKMeans]]'s
+    * centroids; d²=4096 doubles here, never corpus rows).
+    *
+    * Scale shape: the upper-triangle product view explodes d(d+1)/2
+    * entries per row, but the hash aggregate's map-side combine
+    * reduces each partition to ≤ 2080 partial sums before the shuffle
+    * — at any corpus size the shuffle carries (partitions × 2080)
+    * rows. That is exactly how MLlib's RowMatrix computes its Gramian,
+    * restated declaratively.
+    *
+    * Determinism contract: every cross-row average is quantized to the
+    * 1e-7 grid ([[q7]]), covariance entries are exact-double algebra
+    * of quantized parts, and each power-iteration step re-quantizes
+    * the normalized iterate — matrix-vector products and norms fold in
+    * ascending index order, so DuckDB replays the whole iteration
+    * bit-exactly (j-ordered `list_reduce`, the q_ann_pq fold
+    * discipline).
+    *
+    * Output (one row per dimension, integer grids): pos, loading_e7
+    * (eigenvector component × 1e7), plus the constant lambda_e7
+    * (top eigenvalue), trace_e7 (total variance) and share_e6
+    * (explained-variance ratio × 1e6). */
+  def pcaTopComponent(corpus: DataFrame, vecCol: String, dim: Int,
+      iters: Int): DataFrame = {
+    require(dim >= 2 && iters >= 1, "need dim >= 2 and iters >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = graft.Tables.fanOut(corpus)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+    val muQ: Map[Int, Double] = rows
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(q7c(avg(col("x"))).as("m"))
+      .as[(Int, Double)].collect().toMap
+    val m2Q: Map[(Int, Int), Double] = rows
+      .select(explode(flatten(transform(
+        sequence(lit(0), lit(dim - 1)), i =>
+          transform(sequence(i, lit(dim - 1)), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("v"), i + 1) *
+                element_at(col("v"), j + 1)).as("p")))))).as("z"))
+      .groupBy(col("z.i").as("i"), col("z.j").as("j"))
+      .agg(q7c(avg(col("z.p"))).as("aq"))
+      .as[(Int, Int, Double)].collect()
+      .map { case (i, j, a) => (i, j) -> a }.toMap
+    // covariance from quantized parts — identical bytes on both engines
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      m2Q((a, b)) - muQ(i) * muQ(j)
+    }
+    var v = Array.fill(dim)(0.125) // 1/8: exact at dim 64; any exact
+    // binary constant works — the iteration renormalizes immediately
+    var u = Array.fill(dim)(0.0)
+    for (_ <- 1 to iters) {
+      u = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }; acc
+      }
+      var n2 = 0.0; var i = 0
+      while (i < dim) { n2 += u(i) * u(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      v = Array.tabulate(dim)(i => q7(u(i) / nrm))
+    }
+    val uf = Array.tabulate(dim) { i =>
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += c(i)(j) * v(j); j += 1 }; acc
+    }
+    var lambda = 0.0; var trace = 0.0
+    for (i <- 0 until dim) { lambda += v(i) * uf(i); trace += c(i)(i) }
+    def grid(x: Double, s: Double): Long =
+      java.math.BigDecimal.valueOf(x * s + 1e-3)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    spark.createDataset((0 until dim).map(i =>
+        (i, grid(v(i), 1e7), grid(lambda, 1e7), grid(trace, 1e7),
+          grid(lambda / trace, 1e6))))
+      .toDF("pos", "loading_e7", "lambda_e7", "trace_e7", "share_e6")
+  }
 }

@@ -1502,8 +1502,82 @@ object Pipeline {
     "q_embedding_quantize" -> ((s, dir) =>
       VectorOps.quantizeInt8Stats(t(s, dir, "embeddings"), "vec_id",
           "embedding")
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Top principal component of the embedding corpus: one-pass
+    // distributed second-moment sweep (map-side combined to <= 2080
+    // partial sums per partition), then 8 grid-quantized power
+    // iterations on the 64x64 covariance at the driver. The oracle
+    // replays the moments AND every iteration via j-ordered folds —
+    // a full eigen-solve checked bit-exactly across engines.
+    "q_pca_power" -> ((s, dir) =>
+      VectorOps.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
+          dim = 64, iters = 8)
+        .orderBy("pos"))
   )
+
+  /** DuckDB replay of `VectorOps.pcaTopComponent`: the 1e-7-grid
+    * quantized moment sweep, covariance from quantized parts, and
+    * `iters` power-iteration rounds with j-ordered `list_reduce`
+    * folds — every cross-row sum quantized or folded in pinned order,
+    * so the eigenvector bytes match the engine's exactly. */
+  private def pcaOracleSql(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH e AS (SELECT list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |idx AS (SELECT unnest(generate_series(1, $dim)) AS i),
+         |mu AS MATERIALIZED (
+         |  SELECT i.i - 1 AS i,
+         |    CAST(round(avg(e.v[i.i]) * 1e7 + 1e-3) AS BIGINT) / 1e7 AS m
+         |  FROM e, idx i GROUP BY i.i),
+         |m2 AS MATERIALIZED (
+         |  SELECT a.i - 1 AS i, b.i - 1 AS j,
+         |    CAST(round(avg(e.v[a.i] * e.v[b.i]) * 1e7 + 1e-3) AS BIGINT)
+         |      / 1e7 AS aq
+         |  FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY a.i, b.i),
+         |cov AS MATERIALIZED (
+         |  SELECT m2.i, m2.j, m2.aq - ma.m * mb.m AS c
+         |  FROM m2 JOIN mu ma ON m2.i = ma.i JOIN mu mb ON m2.j = mb.i),
+         |cm AS MATERIALIZED (
+         |  SELECT i, j, c FROM cov
+         |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+         |v0 AS (SELECT i.i - 1 AS i, 0.125e0 AS x FROM idx i),
+         |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++=
+        s"""u$t AS MATERIALIZED (
+           |  SELECT cm.i, list_reduce(list_prepend(0.0e0,
+           |    list(cm.c * p.x ORDER BY cm.j)), (a, b) -> a + b) AS u
+           |  FROM cm JOIN v${t - 1} p ON cm.j = p.i GROUP BY cm.i),
+           |n$t AS MATERIALIZED (
+           |  SELECT sqrt(list_reduce(list_prepend(0.0e0,
+           |    list(u * u ORDER BY i)), (a, b) -> a + b)) AS nrm
+           |  FROM u$t),
+           |v$t AS MATERIALIZED (
+           |  SELECT i, CAST(round(u / nrm * 1e7 + 1e-3) AS BIGINT) / 1e7
+           |    AS x FROM u$t, n$t),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""uf AS MATERIALIZED (
+         |  SELECT cm.i, list_reduce(list_prepend(0.0e0,
+         |    list(cm.c * p.x ORDER BY cm.j)), (a, b) -> a + b) AS u
+         |  FROM cm JOIN v$iters p ON cm.j = p.i GROUP BY cm.i),
+         |lam AS (SELECT list_reduce(list_prepend(0.0e0,
+         |    list(v.x * uf.u ORDER BY v.i)), (a, b) -> a + b) AS l
+         |  FROM v$iters v JOIN uf ON v.i = uf.i),
+         |tr AS (SELECT list_reduce(list_prepend(0.0e0,
+         |    list(c ORDER BY i)), (a, b) -> a + b) AS t
+         |  FROM cov WHERE i = j)
+         |SELECT v.i AS pos,
+         |  CAST(round(v.x * 1e7 + 1e-3) AS BIGINT) AS loading_e7,
+         |  CAST(round(lam.l * 1e7 + 1e-3) AS BIGINT) AS lambda_e7,
+         |  CAST(round(tr.t * 1e7 + 1e-3) AS BIGINT) AS trace_e7,
+         |  CAST(round(lam.l / tr.t * 1e6 + 1e-3) AS BIGINT) AS share_e6
+         |FROM v$iters v, lam, tr ORDER BY pos""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB replay of `VectorOps.lloydKMeans` (k lowest-id init,
     * `iters` assign+update rounds, round-6 centroid means, `dim`-wide
@@ -1650,6 +1724,8 @@ object Pipeline {
          |  CAST(sum(sc.n_syms) AS BIGINT) AS n_bpe_tokens
          |FROM occ JOIN sc USING (word)
          |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin),
+
+    "q_pca_power" -> pcaOracleSql(dim = 64, iters = 8),
 
     "q_kmeans_assign" -> (kmeansOracleCtes(k = 8, iters = 2, dim = 64) +
       "SELECT vec_id, cluster, dist_sq FROM fin ORDER BY vec_id"),
