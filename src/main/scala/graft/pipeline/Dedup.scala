@@ -154,6 +154,45 @@ object Dedup {
           size(array_union(col("shA"), col("shB")))).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup: ordered pairs (a, b) with
+    * C(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ `tau` on distinct word-shingle
+    * hash sets — the quote/truncation/doc-in-doc detector Jaccard
+    * misses (a short excerpt of a long document has low Jaccard but
+    * containment ≈ 1; Broder's original resemblance/containment pair).
+    *
+    * Shape: one shingle+hash pass (8-byte md5-derived keys so the
+    * postings shuffle never carries strings and the oracle replays the
+    * hash exactly), a df-cap dropping shingles shared by more than
+    * `maxDf` documents (boilerplate carries no containment signal and
+    * is what makes the postings self-join quadratic — the same cap
+    * discipline as every LSH band stage here), the capped postings
+    * self-join counting intersections (≤ maxDf² pairs per shingle,
+    * bounded), and one join back to |S(a)|. Both directions emerge
+    * naturally (containment is not symmetric). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, tau: Double = 0.8,
+      maxDf: Int = 64): DataFrame = {
+    val hs = fanOut(docs).select(col(idCol).as("docId"),
+        array_distinct(transform(shingles(col(textCol), shingleSize),
+          s => md5Long(s))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hs.select(col("docId"), size(col("hs")).cast("long").as("n"))
+    val ex = hs.select(col("docId"), explode(col("hs")).as("h"))
+    val kept = ex.join(
+      ex.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("h")), Seq("h"))
+    val inter = kept.select(col("h"), col("docId").as("a"))
+      .join(kept.select(col("h"), col("docId").as("b")), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("docId").as("a"), col("n").as("n_a")), Seq("a"))
+      .filter(col("inter").cast("double") / col("n_a") >= tau)
+      .select(col("a"), col("b"), col("inter"), col("n_a"),
+        round(col("inter").cast("double") / col("n_a") * lit(1e6)
+          + lit(1e-3)).cast("long").as("cont_e6"))
+  }
+
   /** MinHash+LSH near-duplicate pairs above a Jaccard threshold.
     *
     * The shingle table is computed ONCE and persisted: the band/bucket

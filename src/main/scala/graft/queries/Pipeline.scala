@@ -196,6 +196,17 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Asymmetric containment near-dup on the planted corpus: every
+    // truncated copy is CONTAINED in its original (C ≈ 1) even where
+    // Jaccard alone would sit near the threshold — the quote/excerpt
+    // detector. Exact integer intersections over df-capped 8-byte
+    // postings; the oracle replays hash, cap and ratio bit-for-bit.
+    "q_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(docsWithPlantedDups(s, dir), "doc_id",
+          "text", shingleSize = 3, tau = 0.8, maxDf = 64)
+        .orderBy("a", "b")
+    }),
+
     // Exact-dedup hashing: md5 content hash per doc (oracle-checked —
     // proves byte-identical hashing across engines).
     "q_doc_content_hash" -> ((s, dir) => {
@@ -1724,6 +1735,46 @@ object Pipeline {
          |  CAST(sum(sc.n_syms) AS BIGINT) AS n_bpe_tokens
          |FROM occ JOIN sc USING (word)
          |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin),
+
+    // planted corpus + the SAME md5-derived 60-bit shingle hashes, df
+    // cap, postings self-join and ratio grid the engine computes
+    "q_containment_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 30, 10)) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 3
+        |      THEN [array_to_string(
+        |        string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')))
+        |    END AS g
+        |  FROM docs),
+        |hsd AS (
+        |  SELECT doc_id, list_distinct(list_transform(g,
+        |    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS hs
+        |  FROM sh),
+        |sz AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM hsd),
+        |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsd),
+        |dfc AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 64),
+        |exc AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfc USING (h)),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM exc x JOIN exc y ON x.h = y.h AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, inter, sa.n AS n_a,
+        |  CAST(round(CAST(inter AS DOUBLE) / sa.n * 1e6 + 1e-3) AS BIGINT)
+        |    AS cont_e6
+        |FROM inter JOIN sz sa ON inter.a = sa.doc_id
+        |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+        |ORDER BY a, b""".stripMargin,
 
     "q_pca_power" -> pcaOracleSql(dim = 64, iters = 8),
 

@@ -942,4 +942,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(perQ.values.forall(_ < 23))
     assert(perQ.values.forall(_ >= 1))
   }
+
+  test("containmentPairs: excerpt contained in source, asymmetric, df-capped") {
+    val full = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val excerpt = "alpha beta gamma delta epsilon" // prefix: shingles ⊂ full
+    val other = "one two three four five six seven"
+    val docs = Seq((1L, full), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, tau = 0.8, maxDf = 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // 2 -> 1 fully contained (3 shingles, all in full's 8)
+    assert(got((2L, 1L))._3 == 3L && got((2L, 1L))._5 == 1000000L)
+    // the reverse direction fails tau (3/8 < 0.8); unrelated doc absent
+    assert(!got.contains((1L, 2L)))
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // df-cap: a boilerplate shingle present in every doc must not by
+    // itself create pairs once the cap drops it
+    val many = (0 until 70).map(i => (100L + i, s"spam spam spam tail$i"))
+    val capped = Dedup.containmentPairs(
+      many.toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, tau = 0.4, maxDf = 64)
+    // "spam spam spam" has df 70 > 64 -> dropped; remaining shingles
+    // ("spam spam tailN" etc.) are unique per doc -> no intersections
+    assert(capped.count() == 0)
+  }
 }
