@@ -820,8 +820,30 @@ object VectorOps {
     * (eigenvector component × 1e7), plus the constant lambda_e7
     * (top eigenvalue), trace_e7 (total variance) and share_e6
     * (explained-variance ratio × 1e6). */
+  /** The fitted model: quantized per-dimension means, the top
+    * eigenvector (components on the 1e-7 grid), its eigenvalue, and
+    * the covariance trace. Driver-side — d + d doubles, the artifact a
+    * real pipeline persists and reuses for projection/whitening. */
+  final case class PcaModel(mu: Array[Double], loadings: Array[Double],
+      lambda: Double, trace: Double)
+
   def pcaTopComponent(corpus: DataFrame, vecCol: String, dim: Int,
       iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = pcaModel(corpus, vecCol, dim, iters)
+    def grid(x: Double, s: Double): Long =
+      java.math.BigDecimal.valueOf(x * s + 1e-3)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    spark.createDataset((0 until dim).map(i =>
+        (i, grid(m.loadings(i), 1e7), grid(m.lambda, 1e7),
+          grid(m.trace, 1e7), grid(m.lambda / m.trace, 1e6))))
+      .toDF("pos", "loading_e7", "lambda_e7", "trace_e7", "share_e6")
+  }
+
+  /** Fit the model (see [[pcaTopComponent]] for the full contract). */
+  def pcaModel(corpus: DataFrame, vecCol: String, dim: Int,
+      iters: Int): PcaModel = {
     require(dim >= 2 && iters >= 1, "need dim >= 2 and iters >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -866,12 +888,23 @@ object VectorOps {
     }
     var lambda = 0.0; var trace = 0.0
     for (i <- 0 until dim) { lambda += v(i) * uf(i); trace += c(i)(i) }
-    def grid(x: Double, s: Double): Long =
-      java.math.BigDecimal.valueOf(x * s + 1e-3)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-    spark.createDataset((0 until dim).map(i =>
-        (i, grid(v(i), 1e7), grid(lambda, 1e7), grid(trace, 1e7),
-          grid(lambda / trace, 1e6))))
-      .toDF("pos", "loading_e7", "lambda_e7", "trace_e7", "share_e6")
+    PcaModel(Array.tabulate(dim)(muQ), v, lambda, trace)
   }
+
+  /** Project every corpus vector onto the fitted component: the
+    * centered dot product (x − μ)·v, folded in ascending index order
+    * (grid-exact μ and v, so the coordinate bytes replay in DuckDB).
+    * One narrow map over the corpus — the whitening/compression step
+    * that turns the model into per-document features at any scale.
+    * Output: idCol, coord_e6 (coordinate × 1e6, BIGINT). */
+  def pcaProject(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame =
+    graft.Tables.fanOut(corpus).select(col(idCol),
+      round(aggregate(
+        zip_with(
+          zip_with(transform(col(vecCol), x => x.cast("double")),
+            typedlit(model.mu.toSeq), (x, m) => x - m),
+          typedlit(model.loadings.toSeq), (d, l) => d * l),
+        lit(0.0d), (acc, t) => acc + t) * lit(1e6) + lit(1e-3))
+        .cast("long").as("coord_e6"))
 }

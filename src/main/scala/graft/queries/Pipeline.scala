@@ -78,6 +78,7 @@ object Pipeline {
   def warmSharedAssets(s: SparkSession, dir: String): Unit = {
     plantedDupPairs(s, dir).count()
     bpeModel(s, dir)
+    pcaModelOf(s, dir)
     ()
   }
 
@@ -1524,18 +1525,46 @@ object Pipeline {
     "q_pca_power" -> ((s, dir) =>
       VectorOps.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
           dim = 64, iters = 8)
-        .orderBy("pos"))
+        .orderBy("pos")),
+
+    // The model being USED: centered projection of every vector onto
+    // the learned component (the whitening/compression feature pass) —
+    // one narrow map over the corpus, model from the shared asset.
+    "q_pca_project" -> ((s, dir) =>
+      VectorOps.pcaProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+          pcaModelOf(s, dir))
+        .orderBy("vec_id"))
   )
+
+  /** The fitted PCA model, trained ONCE per (JVM, sf dir) — the
+    * d-double artifact every projection consumer shares (q_pca_power
+    * still fits from scratch: measuring the fit is that gate's job). */
+  private val pcaAsset = new java.util.concurrent.ConcurrentHashMap[
+    String, VectorOps.PcaModel]()
+  private def pcaModelOf(s: SparkSession, dir: String): VectorOps.PcaModel =
+    pcaAsset.computeIfAbsent(dir, { d =>
+      VectorOps.pcaModel(t(s, d, "embeddings"), "embedding",
+        dim = 64, iters = 8)
+    })
 
   /** DuckDB replay of `VectorOps.pcaTopComponent`: the 1e-7-grid
     * quantized moment sweep, covariance from quantized parts, and
     * `iters` power-iteration rounds with j-ordered `list_reduce`
     * folds — every cross-row sum quantized or folded in pinned order,
     * so the eigenvector bytes match the engine's exactly. */
-  private def pcaOracleSql(dim: Int, iters: Int): String = {
+  private def pcaOracleSql(dim: Int, iters: Int): String =
+    pcaOracleCtes(dim, iters) +
+      s"""SELECT v.i AS pos,
+         |  CAST(round(v.x * 1e7 + 1e-3) AS BIGINT) AS loading_e7,
+         |  CAST(round(lam.l * 1e7 + 1e-3) AS BIGINT) AS lambda_e7,
+         |  CAST(round(tr.t * 1e7 + 1e-3) AS BIGINT) AS trace_e7,
+         |  CAST(round(lam.l / tr.t * 1e6 + 1e-3) AS BIGINT) AS share_e6
+         |FROM v$iters v, lam, tr ORDER BY pos""".stripMargin
+
+  private def pcaOracleCtes(dim: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++=
-      s"""WITH e AS (SELECT list_transform(embedding,
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |idx AS (SELECT unnest(generate_series(1, $dim)) AS i),
          |mu AS MATERIALIZED (
@@ -1581,12 +1610,7 @@ object Pipeline {
          |tr AS (SELECT list_reduce(list_prepend(0.0e0,
          |    list(c ORDER BY i)), (a, b) -> a + b) AS t
          |  FROM cov WHERE i = j)
-         |SELECT v.i AS pos,
-         |  CAST(round(v.x * 1e7 + 1e-3) AS BIGINT) AS loading_e7,
-         |  CAST(round(lam.l * 1e7 + 1e-3) AS BIGINT) AS lambda_e7,
-         |  CAST(round(tr.t * 1e7 + 1e-3) AS BIGINT) AS trace_e7,
-         |  CAST(round(lam.l / tr.t * 1e6 + 1e-3) AS BIGINT) AS share_e6
-         |FROM v$iters v, lam, tr ORDER BY pos""".stripMargin
+         |""".stripMargin
     sb.toString
   }
 
@@ -1777,6 +1801,15 @@ object Pipeline {
         |ORDER BY a, b""".stripMargin,
 
     "q_pca_power" -> pcaOracleSql(dim = 64, iters = 8),
+
+    // same model replay, then the centered i-ordered projection fold
+    "q_pca_project" -> (pcaOracleCtes(dim = 64, iters = 8) +
+      """SELECT e.vec_id,
+        |  CAST(round(list_reduce(list_prepend(0.0e0,
+        |    list((e.v[t.i + 1] - mu.m) * t.x ORDER BY t.i)),
+        |    (a, b) -> a + b) * 1e6 + 1e-3) AS BIGINT) AS coord_e6
+        |FROM e, v8 t JOIN mu ON t.i = mu.i
+        |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin),
 
     "q_kmeans_assign" -> (kmeansOracleCtes(k = 8, iters = 2, dim = 64) +
       "SELECT vec_id, cluster, dist_sq FROM fin ORDER BY vec_id"),

@@ -39,6 +39,25 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(share - lambda / trace) < 2e-6)
   }
 
+  test("pcaProject recovers the planted coordinate up to sign") {
+    val d = Array.tabulate(dim)(i => if (i < 2) 1.0 / math.sqrt(2) else 0.0)
+    val pts = (0 until 100).map { k =>
+      val t = -2.0 + 4.0 * k / 99.0
+      (k.toLong, Array.tabulate(dim)(i => (t * d(i)).toFloat), t)
+    }
+    val df = pts.map(p => (p._1, p._2)).toDF("vec_id", "embedding")
+    val model = VectorOps.pcaModel(df, "embedding", dim, 8)
+    val got = VectorOps.pcaProject(df, "vec_id", "embedding", model)
+      .as[(Long, Long)].collect().toMap
+    // centered coordinates match t - mean(t) up to a global sign
+    val tm = pts.map(_._3).sum / pts.size
+    val sgn = math.signum(got(99L).toDouble) *
+      math.signum(pts(99)._3 - tm)
+    for ((id, _, t) <- pts)
+      assert(math.abs(got(id).toDouble / 1e6 - sgn * (t - tm)) < 1e-4,
+        s"vec $id")
+  }
+
   test("iterate components stay on the 1e-7 grid and are partition-stable") {
     val pts = (0 until 60).map(k =>
       (k.toLong, Array.tabulate(dim)(i =>
