@@ -49,7 +49,9 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private val S = "\u001f" // US control char; the [a-z0-9]+ filter keeps it out of symbols
+  // US control char; the [a-z0-9]+ filter keeps it out of symbols.
+  // Shared with the streaming expression compiler (DocStreams).
+  private[graft] val S = "\u001f"
 
   /** (word, freq) dictionary of `[a-z0-9]+` whitespace tokens. */
   private def vocab(docs: DataFrame, textCol: String): DataFrame =

@@ -69,6 +69,12 @@ object Pipeline {
   }
   private val bpeRounds = 10
 
+  /** The shared model's merge pairs in rank order — the streaming
+    * tokenizer compiles them into column algebra. */
+  private[queries] def bpeMerges(s: SparkSession, dir: String)
+      : Seq[(String, String)] =
+    bpeModel(s, dir).merges.map(m => (m.lhs, m.rhs))
+
   /** Materialize this object's shared per-(JVM, sf dir) Scratch assets
     * (the planted dup-pair set; the trained BPE model) so their
     * one-time build cost is paid off-clock — a real pipeline builds

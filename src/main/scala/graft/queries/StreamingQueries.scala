@@ -320,6 +320,21 @@ object StreamingQueries {
         .orderBy("source")
     }),
 
+    // The LEARNED BPE tokenizer on the document stream: the shared
+    // model's 10 merges compile into nested non-overlapping replaces —
+    // pure column algebra, ZERO state, no stream-static join, so a
+    // retrained tokenizer redeploys as a query restart. Drained counts
+    // must hash-match the batch tokenizer oracle exactly.
+    "q_stream_bpe_tokens" -> ((s, dir) => {
+      val name = s"stream_bpe_${runCounter.incrementAndGet()}"
+      val q = graft.streaming.DocStreams.runStreamingBpeCountsOnce(
+        s, dir, name, Pipeline.bpeMerges(s, dir))
+      drained(q)
+      s.table(name)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Stateful streaming dedup (dropDuplicates over the event stream):
     // the emitted key set must equal batch DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
@@ -576,6 +591,10 @@ object StreamingQueries {
       |ORDER BY user_id, start_us""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the batch tokenizer replay verbatim — the oracle needs no
+    // knowledge the stream exists
+    "q_stream_bpe_tokens" -> Pipeline.oracles("q_bpe_token_counts"),
+
     "q_stream_approx_quantiles" ->
       """SELECT event_type, count(*) AS n, TRUE AS median_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

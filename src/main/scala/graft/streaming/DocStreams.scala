@@ -351,6 +351,44 @@ object DocStreams {
       .start()
   }
 
+  /** Streaming token accounting under a LEARNED BPE model: the merge
+    * table compiles into pure column algebra — each token is wrapped
+    * (`Bpe`'s U+001F separator scheme) and the k merges fold into k
+    * nested non-overlapping `replace` calls in rank order, which
+    * replays the trainer's final symbol state exactly. ZERO state, no
+    * stream-static join, fuses into the scan: the tokenizer ships as
+    * an expression, so redeploying a retrained model is a query
+    * restart, not a state migration. Drained rows must hash-match the
+    * batch `Bpe.tokenCounts` oracle. */
+  def runStreamingBpeCountsOnce(spark: SparkSession, sfDir: String,
+      queryName: String, merges: Seq[(String, String)]): StreamingQuery = {
+    val S = graft.pipeline.Bpe.S
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    def nSyms(tok: org.apache.spark.sql.Column) = {
+      val wrapped = merges.foldLeft(
+        regexp_replace(tok, "(.)", S + "$1" + S)) { case (w, (l, r)) =>
+        replace(w, lit(S + l + S + S + r + S), lit(S + l + r + S))
+      }
+      size(split(trim(wrapped, S), S + S)).cast("long")
+    }
+    val toks = filter(Dedup.tokens(col("text")),
+      t => t.rlike("^[a-z0-9]+$"))
+    stream
+      .select(col("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0) // batch inner-join semantics
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(transform(col("__toks"), t => nSyms(t)), lit(0L),
+          (acc, n) => acc + n).as("n_bpe_tokens"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runStreamingMixtureOnce(spark: SparkSession, sfDir: String,
       queryName: String, weights: Map[String, Double],
       defaultWeight: Double): StreamingQuery = {

@@ -108,4 +108,22 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming BPE token counts equal the batch tokenizer") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.pipeline.Bpe.learnMerges(docs, "text", 10)
+    val q = DocStreams.runStreamingBpeCountsOnce(spark, dir,
+      "bpe_stream_parity", model.merges.map(m => (m.lhs, m.rhs)))
+    q.awaitTermination(120000)
+    val streamed = spark.table("bpe_stream_parity")
+      .select("doc_id", "n_words", "n_bpe_tokens")
+    val batch = graft.pipeline.Bpe.tokenCounts(docs, "doc_id", "text",
+      model)
+    assert(streamed.count() > 0)
+    // the compiled expression must replay the trained symbol table
+    // exactly — set equality on all three columns
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }
