@@ -99,4 +99,34 @@ object Blocking {
         round(col("found_true") / col("true_pairs").cast("double")
           * lit(1e6) + lit(1e-3)).cast("long").as("completeness_e6"))
   }
+
+  /** SymSpell-style fuzzy self-join at edit distance ≤ 1 (Garbe's
+    * deletion-neighborhood trick): every value emits itself plus its
+    * |w| single-deletion variants as join keys; any pair within
+    * Levenshtein distance 1 MUST share a key (an insertion's extra
+    * character deleted on one side, a deletion's on the other, a
+    * substitution's differing character on both), so an equi-join on
+    * the key set is a LOSSLESS candidate generator and the exact
+    * Levenshtein check only runs on collisions — never on the
+    * quadratic value space. O(n·|w|) keys, hash-shuffled; the pair
+    * verify is the codegen'd `levenshtein`.
+    *
+    * Returns (a, b, dist) with a < b, dist ≤ 1, a ≠ b — distance-0
+    * pairs cannot occur because values are deduplicated first. */
+  def symspellPairs(df: DataFrame, valueCol: String): DataFrame = {
+    val v = df.select(col(valueCol).cast("string").as("w"))
+      .filter(col("w").isNotNull).distinct()
+    val keys = v.select(col("w"), explode(array_distinct(concat(
+        array(col("w")),
+        transform(sequence(lit(0), length(col("w")) - 1), i =>
+          concat(col("w").substr(lit(1), i),
+            col("w").substr(i + 2, length(col("w")))))))).as("key"))
+    keys.select(col("key"), col("w").as("a"))
+      .join(keys.select(col("key"), col("w").as("b")), Seq("key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+  }
 }

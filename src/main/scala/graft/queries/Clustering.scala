@@ -101,6 +101,16 @@ object Clustering {
         .orderBy("id_a", "id_b")
     }),
 
+    // SymSpell deletion-neighborhood fuzzy self-join on customer names:
+    // lossless edit-distance-1 candidate generation via an equi-join on
+    // single-deletion keys (O(n·|w|) keys, never the quadratic value
+    // space), exact codegen'd Levenshtein verify on collisions only.
+    "q_fuzzy_join_symspell" -> ((s, dir) => {
+      graft.er.Blocking.symspellPairs(
+          t(s, dir, "customer").select(col("c_name")), "c_name")
+        .orderBy("a", "b")
+    }),
+
     // End-to-end Bayesian ER. MCMC is not SQL-expressible, but the
     // fixed-seed chain is DETERMINISTIC, so the gate pins its
     // evaluation as oracle-checkable content: structural counts the
@@ -269,6 +279,18 @@ object Clustering {
         |  CAST(1 AS BIGINT) AS f1_ok,
         |  CAST(1 AS BIGINT) AS ari_ok
         |FROM customer WHERE c_custkey <= 300""".stripMargin,
+
+    // brute-force ground truth: DuckDB can afford the quadratic join at
+    // gate scale, so the oracle is the ALL-PAIRS answer — hash equality
+    // proves the deletion-key blocking lossless, not just plausible
+    "q_fuzzy_join_symspell" ->
+      """WITH v AS (SELECT DISTINCT c_name AS w FROM customer
+        |           WHERE c_name IS NOT NULL)
+        |SELECT a.w AS a, b.w AS b,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 1
+        |ORDER BY a, b""".stripMargin,
 
     "q_blocking_sorted_neighborhood" ->
       """WITH ranked AS (

@@ -52,4 +52,34 @@ class BlockingSpec extends AnyFunSuite {
     assert(m.getAs[Long]("found_true") == 1L)
     assert(m.getAs[Long]("completeness_e6") == 500000L)
   }
+
+  test("symspellPairs == brute-force Levenshtein<=1 on adversarial strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // covers substitution, insertion, deletion, transposition (dist 2 —
+    // must be REJECTED by the verify even though del-keys collide),
+    // duplicate-adjacent chars, and unrelated values
+    val vals = Seq("cat", "cut", "cart", "at", "ct", "act", "tac",
+      "aab", "ab", "ba", "dog", "dogs", "odg", "xyz")
+    val want = (for {
+      i <- vals.indices; j <- (i + 1) until vals.size
+      a = vals(i); b = vals(j)
+      if lev(a, b) <= 1
+    } yield {
+      val (x, y) = if (a < b) (a, b) else (b, a)
+      (x, y, lev(a, b).toLong)
+    }).toSet
+    val got = Blocking.symspellPairs(vals.toDF("w"), "w")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want)
+    // spot-check the trap: "ab" vs "ba" share deletion keys but lev=2
+    assert(!got.exists { case (a, b, _) => a == "ab" && b == "ba" })
+    assert(got.contains(("aab", "ab", 1L)))
+  }
 }
