@@ -133,4 +133,24 @@ object Curation {
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("w_lo")), col("w_hi")))
   }
+
+  /** OpenRefine-style fingerprint-key clustering: two values belong to
+    * the same cluster iff their SORTED DISTINCT lowercase token sets
+    * are identical — the canonical cheap blocking for reordered /
+    * re-punctuated near-identical records ("Smith, John" vs "john
+    * smith"). One tokenize pass, one hash-aggregate keyed by the md5 of
+    * the canonical key (8-byte-ish shuffle keys, never the raw text);
+    * singleton keys are dropped. Output: fp_md5, n_members, min_id,
+    * max_id. */
+  def fingerprintClusters(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).as("__id"),
+        md5(array_join(array_sort(array_distinct(
+          filter(graft.pipeline.Dedup.tokens(col(textCol)),
+            t => length(t) > 0))), " ").cast("binary")).as("fp_md5"))
+      .groupBy(col("fp_md5"))
+      .agg(count(lit(1)).as("n_members"), min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"))
+      .filter(col("n_members") >= 2)
 }

@@ -214,6 +214,19 @@ object Pipeline {
         .orderBy("a", "b")
     }),
 
+    // OpenRefine fingerprint clustering on a corpus with planted
+    // token-REORDERED copies: same word set, different order — invisible
+    // to exact content hashing, caught by the canonical sorted-token
+    // key. Singleton keys dropped; clusters keyed by the fingerprint md5.
+    "q_fingerprint_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(reverse(Dedup.tokens(col("text"))), " ").as("text"))
+      Curation.fingerprintClusters(d.unionAll(planted), "doc_id", "text")
+        .orderBy("fp_md5")
+    }),
+
     // Exact-dedup hashing: md5 content hash per doc (oracle-checked —
     // proves byte-identical hashing across engines).
     "q_doc_content_hash" -> ((s, dir) => {
@@ -1765,6 +1778,25 @@ object Pipeline {
          |  CAST(sum(sc.n_syms) AS BIGINT) AS n_bpe_tokens
          |FROM occ JOIN sc USING (word)
          |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin),
+
+    // planted reordered copies + the identical canonical-key md5
+    "q_fingerprint_cluster" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(list_reverse(
+        |      string_split_regex(lower(trim(text)), '\s+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> length(t) > 0))), ' ')) AS fp_md5
+        |  FROM docs)
+        |SELECT fp_md5, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM fp GROUP BY fp_md5 HAVING count(*) >= 2
+        |ORDER BY fp_md5""".stripMargin,
 
     // planted corpus + the SAME md5-derived 60-bit shingle hashes, df
     // cap, postings self-join and ratio grid the engine computes

@@ -943,6 +943,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(perQ.values.forall(_ >= 1))
   }
 
+  test("fingerprintClusters: reorder + dup tokens + case collapse to one key") {
+    val docs = Seq(
+      (1L, "John Smith"), (2L, "smith JOHN"), (3L, "john john smith"),
+      (4L, "jane doe"), (5L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val got = Curation.fingerprintClusters(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect()
+    // 1, 2, 3 share the canonical key {john, smith}; 4 and 5 are
+    // singletons and must be dropped
+    assert(got.length == 1)
+    assert(got.head._2 == 3L && got.head._3 == 1L && got.head._4 == 3L)
+  }
+
   test("containmentPairs: excerpt contained in source, asymmetric, df-capped") {
     val full = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val excerpt = "alpha beta gamma delta epsilon" // prefix: shingles ⊂ full
