@@ -119,6 +119,61 @@ object CoreProperties extends Properties("graft.core") {
       ws.indices.foreach(v => masses(part.partitionOf(Array(v))) += ws(v))
       (masses(0) - masses(1)).abs <= ws.max
     }
+
+  // --- SymSpell deletion-key blocking (er/Blocking.symspellPairs) ---
+
+  private def delKeys(w: String): Set[String] =
+    Set(w) ++ w.indices.map(i => w.take(i) + w.drop(i + 1))
+
+  private val shortWord: Gen[String] = for {
+    len <- Gen.choose(0, 7)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')) // tiny alphabet
+  } yield cs.mkString                                // forces collisions
+
+  /** The losslessness claim behind the fuzzy join: ANY pair within
+    * Levenshtein distance 1 shares a deletion key (insertion: delete
+    * the extra char on the longer side; deletion: symmetric;
+    * substitution: delete the differing char on both sides). */
+  property("lev<=1 pairs always share a deletion key") =
+    forAll(shortWord, shortWord) { (a, b) =>
+      Levenshtein.distance(a, b) > 1 ||
+        (delKeys(a) & delKeys(b)).nonEmpty
+    }
+
+  // --- BPE wrapped-string merge (pipeline/Bpe) ---
+
+  private val S = "\u001f"
+  private def wrap(s: Seq[String]): String =
+    s.map(x => S + x + S).mkString
+
+  private def greedyMerge(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  private val symGen: Gen[String] =
+    Gen.oneOf("a", "b", "ab", "ba", "aa")
+  private val symsGen: Gen[List[String]] =
+    Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, symGen))
+
+  /** The engine applies a merge as a single non-overlapping replace on
+    * the double-separator-wrapped string; that must equal the greedy
+    * left-to-right array merge for EVERY symbol sequence and pair —
+    * including symbols that are concatenations of others ("ab" vs
+    * "a","b"), which is exactly what the wrapping disambiguates. */
+  property("wrapped-string replace == greedy array BPE merge") =
+    forAll(symsGen, symGen, symGen) { (syms, l, r) =>
+      val viaString = wrap(syms)
+        .replace(S + l + S + S + r + S, S + l + r + S)
+      viaString == wrap(greedyMerge(syms, l, r))
+    }
 }
 
 /** Spark-dependent representation properties (round-trips, ARI bounds). */
