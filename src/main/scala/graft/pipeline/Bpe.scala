@@ -46,6 +46,16 @@ import org.apache.spark.sql.functions._
   * beyond-reference surface for the LLM-pipeline family (token
   * counting is `q_doc_token_stats`; this learns the subword table that
   * real token budgets are denominated in).
+  *
+  * Real-tokenizer scale note: production vocabularies take 30k-100k
+  * merges, where full per-round pair recounts waste work — the classic
+  * refinement is INCREMENTAL pair-count maintenance (only words
+  * containing the merged pair change their pair multiset; Sennrich's
+  * trainer and SentencePiece both do this). The distributed analogue
+  * keeps a persisted (pair -> count) table and applies per-round
+  * deltas from the `contains(w, "#l##r#")` word subset — same
+  * dataflow, one extra delta aggregate; the k=10 gate measures the
+  * simple formulation.
   */
 object Bpe {
 
