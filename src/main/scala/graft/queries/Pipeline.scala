@@ -214,6 +214,25 @@ object Pipeline {
         .orderBy("a", "b")
     }),
 
+    // Pareto-frontier document selection: the skyline of (lexical
+    // diversity MAX, token cost MIN) — "best quality at every budget"
+    // curation. The engine uses the 2-D sort-scan closed form (two
+    // window minima, no pairwise join); the oracle re-derives the
+    // frontier from the DEFINITION (NOT EXISTS dominator), so hash
+    // equality proves the window formulation implements domination.
+    "q_pareto_frontier" -> ((s, dir) => {
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), size(col("__t")).cast("long").as("n_toks"),
+          round(size(array_distinct(col("__t"))).cast("double") /
+            size(col("__t")) * lit(1e6) + lit(1e-3)).cast("long")
+            .as("ttr_e6"))
+      graft.operators.Skyline.pareto2D(m, "ttr_e6", "n_toks")
+        .select(col("doc_id"), col("ttr_e6"), col("n_toks"))
+        .orderBy(col("ttr_e6").desc, col("n_toks"), col("doc_id"))
+    }),
+
     // OpenRefine fingerprint clustering on a corpus with planted
     // token-REORDERED copies: same word set, different order — invisible
     // to exact content hashing, caught by the canonical sorted-token
@@ -1778,6 +1797,24 @@ object Pipeline {
          |  CAST(sum(sc.n_syms) AS BIGINT) AS n_bpe_tokens
          |FROM occ JOIN sc USING (word)
          |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin),
+
+    // frontier from the domination DEFINITION — an independent
+    // formulation of what the engine's window scan must equal
+    "q_pareto_frontier" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+        |    CAST(round(CAST(len(list_distinct(t)) AS DOUBLE) /
+        |      len(t) * 1e6 + 1e-3) AS BIGINT) AS ttr_e6
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents)
+        |  WHERE len(t) > 0)
+        |SELECT m.doc_id, m.ttr_e6, m.n_toks FROM m
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m o
+        |  WHERE o.ttr_e6 >= m.ttr_e6 AND o.n_toks <= m.n_toks
+        |    AND (o.ttr_e6 > m.ttr_e6 OR o.n_toks < m.n_toks))
+        |ORDER BY ttr_e6 DESC, n_toks, doc_id""".stripMargin,
 
     // planted reordered copies + the identical canonical-key md5
     "q_fingerprint_cluster" ->
