@@ -35,11 +35,12 @@ object ConnectedComponents {
   /** (id, component) for every node in `edges` (columns a, b), where
     * component is the minimum node id reachable. */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val cp = LoopCheckpoint.forLoop(edges.sparkSession)
     // ONE eager materialization of the edge list: runs the (possibly
     // expensive) upstream derivation — e.g. an LSH candidate+verify
     // pipeline — exactly once, and replaces its logical plan with a
     // LogicalRDD so the loop below re-analyzes a constant-size tree
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e = cp(edges.select(col("a"), col("b")))
     // the undirected union is two scans of the checkpointed blocks —
     // cheap enough to leave as a view
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -47,9 +48,8 @@ object ConnectedComponents {
     // comp0 = min(id, neighbors) in one aggregation — node enumeration
     // comes free from the grouping, and plain pair components (the bulk
     // of near-dup graphs) converge on the first loop check
-    var labels = und.groupBy(col("a").as("id"))
-      .agg(least(col("a"), min(col("b"))).as("comp"))
-      .localCheckpoint(true)
+    var labels = cp(und.groupBy(col("a").as("id"))
+      .agg(least(col("a"), min(col("b"))).as("comp")))
     // one min-label propagation round: each node takes the min of its
     // own label and its neighbors' — keeps (prev, comp) so the caller
     // can test the fixpoint of the LAST round applied
@@ -72,7 +72,7 @@ object ConnectedComponents {
       // near-dup graph sizes is job latency, not executor work. The
       // fixpoint test compares round 2 against round 1: a round that
       // changes nothing proves convergence regardless of round 1.
-      val next = propagate(propagate(labels)).localCheckpoint(true)
+      val next = cp(propagate(propagate(labels)))
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next
       it += 1

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * filter IS the peel. The alive set only shrinks, so per-round cost is
   * monotonically decreasing; rounds needed is the peeling depth (small
   * for real graphs — 6 at sf0.1 on the gate's co-purchase graph).
-  * Lineage is truncated per generation with eager localCheckpoints,
-  * identical to ConnectedComponents' loop discipline (see the rationale
-  * there — persist alone leaves an O(iter²) plan tree).
+  * Lineage is truncated per generation via [[LoopCheckpoint]] —
+  * eager localCheckpoints by default, reliable-checkpoint cadence
+  * under `spark.graft.iterative.checkpoint=reliable` (see the
+  * rationale at ConnectedComponents — persist alone leaves an
+  * O(iter²) plan tree).
   */
 object KCore {
 
@@ -26,13 +28,13 @@ object KCore {
     * degree. Throws on non-convergence within `maxIter` rounds. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val cp = LoopCheckpoint.forLoop(edges.sparkSession)
+    val e = cp(edges.select(col("a"), col("b")))
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
     // round 0: plain degrees — the grouping enumerates the nodes
-    var alive = und.groupBy(col("a").as("node"))
+    var alive = cp(und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= k)
-      .localCheckpoint(true)
+      .filter(col("deg") >= k))
     var aliveCount = alive.count()
     var it = 0
     var converged = false
@@ -52,7 +54,7 @@ object KCore {
       // computes twice — 3 join+agg passes per 2 rounds instead of 2.
       // ConnectedComponents can batch because its propagation reads the
       // label frame once per round; the peel reads it twice.)
-      val next = peel(alive).localCheckpoint(true)
+      val next = cp(peel(alive))
       val nextCount = next.count()
       converged = nextCount == aliveCount
       alive = next

@@ -23,20 +23,19 @@ object LabelProp {
     * ids. Isolated nodes never appear (edge-list graphs). */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val cp = LoopCheckpoint.forLoop(edges.sparkSession)
+    val e = cp(edges.select(col("a"), col("b")))
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = cp(und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     (0 until rounds).foreach { _ =>
-      labels = und
+      labels = cp(und
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("__n"))
         .groupBy(col("node"))
         .agg(min_by(col("label"),
-          struct((-col("__n")).as("__neg"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          struct((-col("__n")).as("__neg"), col("label"))).as("label")))
     }
     labels
   }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Lineage truncation policy for driver-paced iterative loops
+  * (ConnectedComponents, KCore, PageRank, LabelProp, ShortestPaths,
+  * DBSCAN's pair stage).
+  *
+  * Default (`local`): eager `localCheckpoint` per generation — the
+  * fastest truncation, but the checkpointed blocks live ONLY on
+  * executors, so on a real cluster an executor loss after truncation
+  * kills the job instead of recomputing (lineage is gone).
+  *
+  * `reliable` mode matches the reference's PeriodicRDDCheckpointer
+  * posture (reference capability: the sampler's periodic reliable
+  * checkpointing) for clusters where executor loss is routine: every
+  * k-th truncation is a RELIABLE `Dataset.checkpoint` (files under the
+  * checkpoint dir, typically HDFS/object storage), and the generations
+  * between are eager MEMORY_AND_DISK persists — their lineage stays
+  * intact back to the last reliable checkpoint, so a lost cached block
+  * recomputes from durable storage. Plan growth between reliable
+  * checkpoints is bounded by k loop bodies on top of the checkpoint's
+  * LogicalRDD, so driver re-analysis stays constant-size. Superseded
+  * persists are released (non-blocking) each time a reliable
+  * checkpoint truncates the plan past them.
+  *
+  * Selection is session conf, so the same operator code serves both
+  * postures:
+  *   - `spark.graft.iterative.checkpoint` = `local` (default) |
+  *     `reliable`
+  *   - `spark.graft.iterative.checkpointDir`: set on the SparkContext
+  *     at first use when reliable mode is on (optional if the context
+  *     already has a checkpoint dir)
+  *   - `spark.graft.iterative.checkpointEvery`: reliable cadence k
+  *     (default 5)
+  */
+object LoopCheckpoint {
+
+  val ModeKey = "spark.graft.iterative.checkpoint"
+  val DirKey = "spark.graft.iterative.checkpointDir"
+  val EveryKey = "spark.graft.iterative.checkpointEvery"
+
+  /** A per-loop truncator: call once per generation in place of
+    * `localCheckpoint(true)`. Instantiate ONE per loop invocation (it
+    * counts generations and tracks persists to release). */
+  def forLoop(spark: SparkSession): Truncator = {
+    val reliable =
+      spark.conf.getOption(ModeKey).map(_.trim.toLowerCase) match {
+        case Some("reliable") => true
+        case Some("local") | None => false
+        case Some(other) => throw new IllegalArgumentException(
+          s"$ModeKey must be 'local' or 'reliable', got '$other'")
+      }
+    val every =
+      spark.conf.getOption(EveryKey).map(_.toInt).getOrElse(5)
+    require(every >= 1, s"$EveryKey must be >= 1")
+    if (reliable) {
+      val sc = spark.sparkContext
+      spark.conf.getOption(DirKey) match {
+        case Some(dir) if !sc.getCheckpointDir.contains(dir) =>
+          sc.setCheckpointDir(dir)
+        case None if sc.getCheckpointDir.isEmpty =>
+          throw new IllegalStateException(
+            s"$ModeKey=reliable needs a checkpoint dir: set $DirKey " +
+              "or SparkContext.setCheckpointDir")
+        case _ => ()
+      }
+    }
+    new Truncator(reliable, every)
+  }
+
+  final class Truncator private[LoopCheckpoint] (
+      reliable: Boolean, every: Int) {
+    private var n = 0
+    private val pending = ArrayBuffer.empty[DataFrame]
+
+    /** Materialize `df` eagerly and return a loop-safe handle: plan
+      * truncated (local/reliable checkpoint) or cached-with-lineage
+      * (between reliable checkpoints). */
+    def apply(df: DataFrame): DataFrame = {
+      n += 1
+      if (!reliable) df.localCheckpoint(true)
+      else if ((n - 1) % every == 0) {
+        val out = df.checkpoint(eager = true)
+        // everything cached before this durable cut is unreachable from
+        // the truncated plan — release it
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+        out
+      } else {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        pending += p
+        p
+      }
+    }
+
+    /** Release any persists still tracked (call after the loop if the
+      * result was reliably checkpointed or fully consumed). */
+    def release(): Unit = {
+      pending.foreach(_.unpersist(blocking = false))
+      pending.clear()
+    }
+  }
+}

@@ -39,7 +39,11 @@ object Modularity {
     val m = broadcast(e.agg(count(lit(1)).as("m_edges")))
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val nodeStats = lab.join(deg, "node")
+    // LEFT join: labeled degree-0 (isolated) nodes still count in
+    // n_members — they contribute 0 to deg_sum/e_intra either way, but
+    // an inner join would silently drop them from the member census.
+    val nodeStats = lab.join(deg, Seq("node"), "left")
+      .na.fill(0L, Seq("deg"))
     val commSize = nodeStats.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("deg_sum"))
     val intra = e

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * aggregation on `dst` with map-side partial sums. The dangling-mass
   * scalar stays in-plan as a one-row broadcast cross join — no
   * per-iteration collect; the only driver-paced work is the loop
-  * itself, lineage-truncated with eager localCheckpoints like the
-  * MCMC sweep loop (a growing plan would re-analyze O(iter^2) trees).
+  * itself, lineage-truncated per generation via [[LoopCheckpoint]]
+  * (eager localCheckpoints by default; reliable-checkpoint cadence
+  * under `spark.graft.iterative.checkpoint=reliable` — a growing
+  * plan would re-analyze O(iter^2) trees).
   *
   * At warehouse scale edges dominate (|E| >> |V|): partitioning them
   * once and re-using the partitioning every round is the difference
@@ -57,20 +59,20 @@ object PageRank {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val spark = edges.sparkSession
+    val cp = LoopCheckpoint.forLoop(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src"), col("dst"),
+    val e = cp(edges.select(col("src"), col("dst"),
         col("w").cast("double").as("w"))
-      .repartition(shufflePartitions, col("src"))
-      .localCheckpoint(true)
+      .repartition(shufflePartitions, col("src")))
 
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("outw"), lit(0.0)).as("outw"))
       .repartition(shufflePartitions, col("node"))
-      .localCheckpoint(true)
+    val nodes = cp(nodes0)
 
     val stats = nodes.agg(count(lit(1)).as("n"),
       count(when(col("outw") === 0.0, lit(1))).as("nDangling")).head()
@@ -78,8 +80,8 @@ object PageRank {
     val hasDangling = stats.getLong(1) > 0L
     require(n > 0, "PageRank needs a non-empty edge list")
 
-    val fanout = e.join(nodes.select(col("node").as("src"), col("outw")),
-      "src").localCheckpoint(true)
+    val fanout = cp(e.join(nodes.select(col("node").as("src"), col("outw")),
+      "src"))
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"),
       col("outw"))
@@ -105,7 +107,8 @@ object PageRank {
               lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
                 col("danglingMass") / lit(n))).as("rank"),
             col("outw"))
-      }).localCheckpoint(true)
+      })
+      ranks = cp(ranks)
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -114,14 +117,14 @@ object PageRank {
       iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val spark = edges.sparkSession
+    val cp = LoopCheckpoint.forLoop(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // materialize the edge derivation once; hash-partition by src so the
     // per-iteration ranks-join re-uses this layout instead of
     // re-shuffling the (large) edge side every round
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(shufflePartitions, col("src"))
-      .localCheckpoint(true)
+    val e = cp(edges.select(col("src"), col("dst"))
+      .repartition(shufflePartitions, col("src")))
 
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
 
@@ -139,15 +142,15 @@ object PageRank {
       .distinct()
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-    val meta = (seeds match {
+    val meta0 = (seeds match {
       case Some(s) => nodes
         .join(broadcast(s.select(col("node")).distinct()
           .withColumn("__seed", lit(true))), Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           coalesce(col("__seed"), lit(false)).as("isSeed"))
       case None => nodes.withColumn("isSeed", lit(true))
-    }).repartition(shufflePartitions, col("node"))
-      .localCheckpoint(true)
+    })
+    val meta = cp(meta0.repartition(shufflePartitions, col("node")))
 
     // |V|, dangling presence, and |seeds ∩ V| in one pass; a
     // dangling-free graph — common for crawl graphs closed by
@@ -180,8 +183,8 @@ object PageRank {
 
     // each edge annotated with its source's fan-out — both sides are
     // already hash-partitioned on the join key, so nothing moves
-    val fanout = e.join(meta.select(col("node").as("src"), col("outdeg")),
-      "src").localCheckpoint(true)
+    val fanout = cp(e.join(meta.select(col("node").as("src"), col("outdeg")),
+      "src"))
 
     // start at the teleport distribution: a projection over the
     // checkpointed meta (no job)
@@ -214,7 +217,8 @@ object PageRank {
               lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
                 col("danglingMass") * teleport)).as("rank"),
             col("outdeg"), col("isSeed"))
-      }).localCheckpoint(true)
+      })
+      ranks = cp(ranks)
     }
     ranks.select(col("node"), col("rank"))
   }

@@ -29,14 +29,13 @@ object ShortestPaths {
       : DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val spark = edges.sparkSession
+    val cp = LoopCheckpoint.forLoop(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(shufflePartitions, col("src"))
-      .localCheckpoint(true)
+    val e = cp(edges.select(col("src"), col("dst"))
+      .repartition(shufflePartitions, col("src")))
 
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0))
-      .localCheckpoint(true)
+    var dist = cp(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)))
 
     var k = 1
     var frontierEmpty = false
@@ -47,7 +46,7 @@ object ShortestPaths {
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(k))
-      dist = dist.unionByName(reached).localCheckpoint(true)
+      dist = cp(dist.unionByName(reached))
       // one count on the checkpointed table decides early exit — a
       // fully-explored graph stops before maxHops rounds
       frontierEmpty = dist.where(col("dist") === k).isEmpty
@@ -72,22 +71,20 @@ object ShortestPaths {
       : DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     val spark = edges.sparkSession
+    val cp = LoopCheckpoint.forLoop(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(shufflePartitions, col("src"))
-      .localCheckpoint(true)
+    val e = cp(edges.select(col("src"), col("dst"), col("w"))
+      .repartition(shufflePartitions, col("src")))
 
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0.0))
-      .localCheckpoint(true)
+    var dist = cp(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0.0)))
 
     for (_ <- 1 to rounds) {
       val relaxed = e
         .join(dist.select(col("node").as("src"), col("dist")), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      dist = cp(dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }
     dist
   }

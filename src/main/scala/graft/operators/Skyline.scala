@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,35 +16,60 @@ import org.apache.spark.sql.functions._
   * the minimum within its own maximize-value group (an equal-max,
   * strictly-cheaper row dominates it) and (b) is strictly below the
   * running minimum over all strictly-better maximize groups (any such
-  * row dominates on max, so it must lose on min). Expressed as two
-  * window minima — one RANGE frame ending 1 PRECEDING (strictly-higher
-  * groups only), one per-group partition — so Catalyst plans a sort +
-  * two window passes, never the O(n²) domination join.
+  * row dominates on max, so it must lose on min).
+  *
+  * Scale shape: the corpus is range-repartitioned on the maximize
+  * dimension (descending), so the sort and both window minima run as
+  * parallel per-partition passes. The only cross-partition state is
+  * each partition's min(minCol) — one row per partition — whose
+  * prefix-minimum over strictly-higher-ranged partitions is broadcast
+  * back as a carry-in, exactly the `er/Blocking.globalRank`
+  * broadcast-offset pattern. Range partitioning never splits one
+  * maximize value across partitions, so the per-group minimum stays
+  * local and every preceding partition is strictly better on max. At
+  * 1000 executors the serial state is the ≤`partitions`-row offset
+  * table, never the corpus.
   *
   * Both dimensions must be integers (the repo's grid discipline), so
   * domination is exact and the result replays on any engine. Ties on
   * BOTH dimensions are mutually non-dominating: every such row is kept.
-  *
-  * Scale note: the unpartitioned window is a single global sort of the
-  * (id, max, min) projection — fine to ~10⁸ rows; beyond that, split
-  * by range partitions on the maximize dimension with
-  * `er/Blocking.globalRank`'s broadcast-offset pattern and carry each
-  * partition's running minimum forward (one extra 1-row-per-partition
-  * broadcast), exactly as globalRank does for ranks.
   */
 object Skyline {
 
   /** Skyline of `df` maximizing `maxCol` and minimizing `minCol`
     * (both integer-valued). Returns the input columns, frontier rows
-    * only. */
-  def pareto2D(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
-    val higher = Window.orderBy(col(maxCol).desc)
+    * only. `partitions` <= 0 uses the session shuffle parallelism. */
+  def pareto2D(df: DataFrame, maxCol: String, minCol: String,
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val cols = df.columns
+    val ranged = df.repartitionByRange(n, col(maxCol).desc)
+      .withColumn("__pid", spark_partition_id())
+    // Parallel per-partition windows: running min over strictly-higher
+    // max groups, and the per-max-group min (groups never straddle a
+    // range partition).
+    val higherLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col(maxCol).desc)
       .rangeBetween(Window.unboundedPreceding, -1)
-    val group = Window.partitionBy(col(maxCol))
-    df.withColumn("__mh", min(col(minCol)).over(higher))
-      .withColumn("__mg", min(col(minCol)).over(group))
+    val groupLocal = Window.partitionBy(col("__pid"), col(maxCol))
+    // Carry-in per partition: min(minCol) over all strictly-preceding
+    // (= strictly-higher-max) partitions. One row per partition, so the
+    // prefix window and the join are broadcast-scale at any corpus size.
+    val carries = ranged.groupBy("__pid").agg(min(col(minCol)).as("__pm"))
+      .withColumn("__carry", min(col("__pm")).over(
+        Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("__pid", "__carry")
+    ranged
+      .withColumn("__mhl", min(col(minCol)).over(higherLocal))
+      .withColumn("__mg", min(col(minCol)).over(groupLocal))
+      .join(broadcast(carries), "__pid")
+      // least() skips NULLs: NULL carry (first partition) or NULL local
+      // running min (top group in a partition) fall through to the other.
+      .withColumn("__mh", least(col("__mhl"), col("__carry")))
       .filter(col(minCol) === col("__mg") &&
         (col("__mh").isNull || col(minCol) < col("__mh")))
-      .drop("__mh", "__mg")
+      .select(cols.map(col): _*)
   }
 }

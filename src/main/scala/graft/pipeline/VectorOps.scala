@@ -708,10 +708,14 @@ object VectorOps {
     * replays bit-identically.
     */
   def dbscan(corpus: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minPts: Int, exactPairThreshold: Long = 100000L,
+      eps: Double, minPts: Int, exactPairThreshold: Long = 10000L,
       lshBits: Int = 4, lshProbes: Int = 24): DataFrame = {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val exact = c.count() <= exactPairThreshold
+    // Routing count only when the exact path is even on the table —
+    // threshold <= 0 forces LSH with no extra corpus pass. The default
+    // threshold keeps the quadratic broadcast path to ~5e7 pair checks
+    // (10k rows); past that the LSH stage wins decisively.
+    val exact = exactPairThreshold > 0L && c.count() <= exactPairThreshold
     val epsPred = (l: Column, r: Column) =>
       round(l2DistSq(l, r), 6) <= eps * eps
     val rawPairs =
@@ -726,7 +730,8 @@ object VectorOps {
           .join(c.toDF("b", "__vb"), "b")
           .filter(epsPred(col("__va"), col("__vb")))
           .select(col("a"), col("b"))
-    val pairs = rawPairs.localCheckpoint(true)
+    val cp = graft.operators.LoopCheckpoint.forLoop(corpus.sparkSession)
+    val pairs = cp(rawPairs)
     val und = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
     // neighbor counts (self included, as in classic DBSCAN)
     val degrees = und.groupBy(col("a").as("__id"))
@@ -735,7 +740,7 @@ object VectorOps {
       .join(degrees, Seq("__id"), "left")
       .select(col("__id"),
         (coalesce(col("__deg"), lit(1L)) >= minPts).as("__core"))
-      .localCheckpoint(true)
+      .localCheckpoint(true)  // consumed by the output join below
     val coreIds = core.filter(col("__core")).select(col("__id"))
     // components over the core-core subgraph
     val coreEdges = pairs

@@ -1736,7 +1736,11 @@ object Pipeline {
     * U+001F-wrapped symbol strings, and per merge round t: the exact
     * integer pair counts (p_t), the argmax pair under the total order
     * (count desc, left, right) (b_t), and the greedy merge applied via
-    * non-overlapping left-to-right `replace` (w_t). Every round CTE is
+    * non-overlapping left-to-right `replace` (w_t). The merge step
+    * LEFT-joins b_t so an exhausted round (no pair left anywhere)
+    * carries w forward unchanged — mirroring the engine's `exhausted`
+    * early-stop — instead of a cross join emptying every later round.
+    * Every round CTE is
     * MATERIALIZED — w_t is referenced twice (pair count + next round),
     * and plain CTE inlining would copy the subtree 2^k times. Yields
     * w0..w`k` and b1..b`k`. */
@@ -1770,9 +1774,11 @@ object Pipeline {
            |  SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
            |w$t AS MATERIALIZED (
            |  SELECT w.word, w.freq,
-           |    replace(w.w, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
-           |      chr(31)||b.l||b.r||chr(31)) AS w
-           |  FROM w${t - 1} w, b$t b),
+           |    CASE WHEN b.l IS NULL THEN w.w
+           |      ELSE replace(w.w,
+           |        chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+           |        chr(31)||b.l||b.r||chr(31)) END AS w
+           |  FROM w${t - 1} w LEFT JOIN b$t b ON true),
            |""".stripMargin
     }
     sb.setLength(sb.length - 2) // drop the trailing ",\n"

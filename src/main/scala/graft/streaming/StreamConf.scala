@@ -18,14 +18,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * knob, not a session default.
   *
   * Isolation model: each runner builds its sources AND starts its
-  * query on a private `newSession()` with the parent's runtime conf
-  * copied over ([[isolated]] — `cloneSession()` is `private[sql]`, so
-  * the copy is done explicitly), then the pins applied on top. The
-  * pinned conf lives only in the private session and the shared
-  * session conf is NEVER mutated — concurrent batch queries and
+  * query on a private `newSession()` that starts from DEFAULT runtime
+  * conf (`cloneSession()` is `private[sql]`), inheriting only an
+  * explicit ALLOWLIST of parent settings ([[InheritedConf]]: session
+  * timezone, ANSI mode, the state-store opt-in), then the pins applied
+  * on top. The pinned conf lives only in the private session and the
+  * shared session conf is NEVER mutated — concurrent batch queries and
   * concurrent stream starts cannot observe or clobber each other's
-  * settings, while runtime conf a caller set on its session (timezone,
-  * ANSI mode, ...) still applies inside the stream.
+  * settings, and a thread that TRANSIENTLY mutates shared-session conf
+  * cannot leak a setting outside the allowlist into a stream starting
+  * in that window (a full `getAll` snapshot could).
   * Because memory-sink tables are registered in the session that
   * starts the stream (the clone), [[publish]] drains the query and
   * re-registers the result under the same name in the parent session;
@@ -50,24 +52,35 @@ object StreamConf {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Parent runtime conf the isolated session intentionally inherits:
+    * result-shaping semantics a caller legitimately sets session-wide
+    * and expects inside the stream too. Everything else starts from
+    * defaults — in particular transient mutations of shared-session
+    * conf by concurrent threads cannot leak in. */
+  val InheritedConf: Seq[String] = Seq(
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    StateStoreKey)
+
   /** An isolated session with the stream's conf pinned. `newSession()`
     * shares the SparkContext and builder-level conf but starts from
-    * DEFAULT runtime conf, so the parent's modifiable runtime conf is
-    * copied over first (static/read-only entries skipped) — callers
-    * who set runtime conf on their session (timezone, ANSI mode) get
-    * it inside the stream too. Then the shuffle pin and state-store
-    * provider are applied on the new session only. `stateStore` is the
-    * explicit backend choice (`Some("rocksdb")` → RocksDB); when
-    * absent, the parent's `StateStoreKey` conf opt-in still applies
-    * (the library-level switch). Runners set any source-reading conf
-    * they need (e.g. nanos-as-long) on the returned session
-    * themselves. */
+    * DEFAULT runtime conf; only [[InheritedConf]] (timezone, ANSI
+    * mode, state-store opt-in) is copied from the parent — an
+    * allowlist, NOT a `getAll` snapshot, so nothing a concurrent
+    * thread transiently set on the shared session can ride along.
+    * Then the shuffle pin and state-store provider are applied on the
+    * new session only. `stateStore` is the explicit backend choice
+    * (`Some("rocksdb")` → RocksDB); when absent, the parent's
+    * `StateStoreKey` conf opt-in still applies (the library-level
+    * switch). Runners set any source-reading conf they need (e.g.
+    * nanos-as-long) on the returned session themselves. */
   def isolated(parent: SparkSession, n: Int = 8,
       stateStore: Option[String] = None): SparkSession = {
     val s = parent.newSession()
-    parent.conf.getAll.foreach { case (k, v) =>
-      if (s.conf.getOption(k) != Some(v) && s.conf.isModifiable(k))
-        s.conf.set(k, v)
+    InheritedConf.foreach { k =>
+      parent.conf.getOption(k).foreach { v =>
+        if (s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
+      }
     }
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     val backend =

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Reliable-checkpoint mode (`spark.graft.iterative.checkpoint =
+  * reliable`) must produce byte-identical results to the default
+  * local-checkpoint mode on the iterative loop operators — the output
+  * is a pure function of the input; only the fault-tolerance posture
+  * of the intermediate generations changes. */
+class LoopCheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withReliable[A](body: => A): A = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.conf.set(LoopCheckpoint.ModeKey, "reliable")
+    spark.conf.set(LoopCheckpoint.DirKey, dir)
+    spark.conf.set(LoopCheckpoint.EveryKey, "3")
+    try body
+    finally {
+      spark.conf.unset(LoopCheckpoint.ModeKey)
+      spark.conf.unset(LoopCheckpoint.DirKey)
+      spark.conf.unset(LoopCheckpoint.EveryKey)
+    }
+  }
+
+  // two rings + a chain: enough peel/propagation rounds that the loops
+  // cross several reliable-checkpoint cadence boundaries (every=3)
+  private lazy val edges = {
+    val ring1 = (0 until 12).map(i => (i.toLong, ((i + 1) % 12).toLong))
+    val ring2 = (20 until 28).map(i => (i.toLong, (if (i == 27) 20 else i + 1).toLong))
+    val chain = (40 until 52).map(i => (i.toLong, (i + 1).toLong))
+    (ring1 ++ ring2 ++ chain).map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.toDF("a", "b")
+  }
+
+  test("connected components: reliable == local") {
+    val base = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toSet
+    val rel = withReliable {
+      ConnectedComponents.components(edges)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(rel == base && base.nonEmpty)
+  }
+
+  test("k-core peeling: reliable == local") {
+    val base = KCore.kCore(edges, k = 2)
+      .as[(Long, Long)].collect().toSet
+    val rel = withReliable {
+      KCore.kCore(edges, k = 2).as[(Long, Long)].collect().toSet
+    }
+    // the chain peels away over several rounds; the rings survive
+    assert(rel == base && base.map(_._1) ==
+      ((0 until 12) ++ (20 until 28)).map(_.toLong).toSet)
+  }
+
+  test("pagerank: reliable == local (bit-exact)") {
+    val dedges = edges.select($"a".as("src"), $"b".as("dst"))
+    val base = PageRank.run(dedges, iterations = 7)
+      .as[(Long, Double)].collect().toMap
+    val rel = withReliable {
+      PageRank.run(dedges, iterations = 7)
+        .as[(Long, Double)].collect().toMap
+    }
+    assert(rel == base && base.nonEmpty)
+  }
+
+  test("missing checkpoint dir fails loudly; bad mode rejected") {
+    spark.conf.set(LoopCheckpoint.ModeKey, "reliable")
+    try {
+      // the shared context may carry a checkpoint dir from an earlier
+      // test in this JVM — only assert when it genuinely has none
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        assertThrows[IllegalStateException] {
+          LoopCheckpoint.forLoop(spark)
+        }
+      spark.conf.set(LoopCheckpoint.ModeKey, "bogus")
+      assertThrows[IllegalArgumentException] {
+        LoopCheckpoint.forLoop(spark)
+      }
+    } finally spark.conf.unset(LoopCheckpoint.ModeKey)
+  }
+}

@@ -34,6 +34,20 @@ class ModularitySpec extends AnyFunSuite {
     assert(row._6 == 0L)
   }
 
+  test("labeled isolated (degree-0) nodes count in n_members") {
+    // node 7 has a label but no edges: it must appear in community 1's
+    // member count with zero degree/intra contribution, and a whole
+    // community of isolates (label 9) must still emit a row.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L), (9L, 9L))
+      .toDF("node", "label")
+    val got = Modularity.perCommunity(edges, labels)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 6L, 3L, 3L, 0L)))
+    assert(got(9L) == ((9L, 1L, 0L, 0L, 3L, 0L)))
+  }
+
   test("community with zero intra edges gets the pure penalty term") {
     // bipartite: every edge crosses the two communities
     val edges = Seq((1L, 2L), (1L, 4L), (3L, 2L)).toDF("a", "b")

@@ -36,6 +36,23 @@ class SkylineSpec extends AnyFunSuite {
     assert(got.map(_._1) == Set(1L, 2L, 4L, 6L, 7L, 9L))
   }
 
+  test("multi-partition range scan == domination definition") {
+    // Wide max range + explicit partitions=8 forces real range
+    // partitions, exercising the cross-partition carry-in (a frontier
+    // row in a later partition must see minima from earlier ones).
+    val rng = new java.util.SplittableRandom(11L)
+    val rows = (1 to 3000).map(i =>
+      (i.toLong, rng.nextLong(1000).abs, rng.nextLong(1000).abs))
+    val df = rows.toDF("id", "mx", "mn").repartition(13)
+    val got = Skyline.pareto2D(df, "mx", "mn", partitions = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute(rows))
+    // the scan side really fans out (no single-task global sort)
+    val nParts = df.repartitionByRange(8,
+      org.apache.spark.sql.functions.col("mx").desc).rdd.getNumPartitions
+    assert(nParts == 8)
+  }
+
   test("random grids: window scan == domination definition") {
     val rng = new java.util.SplittableRandom(7L)
     for (trial <- 1 to 5) {
