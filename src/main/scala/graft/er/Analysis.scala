@@ -105,6 +105,45 @@ object Analysis {
             col("sum_row") * col("sum_col") / col("total")), 6).as("ari"))
   }
 
+  /** [[pairwiseMetrics]] + [[adjustedRandIndex]] fused into ONE pass:
+    * a single pred×truth join and one CUBE aggregation supply every
+    * contingency sum both metrics need — the cube's four groupings are
+    * exactly the cells (Σ C(n_ij,2)), the row margins (pred pairs), the
+    * column margins (true pairs), and the grand total. The ~10 stages
+    * of running the two metrics separately collapse to two shuffles.
+    * Same values as the separate forms (the sums are integer-exact)
+    * PROVIDED pred and truth cover the same record set and cluster ids
+    * are non-null — both true for chain evaluations, where pred assigns
+    * every record and truth is the full planted labeling. */
+  def clusteringMetrics(
+      pred: DataFrame, truth: DataFrame,
+      recordCol: String, clusterCol: String): DataFrame = {
+    val joined = pred
+      .select(col(recordCol).as("__r"), col(clusterCol).as("predId"))
+      .join(truth.select(col(recordCol).as("__r"),
+        col(clusterCol).as("trueId")), "__r")
+    val sums = joined.cube(col("predId"), col("trueId"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("g"))
+      .agg(
+        sum(when(col("g") === 0, comb2(col("n")))).as("tp"),
+        sum(when(col("g") === 1, comb2(col("n")))).as("pred_pairs"),
+        sum(when(col("g") === 2, comb2(col("n")))).as("true_pairs"),
+        max(when(col("g") === 3, comb2(col("n")))).as("total"))
+    sums.select(
+      round(when(col("pred_pairs") > 0, col("tp") / col("pred_pairs"))
+        .otherwise(0.0), 6).as("precision"),
+      round(when(col("true_pairs") > 0, col("tp") / col("true_pairs"))
+        .otherwise(0.0), 6).as("recall"),
+      round(when(col("pred_pairs") + col("true_pairs") > 0,
+        lit(2.0) * col("tp") / (col("pred_pairs") + col("true_pairs")))
+        .otherwise(0.0), 6).as("f1"),
+      round(
+        (col("tp") - col("pred_pairs") * col("true_pairs") / col("total")) /
+          ((col("pred_pairs") + col("true_pairs")) / lit(2.0) -
+            col("pred_pairs") * col("true_pairs") / col("total")), 6)
+        .as("ari"))
+  }
+
   // --- posterior-summary queries over the sample chain -------------------
 
   /** G3: one row per (iteration, cluster), cluster as a sorted array. */
@@ -117,11 +156,15 @@ object Analysis {
   /** A2→A3→A4: the flagship posterior query — shared most-probable
     * clusters (LinkageChain.scala:52-95). For each record, its most
     * frequent cluster across samples; records grouped by that cluster. */
-  def sharedMostProbableClusters(chain: Dataset[LinkageSample]): DataFrame = {
-    val spark = chain.sparkSession
-    val numSamples = chain.toDF().select(countDistinct(col("iteration")))
-      .head().getLong(0).toDouble
+  def sharedMostProbableClusters(chain: Dataset[LinkageSample]): DataFrame =
+    sharedMostProbableClusters(chain,
+      chain.toDF().select(countDistinct(col("iteration")))
+        .head().getLong(0).toDouble)
 
+  /** As above with the sample count supplied by the caller (the sampler
+    * knows it) — skips the counting pass over the chain. */
+  def sharedMostProbableClusters(chain: Dataset[LinkageSample],
+      numSamples: Double): DataFrame = {
     val freq = explodeChain(chain)
       .groupBy(col("cluster"))
       .agg((count(lit(1)) / lit(numSamples)).as("freq"))

@@ -187,13 +187,69 @@ object AttributeIndex {
 
     val (nbrs, sims) = spec.similarity match {
       case lev: LevenshteinSimilarity =>
-        buildNeighbors(spark, values, lev)
+        // the distributed length-blocked self-join earns its shuffle
+        // only on big domains; small dictionaries (the common case for
+        // matching attributes) compare on the driver with the IDENTICAL
+        // codegen kernel — same sims to the bit, several jobs fewer
+        if (n <= localNeighborBuildMax) buildNeighborsLocal(values, lev)
+        else buildNeighbors(spark, values, lev)
       case _ =>
         (Array.fill(n)(Array.empty[Int]), Array.fill(n)(Array.empty[Double]))
     }
 
     new AttributeIndex(attrId, spec.name, spec.similarity, spec.distortionPrior,
       values, counts, nbrs, sims)
+  }
+
+  /** Domains at or below this size build the similarity neighborhood on
+    * the driver (≤ ~8M candidate pairs before the length prune) — past
+    * it, the distributed length-blocked self-join takes over. */
+  private val localNeighborBuildMax = 4096
+
+  /** Driver-local neighbor build for small dictionaries: same length-gap
+    * prune as the distributed join (pairs wider than
+    * `maxLengthGap(shorter)` are provably sub-threshold), same codegen
+    * similarity kernel ([[graft.functions.LevenshteinSim.sim]]), so the
+    * result is bit-identical to [[buildNeighbors]] — only the job count
+    * changes (zero). */
+  private def buildNeighborsLocal(
+      values: Array[String],
+      lev: LevenshteinSimilarity): (Array[Array[Int]], Array[Array[Double]]) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = values.length
+    val utf8 = values.map(UTF8String.fromString)
+    val nbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+    var i = 0
+    while (i < n) {
+      val li = values(i).length
+      var j = i + 1
+      while (j < n) {
+        val lj = values(j).length
+        val shorter = math.min(li, lj)
+        val gap = lev.maxLengthGap(shorter)
+        if (math.abs(li - lj) <= math.min(gap, 64)) {
+          val s = graft.functions.LevenshteinSim.sim(
+            utf8(i), utf8(j), lev.threshold, lev.maxSimilarity)
+          if (s > 0.0) {
+            val e = math.exp(s)
+            nbrs(i) += ((j, e))
+            nbrs(j) += ((i, e))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val outN = new Array[Array[Int]](n)
+    val outS = new Array[Array[Double]](n)
+    i = 0
+    while (i < n) {
+      val sorted = nbrs(i).sortBy(_._1).toArray
+      outN(i) = sorted.map(_._1)
+      outS(i) = sorted.map(_._2)
+      i += 1
+    }
+    (outN, outS)
   }
 
   private def buildNeighbors(
@@ -283,40 +339,40 @@ object ModelIndex {
       specs: Seq[AttributeSpec]): ModelIndex = {
     import spark.implicits._
 
-    val statsAggs = count(lit(1)).as("n_rows") +:
-      specs.map(s => count(col(s.name)).as(s"obs_${s.name}"))
-    val stats = records.groupBy(col(fileIdCol).as("f"))
-      .agg(statsAggs.head, statsAggs.tail: _*)
-      .collect()
-
-    val fileSizes = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val observed = stats.flatMap { r =>
-      specs.zipWithIndex.map { case (s, i) =>
-        (i, r.getString(0)) -> r.getLong(2 + i)
-      }
-    }.toMap
-
-    // all dictionaries in one melt + grouped count (single shuffle),
-    // instead of one groupBy/collect job per attribute
-    val grouped = records
-      .select(posexplode(array(
-        specs.map(s => col(s.name).cast("string")): _*)).as(Seq("aid", "v")))
-      .filter(col("v").isNotNull)
-      .groupBy(col("aid"), col("v"))
+    // ONE pass over the input: melt to (aid, value, file) counted rows,
+    // nulls KEPT (posexplode emits null array elements) so file sizes
+    // and per-(attribute, file) observed counts fall out of the same
+    // aggregate the dictionaries come from — no separate stats pass.
+    val melted = records
+      .select(col(fileIdCol).cast("string").as("f"),
+        posexplode(array(
+          specs.map(s => col(s.name).cast("string")): _*)).as(Seq("aid", "v")))
+      .groupBy(col("aid"), col("v"), col("f"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-attribute domain sizes BEFORE collecting the dictionaries —
     // an oversized (free-text) attribute fails with a diagnostic while
     // the data is still distributed
-    grouped.groupBy(col("aid")).agg(count(lit(1)).as("n"))
+    melted.filter(col("v").isNotNull)
+      .groupBy(col("aid")).agg(countDistinct(col("v")).as("n"))
       .as[(Int, Long)].collect()
       .foreach { case (aid, n) =>
         AttributeIndex.requireDomainFits(specs(aid).name, n)
       }
-    val melted = grouped.as[(Int, String, Long)].collect()
-    val byAttr = melted.groupBy(_._1)
+    val rows = melted.as[(Int, String, String, Long)].collect()
+    melted.unpersist(blocking = false)
+
+    // attribute 0's rows cover every record once (null or not) → file sizes
+    val fileSizes = rows.filter(_._1 == 0).groupBy(_._3)
+      .map { case (f, rs) => f -> rs.map(_._4).sum }
+    val observed = rows.filter(_._2 != null)
+      .groupBy(r => (r._1, r._3))
+      .map { case (k, rs) => k -> rs.map(_._4).sum }
+    val byAttr = rows.filter(_._2 != null).groupBy(_._1)
     val attrs = specs.zipWithIndex.map { case (s, i) =>
-      AttributeIndex.fromCounts(spark,
-        byAttr.getOrElse(i, Array.empty).map(t => (t._2, t._3)), i, s)
+      val counted = byAttr.getOrElse(i, Array.empty[(Int, String, String, Long)])
+        .groupBy(_._2).map { case (v, rs) => (v, rs.map(_._4).sum) }.toArray
+      AttributeIndex.fromCounts(spark, counted, i, s)
     }.toIndexedSeq
 
     new ModelIndex(attrs, fileSizes, observed, fileSizes.values.sum)

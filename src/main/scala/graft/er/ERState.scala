@@ -57,7 +57,11 @@ final class ERState private (
     * the reference cadence; larger blocks amortize shuffle + scheduling
     * cost k-fold at the price of k-sweep-stale entity placement and θ
     * (see GibbsKernel.sweepMany). */
-  def step(innerSweeps: Int = 1): ERState = {
+  /** `retainClusters` keeps THIS state's cluster cache alive after the
+    * transition (the sampler retains just-sampled states so linkage
+    * samples stay lazy projections over cache instead of needing an
+    * eager checkpoint job each; see Sampler.run). */
+  def step(innerSweeps: Int = 1, retainClusters: Boolean = false): ERState = {
     require(innerSweeps >= 1)
     val it = iteration + innerSweeps
     val driverRng = new SplittableRandom(Rng.seedFor(baseSeed, it, -1L))
@@ -79,7 +83,7 @@ final class ERState private (
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val newSummary = ERState.summarize(next, index, newTheta)
-    clusters.unpersist(blocking = false)
+    if (!retainClusters) clusters.unpersist(blocking = false)
 
     new ERState(spark, index, partitioner, next, newTheta, it, baseSeed,
       samplerKind, newSummary)

@@ -149,13 +149,18 @@ object GibbsKernel {
       kind: SamplerKind): Unit = {
     val nA = index.numAttributes
     val inv = if (kind == Gibbs) buildInvertedIndex(st, nA) else null
+    val scratch = kind match {
+      case PCG1 | PCG2 => new CollapsedScratch(st, index)
+      case _ => null
+    }
     var r = 0
     while (r < st.records.length) {
       val rec = st.records(r)
       val (cands, weights) = kind match {
         case Gibbs => indexedAssignmentWeights(st, inv, index, rec)
         case GibbsSequential => sequentialAssignmentWeights(st, index, rec)
-        case PCG1 | PCG2 => collapsedAssignmentWeights(st, index, theta, rec)
+        case PCG1 | PCG2 =>
+          collapsedAssignmentWeightsFast(st, index, theta, rec, scratch)
       }
       val pick = cands(sampleCategorical(weights, rng))
       val prev = st.assign(r)
@@ -260,33 +265,167 @@ object GibbsKernel {
 
   /** Partially-collapsed variant: distortions integrated out, weight over
     * every entity in the partition via the per-attribute mixture
-    * (1-θ)·1{x=y} + θ·ψ(x|y). */
+    * (1-θ)·1{x=y} + θ·ψ(x|y). Direct O(entities × attrs) scan — the
+    * reference formulation, kept as the memoized fast path's oracle
+    * (spec asserts fast ≡ direct); the sweep itself uses
+    * [[collapsedAssignmentWeightsFast]]. */
   private[er] def collapsedAssignmentWeights(
       st: PartitionState,
       index: ModelIndex,
       theta: DistortionProbs,
       rec: StateRecord): (Array[Int], Array[Double]) = {
-    val nA = index.numAttributes
     val cands = Array.tabulate(st.entities.length)(identity)
     val weights = new Array[Double](cands.length)
     var e = 0
     while (e < cands.length) {
-      val vals = st.entities(e)
-      var w = 1.0
-      var a = 0
-      while (a < nA) {
-        val x = rec.values(a)
-        if (x != MissingValue) {
-          val attr = index.attributes(a)
-          val th = theta(a, rec.fileId)
-          val y = vals(a)
-          val hit = if (x == y) 1.0 - th else 0.0
-          w *= hit + th * attr.distortionProb(x, y)
-        }
-        a += 1
-      }
-      weights(e) = w
+      weights(e) = directCollapsedWeight(st.entities(e), index, theta, rec)
       e += 1
+    }
+    (cands, weights)
+  }
+
+  /** One entity's exact collapsed weight (the direct mixture product). */
+  @inline private def directCollapsedWeight(
+      vals: Array[Int], index: ModelIndex, theta: DistortionProbs,
+      rec: StateRecord): Double = {
+    val nA = index.numAttributes
+    var w = 1.0
+    var a = 0
+    while (a < nA) {
+      val x = rec.values(a)
+      if (x != MissingValue) {
+        val attr = index.attributes(a)
+        val th = theta(a, rec.fileId)
+        val y = vals(a)
+        val hit = if (x == y) 1.0 - th else 0.0
+        w *= hit + th * attr.distortionProb(x, y)
+      }
+      a += 1
+    }
+    w
+  }
+
+  /** Per-assignment-phase scratch for the collapsed (PCG) scan. Entity
+    * VALUES are fixed during the assignment phase (only links move), so
+    * two structures amortize across all records of the sweep:
+    * the (attr, value) → entities inverted index, and per observed-
+    * attribute-mask arrays of the entity-side default factor
+    * Π_{a∈mask} 1/z(y_ea). With those, a record's weight over every
+    * entity is one multiply — except entities whose value equals x_a or
+    * lies in x_a's similarity neighborhood on some observed attribute
+    * (exactly the inverted-index postings), which get the direct exact
+    * recompute. Off-neighborhood expSim is EXACTLY 1.0, so the default
+    * factorization drops no term; the only difference from the direct
+    * scan is float association order (≪1e-12 relative, spec-pinned).
+    * Cuts the collapsed sweep from O(records·entities·attrs) index
+    * probes to O(records·entities) multiplies + O(neighborhood)
+    * corrections — the constant-factor memoization of the per-(attr,
+    * value) mixture terms. */
+  private[er] final class CollapsedScratch(
+      st: PartitionState, index: ModelIndex) {
+    require(index.numAttributes <= 63, "observed-mask packs into a Long")
+    val inv: java.util.HashMap[Long, ArrayBuffer[Int]] =
+      buildInvertedIndex(st, index.numAttributes)
+    private val byMask = new java.util.HashMap[java.lang.Long, Array[Double]]()
+    // per-record output buffers, reused across the phase (single-
+    // threaded per partition): at 10k entities a fresh pair of arrays
+    // per record is ~100 MB of allocation per sweep for nothing
+    private[GibbsKernel] val candsBuf: Array[Int] =
+      Array.tabulate(st.entities.length)(identity)
+    private[GibbsKernel] val weightsBuf: Array[Double] =
+      new Array[Double](st.entities.length)
+
+    /** Π_{a∈mask} 1/simNorms_a(y_ea) for every entity; built on first
+      * use of each observed-attribute mask (a handful of masks per
+      * dataset — one per missingness pattern). */
+    def defaults(mask: Long): Array[Double] = {
+      var arr = byMask.get(mask)
+      if (arr == null) {
+        val nA = index.numAttributes
+        arr = new Array[Double](st.entities.length)
+        var e = 0
+        while (e < st.entities.length) {
+          val vals = st.entities(e)
+          var p = 1.0
+          var a = 0
+          while (a < nA) {
+            if ((mask & (1L << a)) != 0L)
+              p *= 1.0 / index.attributes(a).simNorms(vals(a))
+            a += 1
+          }
+          arr(e) = p
+          e += 1
+        }
+        byMask.put(mask, arr)
+      }
+      arr
+    }
+  }
+
+  /** Memoized collapsed assignment weights — same candidates (every
+    * entity) and the same mixture as [[collapsedAssignmentWeights]],
+    * computed as broadcast-default × per-(attr, value) ratio patches.
+    * A record's mixture term differs from the default factor
+    * θ·φ(x)/z(y) ONLY at y ∈ {x} ∪ N(x); those y are exactly the
+    * inverted-index postings, and because the per-attribute factors
+    * multiply independently, each posting applies ONE ratio multiply
+    * per member entity — the ratio is computed once per (attr, value)
+    * per record, never per entity. NOTE: the returned arrays are
+    * scratch buffers, valid until the next call. */
+  private[er] def collapsedAssignmentWeightsFast(
+      st: PartitionState,
+      index: ModelIndex,
+      theta: DistortionProbs,
+      rec: StateRecord,
+      scratch: CollapsedScratch): (Array[Int], Array[Double]) = {
+    val nA = index.numAttributes
+    val nE = st.entities.length
+    val cands = scratch.candsBuf
+    val weights = scratch.weightsBuf
+    // record-side constant Π_{a obs} θ_a·φ_a(x_a) and the observed mask
+    var cRec = 1.0
+    var mask = 0L
+    var a = 0
+    while (a < nA) {
+      val x = rec.values(a)
+      if (x != MissingValue) {
+        mask |= 1L << a
+        cRec *= theta(a, rec.fileId) * index.attributes(a).probs(x)
+      }
+      a += 1
+    }
+    if (mask == 0L) { // nothing observed: flat weights
+      java.util.Arrays.fill(weights, 1.0)
+      return (cands, weights)
+    }
+    val defs = scratch.defaults(mask)
+    var e = 0
+    while (e < nE) { weights(e) = cRec * defs(e); e += 1 }
+    a = 0
+    while (a < nA) {
+      val x = rec.values(a)
+      if (x != MissingValue) {
+        val attr = index.attributes(a)
+        val th = theta(a, rec.fileId)
+        val px = attr.probs(x)
+        // one ratio per special value v: true term / default term
+        @inline def patch(v: Int, expSim: Double, hit: Double): Unit = {
+          val lst = scratch.inv.get(postingKey(a, v))
+          if (lst != null) {
+            val dDef = th * (px / attr.simNorms(v))
+            val dTrue = hit + th * (px * expSim / attr.simNorms(v))
+            val ratio = dTrue / dDef
+            var i = 0
+            while (i < lst.length) { weights(lst(i)) *= ratio; i += 1 }
+          }
+        }
+        patch(x, math.exp(attr.similarity.maxSimilarity), 1.0 - th)
+        val ns = attr.neighbors(x)
+        val es = attr.neighborExpSims(x)
+        var i = 0
+        while (i < ns.length) { patch(ns(i), es(i), 0.0); i += 1 }
+      }
+      a += 1
     }
     (cands, weights)
   }

@@ -49,6 +49,12 @@ object Sampler {
     var diags = Vector.empty[Diagnostics]
     var buffered = Vector.empty[Dataset[LinkageSample]]
     var collected = Vector.empty[Dataset[LinkageSample]]
+    // cluster caches backing the lazy samples in `buffered`: released
+    // once a parquet flush has materialized them; the in-memory chain
+    // keeps them (its samples stay lazy projections over cache, exactly
+    // the footprint eager checkpoints had — the caller's cleanup
+    // releases everything)
+    var retained = Vector.empty[Dataset[graft.er.model.EntityCluster]]
 
     def flush(): Unit = {
       if (buffered.nonEmpty) {
@@ -56,6 +62,8 @@ object Sampler {
         chainPath match {
           case Some(p) =>
             batch.write.mode(SaveMode.Append).partitionBy("partitionId").parquet(p)
+            retained.foreach(_.unpersist(blocking = false))
+            retained = Vector.empty
           case None =>
             collected :+= batch
         }
@@ -65,20 +73,26 @@ object Sampler {
 
     var sweep = 0
     var lastCheckpoint = 0
+    var justSampled = false
     while (sweep < numSweeps) {
       val k = math.min(sweepsPerJob, numSweeps - sweep)
-      state = state.step(k)
+      // a just-sampled state's cluster cache must outlive the step that
+      // supersedes it — its linkage sample reads it lazily
+      state = state.step(k, retainClusters = justSampled)
+      justSampled = false
       sweep += k
       if (sweep - lastCheckpoint >= checkpointEvery) {
         state = state.checkpointed()
         lastCheckpoint = sweep
       }
       if (sweep > burnIn && (sweep - burnIn) % thin == 0) {
-        // Materialize the sample now (eager localCheckpoint): the state it
-        // reads is about to be unpersisted by the next step, and keeping
-        // samples lazy would both recompute sweeps at flush time and grow
-        // the union plan without bound.
-        buffered :+= state.linkageSample().localCheckpoint(true)
+        // The sample stays LAZY over this state's persisted clusters (no
+        // per-sample checkpoint job); the state is retained until the
+        // sample is materialized (parquet flush) or handed to the caller
+        // (in-memory chain).
+        buffered :+= state.linkageSample()
+        retained :+= state.clusters
+        justSampled = true
         if (buffered.size >= writeBufferSize) flush()
         val s = state.summary
         diags :+= Diagnostics(state.iteration, System.currentTimeMillis() - t0,

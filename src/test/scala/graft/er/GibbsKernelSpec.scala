@@ -231,4 +231,40 @@ class GibbsKernelSpec extends AnyFunSuite {
   private def mkModel(idx: AttributeIndex): ModelIndex =
     new ModelIndex(IndexedSeq(idx), Map("0" -> 10L),
       Map((0, "0") -> 10L), 10L)
+
+  test("memoized collapsed weights == direct scan (randomized states)") {
+    val idx = levIndex
+    val model = mkModel(idx)
+    val theta = DistortionProbs(Map((0, "0") -> 0.23))
+    val rng = new SplittableRandom(17L)
+    (1 to 20).foreach { trial =>
+      val nE = 1 + rng.nextInt(12)
+      val entities = ArrayBuffer.tabulate(nE)(_ =>
+        Array(rng.nextInt(idx.domainSize)))
+      // records: random values, occasional missing
+      val recs = Array.tabulate(6) { i =>
+        val v = if (rng.nextInt(5) == 0) MissingValue
+          else rng.nextInt(idx.domainSize)
+        StateRecord(s"r$i", "0", Array(v), Array(rng.nextBoolean()))
+      }
+      val st = new GibbsKernel.PartitionState(entities, recs,
+        Array.fill(recs.length)(0),
+        ArrayBuffer.tabulate(nE)(e =>
+          if (e == 0) ArrayBuffer.tabulate(recs.length)(identity)
+          else ArrayBuffer.empty[Int]))
+      val scratch = new GibbsKernel.CollapsedScratch(st, model)
+      recs.foreach { rec =>
+        val (cd, wd) =
+          GibbsKernel.collapsedAssignmentWeights(st, model, theta, rec)
+        val (cf, wf) = GibbsKernel.collapsedAssignmentWeightsFast(
+          st, model, theta, rec, scratch)
+        assert(cd.toSeq == cf.toSeq, s"trial $trial cands")
+        cd.indices.foreach { e =>
+          assert(math.abs(wd(e) - wf(e)) <=
+            1e-12 * math.max(1.0, math.abs(wd(e))),
+            s"trial $trial entity $e: direct ${wd(e)} fast ${wf(e)}")
+        }
+      }
+    }
+  }
 }

@@ -16,10 +16,9 @@ import java.nio.file.{Files, Paths}
   *
   * Run: sbt "Test/runMain graft.er.RLdata10000Parity [samples]" —
   * `samples` (default 30, i.e. 300 sweeps at thin 10) overrides the
-  * conf's sampleSize: the reference's canonical 1000 sweeps under the
-  * conf's PCG-I collapsed sampler costs hours at 10k records on this
-  * box, and the repo's blocked-sweep mixing study (BASELINE.md) shows
-  * pairwise F1 on this workload converges by sweep 300.
+  * conf's sampleSize; pass 100 for the conf's canonical 1000 sweeps
+  * (~4 min since the round-11 collapsed-scan memoization — 0.236
+  * s/sweep, see BASELINE.md).
   */
 object RLdata10000Parity {
   def main(args: Array[String]): Unit = {
