@@ -90,9 +90,20 @@ final class ERState private (
   }
 
   /** Truncate the iterative plan's lineage (reference: periodic RDD
-    * checkpoint every 20 sweeps, Sampler.scala:56). */
+    * checkpoint every 20 sweeps, Sampler.scala:56). Honors the
+    * session's `spark.graft.iterative.checkpoint` policy: `local`
+    * (default) is the fast executor-block truncation; `reliable`
+    * writes the state to the checkpoint dir so a days-long chain on a
+    * real cluster survives executor loss — the reference's
+    * PeriodicRDDCheckpointer posture. The sampler's `checkpointEvery`
+    * supplies the cadence, so this is a plain one-shot cut. */
   def checkpointed(): ERState = {
-    val cp = clusters.localCheckpoint(eager = true)
+    val cp =
+      if (graft.operators.LoopCheckpoint.reliableMode(spark)) {
+        graft.operators.LoopCheckpoint.ensureCheckpointDir(spark)
+        clusters.checkpoint(eager = true)
+      } else clusters.localCheckpoint(eager = true)
+    clusters.unpersist(blocking = false)
     new ERState(spark, index, partitioner, cp, theta, iteration, baseSeed,
       samplerKind, summary)
   }

@@ -43,32 +43,41 @@ object LoopCheckpoint {
   val DirKey = "spark.graft.iterative.checkpointDir"
   val EveryKey = "spark.graft.iterative.checkpointEvery"
 
+  /** Is the session opted into reliable truncation? Throws on an
+    * unrecognized mode value rather than silently running local. */
+  def reliableMode(spark: SparkSession): Boolean =
+    spark.conf.getOption(ModeKey).map(_.trim.toLowerCase) match {
+      case Some("reliable") => true
+      case Some("local") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$ModeKey must be 'local' or 'reliable', got '$other'")
+    }
+
+  /** Point the SparkContext at the configured checkpoint dir (or fail
+    * loudly if reliable mode has nowhere to write). Call before the
+    * first `Dataset.checkpoint`. */
+  def ensureCheckpointDir(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    spark.conf.getOption(DirKey) match {
+      case Some(dir) if !sc.getCheckpointDir.contains(dir) =>
+        sc.setCheckpointDir(dir)
+      case None if sc.getCheckpointDir.isEmpty =>
+        throw new IllegalStateException(
+          s"$ModeKey=reliable needs a checkpoint dir: set $DirKey " +
+            "or SparkContext.setCheckpointDir")
+      case _ => ()
+    }
+  }
+
   /** A per-loop truncator: call once per generation in place of
     * `localCheckpoint(true)`. Instantiate ONE per loop invocation (it
     * counts generations and tracks persists to release). */
   def forLoop(spark: SparkSession): Truncator = {
-    val reliable =
-      spark.conf.getOption(ModeKey).map(_.trim.toLowerCase) match {
-        case Some("reliable") => true
-        case Some("local") | None => false
-        case Some(other) => throw new IllegalArgumentException(
-          s"$ModeKey must be 'local' or 'reliable', got '$other'")
-      }
+    val reliable = reliableMode(spark)
     val every =
       spark.conf.getOption(EveryKey).map(_.toInt).getOrElse(5)
     require(every >= 1, s"$EveryKey must be >= 1")
-    if (reliable) {
-      val sc = spark.sparkContext
-      spark.conf.getOption(DirKey) match {
-        case Some(dir) if !sc.getCheckpointDir.contains(dir) =>
-          sc.setCheckpointDir(dir)
-        case None if sc.getCheckpointDir.isEmpty =>
-          throw new IllegalStateException(
-            s"$ModeKey=reliable needs a checkpoint dir: set $DirKey " +
-              "or SparkContext.setCheckpointDir")
-        case _ => ()
-      }
-    }
+    if (reliable) ensureCheckpointDir(spark)
     new Truncator(reliable, every)
   }
 

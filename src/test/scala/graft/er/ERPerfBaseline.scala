@@ -1,7 +1,9 @@
 package graft.er
 
 // Measures the RLdata500/RLdata10000-equivalent sampler throughput for
-// BASELINE.md. sbt "Test/runMain graft.er.ERPerfBaseline"
+// BASELINE.md. sbt "Test/runMain graft.er.ERPerfBaseline [big|huge] [pcg]"
+// — `pcg` switches to the PCG-I collapsed sampler (the reference's
+// conf default), exercising the memoized collapsed scan at scale.
 object ERPerfBaseline {
   import graft.core.{ConstantSimilarity, LevenshteinSimilarity}
   import graft.er.model._
@@ -52,6 +54,8 @@ object ERPerfBaseline {
       AttributeSpec("bm", ConstantSimilarity, prior),
       AttributeSpec("bd", ConstantSimilarity, prior))
 
+    val kind =
+      if (args.contains("pcg")) GibbsKernel.PCG1 else GibbsKernel.Gibbs
     val workloads =
       if (args.contains("huge")) Seq((910000, 3, 5))     // ~1M records, 32 parts
       else if (args.contains("big")) Seq((91000, 10, 3)) // ~100k records, 8 parts
@@ -63,7 +67,7 @@ object ERPerfBaseline {
       val init = ERState.initialize(spark, df, "rec_id", None, specs,
         idx => if (parts == 0) SinglePartition
                else KDTreePartitioner.fit(idx, Seq(0), parts),
-        seed = 319158L)
+        seed = 319158L, samplerKind = kind)
       val tInit = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       var st = init
@@ -76,7 +80,7 @@ object ERPerfBaseline {
       val tSweeps = (System.nanoTime() - t1) / 1e9
       // the first sweep pays one-time costs (codegen, shuffle setup);
       // report the min alongside the mean so run-to-run noise is visible
-      println(f"[perf] records=$n partitions=${1 << parts} init=${tInit}%.1fs " +
+      println(f"[perf] kind=$kind records=$n partitions=${1 << parts} init=${tInit}%.1fs " +
         f"sweeps=$sweeps total=${tSweeps}%.1fs perSweep=${tSweeps / sweeps}%.3fs " +
         f"minSweep=${perSweep.min}%.3fs " +
         f"each=[${perSweep.map(t => f"$t%.2f").mkString(",")}] " +

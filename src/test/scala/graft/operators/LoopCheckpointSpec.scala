@@ -70,6 +70,31 @@ class LoopCheckpointSpec extends AnyFunSuite {
     assert(rel == base && base.nonEmpty)
   }
 
+  test("MCMC sampler chain: reliable checkpoint == local (bit-exact)") {
+    import graft.er._
+    import graft.er.model._
+    val rows = Seq(
+      ("r1", "ANNA", "1960"), ("r2", "ANNA", "1960"), ("r3", "ANNE", "1960"),
+      ("r4", "BOB", "1971"), ("r5", "BOB", "1971"), ("r6", "CARL", "1980"),
+      ("r7", "DORA", "1955"), ("r8", "DORA", "1955"), ("r9", "ERWIN", "1944"))
+      .toDF("rid", "name", "by")
+    val specs = Seq(
+      AttributeSpec("name",
+        graft.core.LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+      AttributeSpec("by", graft.core.ConstantSimilarity, BetaParams(0.5, 50.0)))
+    def chain(): Seq[(Long, Double)] = {
+      val init = ERState.initialize(spark, rows, "rid", None, specs,
+        _ => SinglePartition, seed = 7L)
+      // checkpointEvery=2 forces several ERState.checkpointed() cuts
+      val res = Sampler.run(init, numSweeps = 8, burnIn = 2, thin = 2,
+        checkpointEvery = 2)
+      res.diagnostics.map(d => (d.iteration, d.logLikelihood))
+    }
+    val base = chain()
+    val rel = withReliable { chain() }
+    assert(rel == base && base.size == 3)
+  }
+
   test("missing checkpoint dir fails loudly; bad mode rejected") {
     spark.conf.set(LoopCheckpoint.ModeKey, "reliable")
     try {
