@@ -212,7 +212,7 @@ object AttributeIndex {
     * similarity kernel ([[graft.functions.LevenshteinSim.sim]]), so the
     * result is bit-identical to [[buildNeighbors]] — only the job count
     * changes (zero). */
-  private def buildNeighborsLocal(
+  private[er] def buildNeighborsLocal(
       values: Array[String],
       lev: LevenshteinSimilarity): (Array[Array[Int]], Array[Array[Double]]) = {
     import org.apache.spark.unsafe.types.UTF8String
@@ -252,7 +252,7 @@ object AttributeIndex {
     (outN, outS)
   }
 
-  private def buildNeighbors(
+  private[er] def buildNeighbors(
       spark: SparkSession,
       values: Array[String],
       lev: LevenshteinSimilarity): (Array[Array[Int]], Array[Array[Double]]) = {
@@ -280,11 +280,19 @@ object AttributeIndex {
     val b = vals.select(col("vid").as("vidb"), col("value").as("vb"),
       col("len").as("lenb"))
 
+    // Join on the partner's exact length; only the SHORTER side can emit
+    // the matching candidate length, so a cross-length pair arrives in
+    // exactly one orientation — an id-order filter here would silently
+    // drop pairs whose shorter value has the larger id. Dedup is instead
+    // by canonicalizing after the fact: equal-length pairs (the only
+    // ones that arrive twice) collapse under least/greatest + distinct.
     val pairs = a.join(b, col("candLen") === col("lenb"))
-      .filter(col("vida") < col("vidb"))
+      .filter(col("vida") =!= col("vidb"))
       .withColumn("sim", simExpr(col("va"), col("vb")))
       .filter(col("sim") > 0.0)
-      .select(col("vida"), col("vidb"), col("sim"))
+      .select(least(col("vida"), col("vidb")).as("x"),
+        greatest(col("vida"), col("vidb")).as("y"), col("sim"))
+      .distinct()
       .as[(Int, Int, Double)]
       .collect()
 

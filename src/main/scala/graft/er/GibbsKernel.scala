@@ -149,8 +149,10 @@ object GibbsKernel {
       kind: SamplerKind): Unit = {
     val nA = index.numAttributes
     val inv = if (kind == Gibbs) buildInvertedIndex(st, nA) else null
+    // the memoized scan packs the observed-attribute mask into a Long;
+    // wider schemas (rare) keep the direct scan rather than failing
     val scratch = kind match {
-      case PCG1 | PCG2 => new CollapsedScratch(st, index)
+      case (PCG1 | PCG2) if nA <= 63 => new CollapsedScratch(st, index)
       case _ => null
     }
     var r = 0
@@ -160,7 +162,9 @@ object GibbsKernel {
         case Gibbs => indexedAssignmentWeights(st, inv, index, rec)
         case GibbsSequential => sequentialAssignmentWeights(st, index, rec)
         case PCG1 | PCG2 =>
-          collapsedAssignmentWeightsFast(st, index, theta, rec, scratch)
+          if (scratch != null)
+            collapsedAssignmentWeightsFast(st, index, theta, rec, scratch)
+          else collapsedAssignmentWeights(st, index, theta, rec)
       }
       val pick = cands(sampleCategorical(weights, rng))
       val prev = st.assign(r)

@@ -55,15 +55,34 @@ object Sampler {
     // the footprint eager checkpoints had — the caller's cleanup
     // releases everything)
     var retained = Vector.empty[Dataset[graft.er.model.EntityCluster]]
+    // durable checkpoint files superseded by a newer cut but possibly
+    // still referenced by a retained lazy sample: deleted at the flush
+    // that materializes those samples (in-memory chains keep them — the
+    // caller still holds live references)
+    var supersededCheckpoints = Vector.empty[String]
+    val sparkForCleanup = init.spark
 
-    def flush(): Unit = {
+    def dropSuperseded(): Unit = {
+      supersededCheckpoints.foreach(
+        graft.operators.LoopCheckpoint.deleteCheckpointFile(sparkForCleanup, _))
+      supersededCheckpoints = Vector.empty
+    }
+
+    // `current` = the live state's clusters: a flush triggered right
+    // after sampling must NOT unpersist them — the next step reads them,
+    // and an evicted live state would recompute every sweep since the
+    // last checkpoint cut
+    def flush(current: Dataset[graft.er.model.EntityCluster]): Unit = {
       if (buffered.nonEmpty) {
         val batch = buffered.reduce(_ unionAll _)
         chainPath match {
           case Some(p) =>
             batch.write.mode(SaveMode.Append).partitionBy("partitionId").parquet(p)
-            retained.foreach(_.unpersist(blocking = false))
-            retained = Vector.empty
+            retained.filter(_ ne current).foreach(_.unpersist(blocking = false))
+            retained = retained.filter(_ eq current)
+            // the just-written samples were the last readers of any
+            // superseded durable cut — its files can go now
+            dropSuperseded()
           case None =>
             collected :+= batch
         }
@@ -82,8 +101,16 @@ object Sampler {
       justSampled = false
       sweep += k
       if (sweep - lastCheckpoint >= checkpointEvery) {
+        // files of the cut this new one supersedes: deletable once no
+        // retained lazy sample can read them (next flush), and only
+        // when writing to a durable chain (in-memory samples keep
+        // referencing them through their cluster caches' lineage)
+        val prevCutFiles =
+          if (chainPath.isDefined) state.reliableCheckpointFiles else Nil
         state = state.checkpointed()
         lastCheckpoint = sweep
+        supersededCheckpoints ++= prevCutFiles
+        if (retained.isEmpty) dropSuperseded()
       }
       if (sweep > burnIn && (sweep - burnIn) % thin == 0) {
         // The sample stays LAZY over this state's persisted clusters (no
@@ -93,14 +120,14 @@ object Sampler {
         buffered :+= state.linkageSample()
         retained :+= state.clusters
         justSampled = true
-        if (buffered.size >= writeBufferSize) flush()
+        if (buffered.size >= writeBufferSize) flush(state.clusters)
         val s = state.summary
         diags :+= Diagnostics(state.iteration, System.currentTimeMillis() - t0,
           s.numObservedEntities, s.numIsolates, s.logLikelihood,
           s.aggDistortions, s.recDistortions)
       }
     }
-    flush()
+    flush(state.clusters)
 
     val chain = chainPath match {
       case Some(p) =>

@@ -40,7 +40,7 @@ object ConnectedComponents {
     // expensive) upstream derivation — e.g. an LSH candidate+verify
     // pipeline — exactly once, and replaces its logical plan with a
     // LogicalRDD so the loop below re-analyzes a constant-size tree
-    val e = cp(edges.select(col("a"), col("b")))
+    val e = cp.pin(edges.select(col("a"), col("b")))
     // the undirected union is two scans of the checkpointed blocks —
     // cheap enough to leave as a view
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))

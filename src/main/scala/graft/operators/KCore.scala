@@ -29,7 +29,7 @@ object KCore {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val cp = LoopCheckpoint.forLoop(edges.sparkSession)
-    val e = cp(edges.select(col("a"), col("b")))
+    val e = cp.pin(edges.select(col("a"), col("b")))
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
     // round 0: plain degrees — the grouping enumerates the nodes
     var alive = cp(und.groupBy(col("a").as("node"))

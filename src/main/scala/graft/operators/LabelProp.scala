@@ -24,7 +24,7 @@ object LabelProp {
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
     val cp = LoopCheckpoint.forLoop(edges.sparkSession)
-    val e = cp(edges.select(col("a"), col("b")))
+    val e = cp.pin(edges.select(col("a"), col("b")))
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
     var labels = cp(und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")))

@@ -69,35 +69,88 @@ object LoopCheckpoint {
     }
   }
 
-  /** A per-loop truncator: call once per generation in place of
-    * `localCheckpoint(true)`. Instantiate ONE per loop invocation (it
-    * counts generations and tracks persists to release). */
+  /** The reliable checkpoint file backing a checkpointed Dataset, if
+    * any (`Dataset.checkpoint` plans a LogicalRDD over a reliably-
+    * checkpointed RDD; local checkpoints report no file). */
+  def reliableFileOf(df: org.apache.spark.sql.Dataset[_]): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** Reliable checkpoint files at the LEAVES of `df`'s plan — the
+    * durable cut(s) the current lineage roots at. Callers delete these
+    * once a NEWER cut supersedes them and nothing else references the
+    * old one. */
+  def reliableLeafFiles(df: org.apache.spark.sql.Dataset[_]): Seq[String] =
+    df.queryExecution.analyzed.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** Best-effort delete of a reliable checkpoint directory (superseded
+    * cuts must not accumulate over a long chain — the checkpoint dir
+    * would otherwise grow by one full state copy per cut). */
+  def deleteCheckpointFile(spark: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** A per-loop truncator: call once per superseded GENERATION in place
+    * of `localCheckpoint(true)`, and [[Truncator.pin]] once per
+    * loop-INVARIANT frame (edge lists, degree-annotated fanouts — read
+    * every iteration, never superseded). Instantiate ONE per loop
+    * invocation (it counts generations, tracks persists to release, and
+    * deletes the superseded durable cut at each new one). */
   def forLoop(spark: SparkSession): Truncator = {
     val reliable = reliableMode(spark)
     val every =
       spark.conf.getOption(EveryKey).map(_.toInt).getOrElse(5)
     require(every >= 1, s"$EveryKey must be >= 1")
     if (reliable) ensureCheckpointDir(spark)
-    new Truncator(reliable, every)
+    new Truncator(spark, reliable, every)
   }
 
   final class Truncator private[LoopCheckpoint] (
-      reliable: Boolean, every: Int) {
+      spark: SparkSession, reliable: Boolean, every: Int) {
     private var n = 0
     private val pending = ArrayBuffer.empty[DataFrame]
+    // last TWO durable cuts are kept (the PeriodicRDDCheckpointer
+    // convention): deleting only on the second-next cut means a storage
+    // fault during one checkpoint write never strands the chain
+    private val reliableHistory = ArrayBuffer.empty[String]
 
-    /** Materialize `df` eagerly and return a loop-safe handle: plan
-      * truncated (local/reliable checkpoint) or cached-with-lineage
-      * (between reliable checkpoints). */
+    /** Loop-invariant frame: truncate + materialize once, NEVER released
+      * by the generation cadence (a generation cut must not evict the
+      * edge list every iteration still joins against). */
+    def pin(df: DataFrame): DataFrame =
+      if (!reliable) df.localCheckpoint(true)
+      else df.checkpoint(eager = true)
+
+    /** Materialize a GENERATION eagerly and return a loop-safe handle:
+      * plan truncated (local/reliable checkpoint) or cached-with-lineage
+      * (between reliable checkpoints). Each new durable cut releases the
+      * persists and deletes the durable files it supersedes — a linear
+      * generation chain never references an older cut once a newer one
+      * is materialized. */
     def apply(df: DataFrame): DataFrame = {
       n += 1
       if (!reliable) df.localCheckpoint(true)
       else if ((n - 1) % every == 0) {
         val out = df.checkpoint(eager = true)
         // everything cached before this durable cut is unreachable from
-        // the truncated plan — release it
+        // the truncated plan — release it, and drop the superseded cut's
+        // files (pinned frames keep their own files; they are not here)
         pending.foreach(_.unpersist(blocking = false))
         pending.clear()
+        reliableFileOf(out).foreach(reliableHistory += _)
+        while (reliableHistory.size > 2)
+          deleteCheckpointFile(spark, reliableHistory.remove(0))
         out
       } else {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -61,7 +61,7 @@ object PageRank {
     val spark = edges.sparkSession
     val cp = LoopCheckpoint.forLoop(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = cp(edges.select(col("src"), col("dst"),
+    val e = cp.pin(edges.select(col("src"), col("dst"),
         col("w").cast("double").as("w"))
       .repartition(shufflePartitions, col("src")))
 
@@ -72,7 +72,7 @@ object PageRank {
       .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("outw"), lit(0.0)).as("outw"))
       .repartition(shufflePartitions, col("node"))
-    val nodes = cp(nodes0)
+    val nodes = cp.pin(nodes0)
 
     val stats = nodes.agg(count(lit(1)).as("n"),
       count(when(col("outw") === 0.0, lit(1))).as("nDangling")).head()
@@ -80,7 +80,7 @@ object PageRank {
     val hasDangling = stats.getLong(1) > 0L
     require(n > 0, "PageRank needs a non-empty edge list")
 
-    val fanout = cp(e.join(nodes.select(col("node").as("src"), col("outw")),
+    val fanout = cp.pin(e.join(nodes.select(col("node").as("src"), col("outw")),
       "src"))
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"),
@@ -123,7 +123,7 @@ object PageRank {
     // materialize the edge derivation once; hash-partition by src so the
     // per-iteration ranks-join re-uses this layout instead of
     // re-shuffling the (large) edge side every round
-    val e = cp(edges.select(col("src"), col("dst"))
+    val e = cp.pin(edges.select(col("src"), col("dst"))
       .repartition(shufflePartitions, col("src")))
 
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -150,7 +150,7 @@ object PageRank {
           coalesce(col("__seed"), lit(false)).as("isSeed"))
       case None => nodes.withColumn("isSeed", lit(true))
     })
-    val meta = cp(meta0.repartition(shufflePartitions, col("node")))
+    val meta = cp.pin(meta0.repartition(shufflePartitions, col("node")))
 
     // |V|, dangling presence, and |seeds ∩ V| in one pass; a
     // dangling-free graph — common for crawl graphs closed by
@@ -183,7 +183,7 @@ object PageRank {
 
     // each edge annotated with its source's fan-out — both sides are
     // already hash-partitioned on the join key, so nothing moves
-    val fanout = cp(e.join(meta.select(col("node").as("src"), col("outdeg")),
+    val fanout = cp.pin(e.join(meta.select(col("node").as("src"), col("outdeg")),
       "src"))
 
     // start at the teleport distribution: a projection over the

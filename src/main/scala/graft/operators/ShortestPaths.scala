@@ -31,7 +31,7 @@ object ShortestPaths {
     val spark = edges.sparkSession
     val cp = LoopCheckpoint.forLoop(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = cp(edges.select(col("src"), col("dst"))
+    val e = cp.pin(edges.select(col("src"), col("dst"))
       .repartition(shufflePartitions, col("src")))
 
     var dist = cp(seeds.select(col("node")).distinct()
@@ -73,7 +73,7 @@ object ShortestPaths {
     val spark = edges.sparkSession
     val cp = LoopCheckpoint.forLoop(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = cp(edges.select(col("src"), col("dst"), col("w"))
+    val e = cp.pin(edges.select(col("src"), col("dst"), col("w"))
       .repartition(shufflePartitions, col("src")))
 
     var dist = cp(seeds.select(col("node")).distinct()

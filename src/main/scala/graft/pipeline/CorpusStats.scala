@@ -323,9 +323,10 @@ object CorpusStats {
 
   /** Corpus vocabulary coverage: the top-`k` tokens by frequency with
     * the running fraction of all token occurrences they cover. The
-    * global window runs over the *aggregated* vocabulary (one row per
-    * distinct token), not the corpus, so its single-partition sort is
-    * bounded by vocabulary size at any corpus scale. */
+    * top-k is `orderBy().limit(k)` — Catalyst plans TakeOrderedAndProject
+    * (per-partition bounded top-k merged on the driver, NO global sort),
+    * so a billion-token vocabulary never lands in one task; the
+    * rank/cumulative window then runs over ≤ k rows by construction. */
   def vocabularyCoverage(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
     val counts = docs
       .select(explode(toks(col(textCol))).as("token"))
@@ -333,12 +334,12 @@ object CorpusStats {
       .agg(count(lit(1)).as("cnt"))
 
     val total = counts.select(sum("cnt").as("__total"))
+    val topk = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
     val w = Window.orderBy(col("cnt").desc, col("token").asc)
-    counts
+    topk
       .withColumn("rank", row_number().over(w))
       .withColumn("__cum", sum("cnt").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("rank") <= k)
       .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("cnt"),
         round(col("__cum").cast("double") / col("__total"), 6).as("cum_share"))

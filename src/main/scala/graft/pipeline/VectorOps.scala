@@ -706,6 +706,13 @@ object VectorOps {
     * phrasing DBSCAN as dataflow. Distances compare on ROUNDED squared
     * L2 (1e-6 grid, the engine-parity convention), so the oracle
     * replays bit-identically.
+    *
+    * NOTE: `exactPairThreshold` defaulted to 100000 before round 11;
+    * corpora in the 10k-100k band now route to the LSH pair stage by
+    * default (a result-affecting change only if the full-recall config
+    * misses an ε-pair, per the miss bound above). Callers who need the
+    * exact guarantee at any size pass `exactPairThreshold =
+    * Long.MaxValue`; `0` forces LSH with no routing count.
     */
   def dbscan(corpus: DataFrame, idCol: String, vecCol: String,
       eps: Double, minPts: Int, exactPairThreshold: Long = 10000L,
@@ -731,7 +738,7 @@ object VectorOps {
           .filter(epsPred(col("__va"), col("__vb")))
           .select(col("a"), col("b"))
     val cp = graft.operators.LoopCheckpoint.forLoop(corpus.sparkSession)
-    val pairs = cp(rawPairs)
+    val pairs = cp.pin(rawPairs)
     val und = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
     // neighbor counts (self included, as in classic DBSCAN)
     val degrees = und.groupBy(col("a").as("__id"))

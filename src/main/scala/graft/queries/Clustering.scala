@@ -168,9 +168,11 @@ object Clustering {
     val result = Sampler.run(init, numSweeps = 16, burnIn = 4, thin = 4,
       sweepsPerJob = 4)
 
-    // the chain has exactly (numSweeps - burnIn) / thin = 3 samples —
-    // pass the count so SMPC skips its counting pass over the chain
-    val smpc = Analysis.sharedMostProbableClusters(result.chain.get, 3.0)
+    // the sampler already knows how many samples it recorded (one
+    // diagnostics row each) — pass the count so SMPC skips its counting
+    // pass over the chain
+    val smpc = Analysis.sharedMostProbableClusters(result.chain.get,
+      result.diagnostics.size.toDouble)
     val pred = Analysis.membershipFromClusters(smpc.select("records"), "records")
     // planted truth: rid with and without the "-dup" suffix share an entity
     val truth = records.select(col("rid").as("recordId"),

@@ -81,6 +81,29 @@ class AttributeIndexSpec extends AnyFunSuite {
     assert(math.abs(idx.expSim(3, 3) - math.exp(10.0)) < 1e-6)
   }
 
+  test("distributed neighbor join == driver-local build (adversarial orientation)") {
+    // "ARKANSAS" sorts BEFORE "KANSAS" but is LONGER: only the shorter
+    // side can emit the matching candidate length, so an id-order filter
+    // inside the join would drop the pair. Both paths must agree with
+    // brute force on a dictionary full of such cross-length pairs.
+    val fn = LevenshteinSimilarity(5.0, 10.0)
+    val values = Array("ARKANSAS", "KANSAS", "AAB", "AB", "B",
+      "CARLOS", "RLOS", "ZZKANSAS", "ANSAS").sorted
+    val (ln, ls) = AttributeIndex.buildNeighborsLocal(values, fn)
+    val (dn, ds) = AttributeIndex.buildNeighbors(spark, values, fn)
+    for (i <- values.indices) {
+      assert(dn(i).toSeq == ln(i).toSeq, s"neighbors of ${values(i)}")
+      assert(ds(i).toSeq == ls(i).toSeq, s"sims of ${values(i)}")
+      val expected = values.indices
+        .filter(j => j != i && fn.sim(values(i), values(j)) > 0.0)
+      assert(ln(i).toSeq == expected, s"brute force for ${values(i)}")
+    }
+    // the adversarial pair really is a neighbor pair
+    val ark = values.indexOf("ARKANSAS")
+    val kan = values.indexOf("KANSAS")
+    assert(ln(ark).contains(kan) && ark < kan)
+  }
+
   test("simNorm equals direct sum over the domain") {
     val fn = LevenshteinSimilarity(5.0, 10.0)
     val idx = AttributeIndex.build(spark, statesDf, 0,

@@ -57,7 +57,8 @@ object ERPipelineProfile {
         sweepsPerJob = 4)
     }
     val out = t("metrics") {
-      val smpc = Analysis.sharedMostProbableClusters(result.chain.get, 3.0)
+      val smpc = Analysis.sharedMostProbableClusters(result.chain.get,
+        result.diagnostics.size.toDouble)
       val pred = Analysis.membershipFromClusters(
           smpc.select("records"), "records")
       val truth = records.select(col("rid").as("recordId"),

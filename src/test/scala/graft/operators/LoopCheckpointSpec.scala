@@ -13,14 +13,28 @@ class LoopCheckpointSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def withReliable[A](body: => A): A = {
+  private def withReliable[A](body: => A): A =
+    withReliableDir((_: String) => body)
+
+  /** Runs `body` in reliable mode and then asserts durable checkpoint
+    * files were actually written — reliable mode silently falling back
+    * to local would still produce correct output, so correctness alone
+    * can't detect it. */
+  private def withReliableDir[A](body: String => A): A = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ckpt").toString
     spark.conf.set(LoopCheckpoint.ModeKey, "reliable")
     spark.conf.set(LoopCheckpoint.DirKey, dir)
     spark.conf.set(LoopCheckpoint.EveryKey, "3")
-    try body
-    finally {
+    try {
+      val out = body(dir)
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs > 0,
+        s"reliable mode wrote no checkpoint under $dir — silent local fallback?")
+      out
+    } finally {
       spark.conf.unset(LoopCheckpoint.ModeKey)
       spark.conf.unset(LoopCheckpoint.DirKey)
       spark.conf.unset(LoopCheckpoint.EveryKey)
