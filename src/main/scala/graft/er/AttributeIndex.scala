@@ -281,18 +281,19 @@ object AttributeIndex {
       col("len").as("lenb"))
 
     // Join on the partner's exact length; only the SHORTER side can emit
-    // the matching candidate length, so a cross-length pair arrives in
-    // exactly one orientation — an id-order filter here would silently
-    // drop pairs whose shorter value has the larger id. Dedup is instead
-    // by canonicalizing after the fact: equal-length pairs (the only
-    // ones that arrive twice) collapse under least/greatest + distinct.
+    // the matching candidate length, so a CROSS-length pair arrives in
+    // exactly one orientation — a blanket id-order filter would silently
+    // drop those whose shorter value has the larger id. EQUAL-length
+    // pairs arrive in both orientations, so the id-order dedup applies
+    // to them alone: each surviving row is unique, the similarity kernel
+    // runs once per pair, and no distinct() shuffle is needed.
     val pairs = a.join(b, col("candLen") === col("lenb"))
-      .filter(col("vida") =!= col("vidb"))
+      .filter(length(col("va")) =!= col("lenb") ||
+        col("vida") < col("vidb"))
       .withColumn("sim", simExpr(col("va"), col("vb")))
       .filter(col("sim") > 0.0)
       .select(least(col("vida"), col("vidb")).as("x"),
         greatest(col("vida"), col("vidb")).as("y"), col("sim"))
-      .distinct()
       .as[(Int, Int, Double)]
       .collect()
 

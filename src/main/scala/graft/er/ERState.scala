@@ -108,12 +108,6 @@ final class ERState private (
       samplerKind, summary)
   }
 
-  /** Durable checkpoint files this state's lineage roots at (empty in
-    * local mode) — the Sampler deletes a superseded cut's files once a
-    * newer cut exists and no lazy sample still references it. */
-  def reliableCheckpointFiles: Seq[String] =
-    graft.operators.LoopCheckpoint.reliableLeafFiles(clusters)
-
   /** Current linkage structure, one row per partition (reference A1,
     * State.scala:102-112); isolates dropped (P5). */
   def linkageSample(): Dataset[LinkageSample] = {

@@ -60,6 +60,10 @@ object Sampler {
     // that materializes those samples (in-memory chains keep them — the
     // caller still holds live references)
     var supersededCheckpoints = Vector.empty[String]
+    // the durable cut THIS run last materialized (None = none yet, or
+    // local mode where cuts have no file) — the only files this loop is
+    // allowed to supersede
+    var lastOwnCutFile: Option[String] = None
     val sparkForCleanup = init.spark
 
     def dropSuperseded(): Unit = {
@@ -101,16 +105,19 @@ object Sampler {
       justSampled = false
       sweep += k
       if (sweep - lastCheckpoint >= checkpointEvery) {
-        // files of the cut this new one supersedes: deletable once no
-        // retained lazy sample can read them (next flush), and only
-        // when writing to a durable chain (in-memory samples keep
-        // referencing them through their cluster caches' lineage)
-        val prevCutFiles =
-          if (chainPath.isDefined) state.reliableCheckpointFiles else Nil
         state = state.checkpointed()
         lastCheckpoint = sweep
-        supersededCheckpoints ++= prevCutFiles
-        if (retained.isEmpty) dropSuperseded()
+        // supersede ONLY cuts this sampler itself materialized — never
+        // harvest lineage leaves, which could be a CALLER's checkpoint
+        // (e.g. a checkpointed input dataset) that we must not delete.
+        // Deletion waits for durable-chain mode and for any retained
+        // lazy samples to be flushed.
+        if (chainPath.isDefined) {
+          supersededCheckpoints ++= lastOwnCutFile
+          lastOwnCutFile =
+            graft.operators.LoopCheckpoint.reliableFileOf(state.clusters)
+          if (retained.isEmpty) dropSuperseded()
+        }
       }
       if (sweep > burnIn && (sweep - burnIn) % thin == 0) {
         // The sample stays LAZY over this state's persisted clusters (no
@@ -128,6 +135,16 @@ object Sampler {
       }
     }
     flush(state.clusters)
+    // the final flush may find an empty buffer (the last sample already
+    // flushed) — superseded cuts and non-final retained caches must
+    // still be released in durable-chain mode, where everything sampled
+    // is on disk by now
+    if (chainPath.isDefined) {
+      retained.filter(_ ne state.clusters)
+        .foreach(_.unpersist(blocking = false))
+      retained = retained.filter(_ eq state.clusters)
+      dropSuperseded()
+    }
 
     val chain = chainPath match {
       case Some(p) =>

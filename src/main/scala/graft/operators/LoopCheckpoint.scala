@@ -79,17 +79,6 @@ object LoopCheckpoint {
       case _ => None
     }
 
-  /** Reliable checkpoint files at the LEAVES of `df`'s plan — the
-    * durable cut(s) the current lineage roots at. Callers delete these
-    * once a NEWER cut supersedes them and nothing else references the
-    * old one. */
-  def reliableLeafFiles(df: org.apache.spark.sql.Dataset[_]): Seq[String] =
-    df.queryExecution.analyzed.collectLeaves().flatMap {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.getCheckpointFile
-      case _ => None
-    }
-
   /** Best-effort delete of a reliable checkpoint directory (superseded
     * cuts must not accumulate over a long chain — the checkpoint dir
     * would otherwise grow by one full state copy per cut). */
@@ -120,6 +109,7 @@ object LoopCheckpoint {
       spark: SparkSession, reliable: Boolean, every: Int) {
     private var n = 0
     private val pending = ArrayBuffer.empty[DataFrame]
+    private val pinnedFiles = ArrayBuffer.empty[String]
     // last TWO durable cuts are kept (the PeriodicRDDCheckpointer
     // convention): deleting only on the second-next cut means a storage
     // fault during one checkpoint write never strands the chain
@@ -127,10 +117,17 @@ object LoopCheckpoint {
 
     /** Loop-invariant frame: truncate + materialize once, NEVER released
       * by the generation cadence (a generation cut must not evict the
-      * edge list every iteration still joins against). */
+      * edge list every iteration still joins against). In reliable mode
+      * its durable files persist until `release(deleteDurable = true)`
+      * or external checkpoint-dir cleanup — they ARE the loop's recovery
+      * state while it runs. */
     def pin(df: DataFrame): DataFrame =
       if (!reliable) df.localCheckpoint(true)
-      else df.checkpoint(eager = true)
+      else {
+        val out = df.checkpoint(eager = true)
+        reliableFileOf(out).foreach(pinnedFiles += _)
+        out
+      }
 
     /** Materialize a GENERATION eagerly and return a loop-safe handle:
       * plan truncated (local/reliable checkpoint) or cached-with-lineage
@@ -161,10 +158,23 @@ object LoopCheckpoint {
     }
 
     /** Release any persists still tracked (call after the loop if the
-      * result was reliably checkpointed or fully consumed). */
-    def release(): Unit = {
+      * result was reliably checkpointed or fully consumed).
+      * `deleteDurable = true` additionally deletes every durable file
+      * this truncator wrote — pins and the kept generation cuts — for
+      * callers that have FULLY CONSUMED the loop's result (deleting
+      * while a returned frame is still lazy over those files breaks
+      * it). Operators leave durable files in place by default: they are
+      * the recovery state, and the checkpoint dir is the deployment's
+      * to manage. */
+    def release(deleteDurable: Boolean = false): Unit = {
       pending.foreach(_.unpersist(blocking = false))
       pending.clear()
+      if (deleteDurable) {
+        (pinnedFiles ++ reliableHistory)
+          .foreach(deleteCheckpointFile(spark, _))
+        pinnedFiles.clear()
+        reliableHistory.clear()
+      }
     }
   }
 }

@@ -44,17 +44,18 @@ object Skyline {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val cols = df.columns
-    // Persisted: the carry aggregate AND the window scan both read this
-    // frame, and __pid is only meaningful if both see the SAME sampled
-    // range boundaries. Exchange reuse usually guarantees that, but it
-    // is an optimization, not a contract (exchangeReuseEnabled=false or
-    // an AQE replan could materialize the two range shuffles with
-    // different sampled boundaries) — the cache makes the shared
-    // partitioning explicit. Released by the session's cleaner once the
-    // result is consumed and dereferenced.
-    val ranged = df.repartitionByRange(n, col(maxCol).desc)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialized ONCE (via the session's truncation policy): the
+    // carry aggregate AND the window scan both read this frame, and
+    // __pid is only meaningful if both see the SAME sampled range
+    // boundaries. Exchange reuse usually guarantees that, but it is an
+    // optimization, not a contract (exchangeReuseEnabled=false or an
+    // AQE replan could materialize the two range shuffles with
+    // different sampled boundaries). A checkpoint — unlike persist(),
+    // whose CacheManager entry lives until explicit unpersist — is
+    // reclaimed with the RDD once the result is consumed.
+    val ranged = LoopCheckpoint.forLoop(df.sparkSession)
+      .pin(df.repartitionByRange(n, col(maxCol).desc)
+        .withColumn("__pid", spark_partition_id()))
     // Parallel per-partition windows: running min over strictly-higher
     // max groups, and the per-max-group min (groups never straddle a
     // range partition).

@@ -28,9 +28,10 @@ class LoopCheckpointSpec extends AnyFunSuite {
     spark.conf.set(LoopCheckpoint.EveryKey, "3")
     try {
       val out = body(dir)
-      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => p.getFileName.toString.startsWith("rdd-"))
-        .count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val rddDirs =
+        try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+        finally walk.close()
       assert(rddDirs > 0,
         s"reliable mode wrote no checkpoint under $dir — silent local fallback?")
       out
@@ -107,6 +108,32 @@ class LoopCheckpointSpec extends AnyFunSuite {
     val base = chain()
     val rel = withReliable { chain() }
     assert(rel == base && base.size == 3)
+  }
+
+  test("reliable cuts are pruned to the last two; release(deleteDurable) empties") {
+    withReliableDir { dir =>
+      def rddDirs(): Long = {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try w.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+        finally w.close()
+      }
+      val cp = LoopCheckpoint.forLoop(spark)
+      val base = (1L to 50L).toDF("v")
+      val pinned = cp.pin(base)
+      // every=3 (withReliableDir): generations 1,4,7,10 are durable cuts
+      var gen = pinned
+      (1 to 10).foreach { _ => gen = cp(gen.withColumn("v", $"v" + 1)) }
+      assert(gen.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0)
+        == (11L to 60L).sum)
+      // pinned (1) + last two kept cuts (2) = 3 durable dirs max
+      assert(rddDirs() == 3, s"expected pin + 2 kept cuts, got ${rddDirs()}")
+      cp.release(deleteDurable = true)
+      assert(rddDirs() == 0, "release(deleteDurable) must empty the dir")
+      // keep the reliable-files assertion of withReliableDir satisfied:
+      // write one fresh cut after the wipe
+      LoopCheckpoint.forLoop(spark).pin(base)
+      ()
+    }
   }
 
   test("missing checkpoint dir fails loudly; bad mode rejected") {
