@@ -79,6 +79,6 @@ object ConnectedComponents {
     }
     require(changed == 0,
       s"connected components did not converge in $maxIter iterations")
-    labels.select(col("id"), col("comp"))
+    cp.finish(labels.select(col("id"), col("comp")))
   }
 }

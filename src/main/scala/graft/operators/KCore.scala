@@ -62,6 +62,6 @@ object KCore {
       it += 1
     }
     require(converged, s"k-core peeling did not converge in $maxIter rounds")
-    alive.select(col("node"), col("deg").as("core_degree"))
+    cp.finish(alive.select(col("node"), col("deg").as("core_degree")))
   }
 }

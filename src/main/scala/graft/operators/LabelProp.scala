@@ -37,6 +37,6 @@ object LabelProp {
         .agg(min_by(col("label"),
           struct((-col("__n")).as("__neg"), col("label"))).as("label")))
     }
-    labels
+    cp.finish(labels)
   }
 }

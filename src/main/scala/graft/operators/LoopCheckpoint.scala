@@ -157,6 +157,20 @@ object LoopCheckpoint {
       }
     }
 
+    /** Seal the loop's RESULT: in local mode a no-op (nothing is ever
+      * pending there); in reliable mode the result gets its own durable
+      * cut and every pending generation persist is released — the loop
+      * leaves no CacheManager entries behind, and the returned frame
+      * roots at durable storage rather than at a possibly-evicted
+      * cache. Call once, on the frame the operator returns. */
+    def finish(df: DataFrame): DataFrame =
+      if (!reliable) df
+      else {
+        val out = pin(df)
+        release()
+        out
+      }
+
     /** Release any persists still tracked (call after the loop if the
       * result was reliably checkpointed or fully consumed).
       * `deleteDurable = true` additionally deletes every durable file

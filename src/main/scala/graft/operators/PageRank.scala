@@ -110,7 +110,7 @@ object PageRank {
       })
       ranks = cp(ranks)
     }
-    ranks.select(col("node"), col("rank"))
+    cp.finish(ranks.select(col("node"), col("rank")))
   }
 
   private def core(edges: DataFrame, seeds: Option[DataFrame],
@@ -220,6 +220,6 @@ object PageRank {
       })
       ranks = cp(ranks)
     }
-    ranks.select(col("node"), col("rank"))
+    cp.finish(ranks.select(col("node"), col("rank")))
   }
 }

@@ -52,7 +52,7 @@ object ShortestPaths {
       frontierEmpty = dist.where(col("dist") === k).isEmpty
       k += 1
     }
-    dist
+    cp.finish(dist)
   }
 
   /** Bounded-round Bellman-Ford: minimum-WEIGHT distances from the
@@ -86,6 +86,6 @@ object ShortestPaths {
       dist = cp(dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }
-    dist
+    cp.finish(dist)
   }
 }

@@ -707,6 +707,12 @@ object VectorOps {
     * L2 (1e-6 grid, the engine-parity convention), so the oracle
     * replays bit-identically.
     *
+    * Reliable checkpoint mode durably materializes the pair set and the
+    * core table (and components() its core-edge subgraph) — recovery
+    * state while the call runs; the files remain under the checkpoint
+    * dir afterwards for the deployment's retention policy to reclaim,
+    * like any other checkpoint-dir content.
+    *
     * NOTE: `exactPairThreshold` defaulted to 100000 before round 11;
     * corpora in the 10k-100k band now route to the LSH pair stage by
     * default (a result-affecting change only if the full-recall config
@@ -743,11 +749,11 @@ object VectorOps {
     // neighbor counts (self included, as in classic DBSCAN)
     val degrees = und.groupBy(col("a").as("__id"))
       .agg((count(lit(1)) + 1).as("__deg"))
-    val core = c.select(col("__id"))
+    val core = cp.pin(c.select(col("__id"))
       .join(degrees, Seq("__id"), "left")
       .select(col("__id"),
-        (coalesce(col("__deg"), lit(1L)) >= minPts).as("__core"))
-      .localCheckpoint(true)  // consumed by the output join below
+        (coalesce(col("__deg"), lit(1L)) >= minPts).as("__core")))
+    // consumed by the output join below
     val coreIds = core.filter(col("__core")).select(col("__id"))
     // components over the core-core subgraph
     val coreEdges = pairs

@@ -53,13 +53,22 @@ object StreamConf {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Parent runtime conf the isolated session intentionally inherits:
-    * result-shaping semantics a caller legitimately sets session-wide
-    * and expects inside the stream too. Everything else starts from
-    * defaults — in particular transient mutations of shared-session
-    * conf by concurrent threads cannot leak in. */
+    * result-shaping SEMANTICS a caller legitimately sets session-wide
+    * and expects inside the stream too (timezone, ANSI, case
+    * sensitivity, legacy datetime parsing/rebase policies, the
+    * state-store opt-in). Everything else starts from defaults — in
+    * particular transient mutations of shared-session conf by
+    * concurrent threads cannot leak in. Extend here, never with a
+    * getAll snapshot. */
   val InheritedConf: Seq[String] = Seq(
     "spark.sql.session.timeZone",
     "spark.sql.ansi.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.legacy.timeParserPolicy",
+    "spark.sql.parquet.datetimeRebaseModeInRead",
+    "spark.sql.parquet.datetimeRebaseModeInWrite",
+    "spark.sql.parquet.int96RebaseModeInRead",
+    "spark.sql.parquet.int96RebaseModeInWrite",
     StateStoreKey)
 
   /** An isolated session with the stream's conf pinned. `newSession()`
