@@ -72,15 +72,26 @@ final class DiscreteDist[T](
   require(values.length == weights.length, "values/weights length mismatch")
   private val table = AliasTable(weights)
   val totalWeight: Double = weights.sum
-  private val index: Map[T, Int] = values.iterator.zipWithIndex.toMap
+  // duplicate values: SUM their weights, so probabilityOf agrees with
+  // the sampling distribution (a last-index map would report only one
+  // slot's share)
+  private val massOf: Map[T, Double] = {
+    val m = scala.collection.mutable.HashMap.empty[T, Double]
+    var i = 0
+    while (i < values.length) {
+      m.update(values(i), m.getOrElse(values(i), 0.0) + weights(i))
+      i += 1
+    }
+    m.toMap
+  }
 
   def sample(rng: SplittableRandom): T = values(table.sample(rng))
 
-  /** Normalized probability of `v`; 0 outside the support. */
-  def probabilityOf(v: T): Double = index.get(v) match {
-    case Some(i) => weights(i) / totalWeight
-    case None => 0.0
-  }
+  /** Normalized probability of `v`; 0 outside the support. Duplicated
+    * values report their TOTAL weight share — identical to the
+    * frequency `sample` actually produces. */
+  def probabilityOf(v: T): Double =
+    massOf.getOrElse(v, 0.0) / totalWeight
 
   def support: Iterator[T] = values.iterator
 }
@@ -104,7 +115,13 @@ object Rng {
   def nextBeta(rng: SplittableRandom, a: Double, b: Double): Double = {
     val x = nextGamma(rng, a)
     val y = nextGamma(rng, b)
-    x / (x + y)
+    // Tiny shapes can underflow BOTH gamma draws to 0.0 (pow(u, 1/shape)
+    // in the shape<1 boost), and 0/0 = NaN would silently poison every
+    // later sweep. In that regime Beta(a, b) concentrates on {0, 1} with
+    // P(1) = a/(a+b) — the correct limit, drawn explicitly.
+    if (x + y == 0.0) {
+      if (rng.nextDouble() * (a + b) < a) 1.0 else 0.0
+    } else x / (x + y)
   }
 
   def nextGamma(rng: SplittableRandom, shape: Double): Double = {

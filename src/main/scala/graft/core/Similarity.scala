@@ -40,14 +40,16 @@ final case class LevenshteinSimilarity(
     "threshold must be in [0, maxSimilarity)")
 
   val isConstant = false
-  private val rescale = maxSimilarity / (maxSimilarity - threshold)
 
-  def sim(a: String, b: String): Double = {
-    if (a.isEmpty && b.isEmpty) return maxSimilarity
-    val d = Levenshtein.distance(a, b).toDouble
-    val unit = 1.0 - 2.0 * d / (a.length + b.length + d)
-    math.max(0.0, rescale * (maxSimilarity * unit - threshold))
-  }
+  /** Delegates to the codegen kernel so driver-side sims are
+    * BIT-identical to the distributed expression (code-point lengths,
+    * same rounding order) — a UTF-16 reimplementation here once
+    * diverged on astral-plane input. */
+  def sim(a: String, b: String): Double =
+    graft.functions.LevenshteinSim.sim(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b),
+      threshold, maxSimilarity)
 
   /** Largest |len(a) - len(b)| for which sim can still exceed zero, given
     * one side has length `len` — the lossless blocking bound used by the

@@ -5,7 +5,7 @@ import java.util.SplittableRandom
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{AliasTable, LevenshteinSimilarity, SimilarityFn}
+import graft.core.{AliasTable, ConstantSimilarity, JaroWinklerSimilarity, LevenshteinSimilarity, SimilarityFn}
 import graft.er.model._
 
 /** Per-attribute dictionary + empirical distribution + truncated-similarity
@@ -193,8 +193,26 @@ object AttributeIndex {
         // codegen kernel — same sims to the bit, several jobs fewer
         if (n <= localNeighborBuildMax) buildNeighborsLocal(values, lev)
         else buildNeighbors(spark, values, lev)
-      case _ =>
+      case jw: JaroWinklerSimilarity =>
+        // Jaro-Winkler has NO lossless length-blocking bound (equal-
+        // length strings with no common prefix can still clear the
+        // threshold), so the neighbor index is all-pairs and only sound
+        // on bounded dictionaries — fail loudly rather than silently
+        // degrade to constant similarity (which an unmatched case here
+        // once did).
+        require(n <= localNeighborBuildMax,
+          s"attribute '${spec.name}': jaro_winkler similarity needs an " +
+            s"all-pairs neighbor build, capped at $localNeighborBuildMax " +
+            s"distinct values (got $n) — use levenshtein (length-blocked, " +
+            "scales) for large domains")
+        buildNeighborsAllPairs(values, jw)
+      case _: ConstantSimilarity.type =>
         (Array.fill(n)(Array.empty[Int]), Array.fill(n)(Array.empty[Double]))
+      case other =>
+        throw new IllegalArgumentException(
+          s"attribute '${spec.name}': no neighbor-index strategy for " +
+            s"similarity ${other.getClass.getSimpleName} — add one rather " +
+            "than silently running with an empty neighborhood")
     }
 
     new AttributeIndex(attrId, spec.name, spec.similarity, spec.distortionPrior,
@@ -212,6 +230,40 @@ object AttributeIndex {
     * similarity kernel ([[graft.functions.LevenshteinSim.sim]]), so the
     * result is bit-identical to [[buildNeighbors]] — only the job count
     * changes (zero). */
+  /** Driver-local ALL-PAIRS neighbor build for similarities with no
+    * length-blocking bound (Jaro-Winkler): every pair is evaluated with
+    * the similarity's own kernel. Quadratic — callers cap the domain. */
+  private[er] def buildNeighborsAllPairs(
+      values: Array[String],
+      fn: SimilarityFn): (Array[Array[Int]], Array[Array[Double]]) = {
+    val n = values.length
+    val nbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val s = fn.sim(values(i), values(j))
+        if (s > 0.0) {
+          val e = math.exp(s)
+          nbrs(i) += ((j, e))
+          nbrs(j) += ((i, e))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val outN = new Array[Array[Int]](n)
+    val outS = new Array[Array[Double]](n)
+    i = 0
+    while (i < n) {
+      val sorted = nbrs(i).sortBy(_._1).toArray
+      outN(i) = sorted.map(_._1)
+      outS(i) = sorted.map(_._2)
+      i += 1
+    }
+    (outN, outS)
+  }
+
   private[er] def buildNeighborsLocal(
       values: Array[String],
       lev: LevenshteinSimilarity): (Array[Array[Int]], Array[Array[Double]]) = {

@@ -27,30 +27,30 @@ object Hilbert {
       bits: Int, outCol: String): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
     var cur = df
-      .withColumn("__hx", col(xCol).cast("long"))
-      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__graft_hx", col(xCol).cast("long"))
+      .withColumn("__graft_hy", col(yCol).cast("long"))
       .withColumn(outCol, lit(0L))
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i
-      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+      val rx = when(col("__graft_hx").bitwiseAND(lit(s)) > 0, lit(1L))
         .otherwise(lit(0L))
-      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+      val ry = when(col("__graft_hy").bitwiseAND(lit(s)) > 0, lit(1L))
         .otherwise(lit(0L))
       cur = cur
-        .withColumn("__rx", rx).withColumn("__ry", ry)
+        .withColumn("__graft_rx", rx).withColumn("__graft_ry", ry)
         .withColumn(outCol, col(outCol) +
-          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+          lit(s * s) * (lit(3L) * col("__graft_rx")).bitwiseXOR(col("__graft_ry")))
         // rotate the frame: on ry = 0, flip both coords when rx = 1,
         // then swap x and y
-        .withColumn("__nx", when(col("__ry") === 0,
-          when(col("__rx") === 1, lit(s - 1) - col("__hy"))
-            .otherwise(col("__hy"))).otherwise(col("__hx")))
-        .withColumn("__ny", when(col("__ry") === 0,
-          when(col("__rx") === 1, lit(s - 1) - col("__hx"))
-            .otherwise(col("__hx"))).otherwise(col("__hy")))
-        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .withColumn("__graft_nx", when(col("__graft_ry") === 0,
+          when(col("__graft_rx") === 1, lit(s - 1) - col("__graft_hy"))
+            .otherwise(col("__graft_hy"))).otherwise(col("__graft_hx")))
+        .withColumn("__graft_ny", when(col("__graft_ry") === 0,
+          when(col("__graft_rx") === 1, lit(s - 1) - col("__graft_hx"))
+            .otherwise(col("__graft_hx"))).otherwise(col("__graft_hy")))
+        .withColumn("__graft_hx", col("__graft_nx")).withColumn("__graft_hy", col("__graft_ny"))
     }
-    cur.drop("__hx", "__hy", "__rx", "__ry", "__nx", "__ny")
+    cur.drop("__graft_hx", "__graft_hy", "__graft_rx", "__graft_ry", "__graft_nx", "__graft_ny")
   }
 
   /** Reference implementation for tests: the same xy2d recurrence as

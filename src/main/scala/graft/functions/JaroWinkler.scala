@@ -48,8 +48,10 @@ object JaroWinkler {
     * Operates on code points; allocates two small flag arrays per call
     * (name-length strings — tens of bytes), no boxing in the hot loop. */
   def sim(ua: UTF8String, ub: UTF8String, winkler: Boolean): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    // CODE POINTS, not UTF-16 units: a surrogate pair is one character
+    // here, matching DuckDB/rapidfuzz (DamerauLevenshtein does the same)
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -61,11 +63,11 @@ object JaroWinkler {
     while (i < la) {
       val lo = math.max(0, i - window)
       val hi = math.min(lb - 1, i + window)
-      val ca = a.charAt(i)
+      val ca = a(i)
       var j = lo
       var found = false
       while (!found && j <= hi) {
-        if (!bMatch(j) && b.charAt(j) == ca) {
+        if (!bMatch(j) && b(j) == ca) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -80,7 +82,7 @@ object JaroWinkler {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(j)) j += 1
-        if (a.charAt(i) != b.charAt(j)) halfT += 1
+        if (a(i) != b(j)) halfT += 1
         j += 1
       }
       i += 1
@@ -93,7 +95,7 @@ object JaroWinkler {
     if (!winkler || jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))
-    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    while (prefix < maxPrefix && a(prefix) == b(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 

@@ -32,12 +32,16 @@ object Sketches {
     var j = 0
     val m = arr.numElements()
     while (j < m) {
-      val h = arr.getLong(j)
-      var i = 0
-      while (i < n) {
-        val v = XXH64.hashLong(h, seeds(i))
-        if (v < out(i)) out(i) = v
-        i += 1
+      // null slots are SKIPPED, matching the column-algebra form
+      // (array_min over transform ignores null elements)
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < n) {
+          val v = XXH64.hashLong(h, seeds(i))
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -49,11 +53,15 @@ object Sketches {
     var j = 0
     val m = arr.numElements()
     while (j < m) {
-      val h = arr.getLong(j)
-      var b = 0
-      while (b < 64) {
-        counts(b) += (((h >>> b) & 1L).toInt << 1) - 1
-        b += 1
+      // null slots skipped (xxhash64-fold equivalence: null inputs
+      // leave the running hash untouched)
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (((h >>> b) & 1L).toInt << 1) - 1
+          b += 1
+        }
       }
       j += 1
     }
@@ -133,7 +141,8 @@ object Sketches {
       var j = w
       val end = math.min(w + span, n)
       while (j < end) {
-        h = XXH64.hashLong(arr.getLong(j), h)
+        // null slots skipped inside the window (xxhash64 fold semantics)
+        if (!arr.isNullAt(j)) h = XXH64.hashLong(arr.getLong(j), h)
         j += 1
       }
       out(w) = h

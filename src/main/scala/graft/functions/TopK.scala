@@ -22,9 +22,19 @@ final class TopKState(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  /** (score, id) beats slot i? Order: score desc, id asc. */
-  private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  /** (score, id) beats slot i? Order: score desc, id asc. NaN is
+    * ordered deterministically ABOVE every number (Double.compare
+    * semantics) — raw `>`/`==` would make NaN unbeatable AND unable to
+    * beat, leaving the result dependent on row arrival order. Equal
+    * finite scores (and ±0.0, which compare equal under `==`) keep the
+    * id tiebreak. */
+  private def beats(s: Double, id: Long, i: Int): Boolean = {
+    val si = scores(i)
+    // tie = equal values (covers ±0.0, like the oracle) or both NaN
+    val tie = (s == si) || (s != s && si != si)
+    if (tie) id < ids(i)
+    else java.lang.Double.compare(s, si) > 0
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n == k && !beats(s, id, n - 1)) return

@@ -33,7 +33,16 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val ConfKey = "spark.graft.rangeJoin.bandMicros"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val band = conf.getConfString(ConfKey, "0").toLong
+    val raw = conf.getConfString(ConfKey, "0")
+    val band =
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          // a clear config error, not a NumberFormatException deep in
+          // Catalyst failing every query in the session
+          throw new IllegalArgumentException(
+            s"$ConfKey must be an integral microsecond width, got '$raw'")
+      }
     if (band <= 0) plan
     else plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
@@ -98,7 +107,19 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if !ls.semanticEquals(le) && !rs.semanticEquals(re)
     } yield (ls, le, rs, re)).headOption
     quad.flatMap { case (ls, le, rs, re) =>
-      for {
+      // All four endpoints must band in the SAME unit: timestamps map to
+      // epoch MICROS while longs pass through as-is, so a schema mixing
+      // the two (each conjunct type-checks on its own!) would band the
+      // sides incompatibly — exploding ~1e9 bands per row or silently
+      // dropping qualifying pairs. Mixed units bail out to the original
+      // (correct, un-banded) join.
+      val kinds = Seq(ls, le, rs, re).map(_.dataType).map {
+        case TimestampType | TimestampNTZType => "ts"
+        case LongType => "long"
+        case _ => "other"
+      }.toSet
+      if (kinds.size != 1) None
+      else for {
         lsM <- micros(ls); leM <- micros(le)
         rsM <- micros(rs); reM <- micros(re)
       } yield {

@@ -81,4 +81,32 @@ class RngSpec extends AnyFunSuite {
     (0 until n).foreach(_ => sum += Rng.nextBeta(rng, 0.5, 50.0))
     assert(math.abs(sum / n - 0.5 / 50.5) < 0.002)
   }
+
+  test("beta sampler never yields NaN at tiny shapes (gamma underflow)") {
+    // pow(u, 1/0.001) underflows to 0.0 for ~half the draws: both gammas
+    // hitting 0 must resolve to the {0,1} limit, never 0/0 = NaN
+    val rng = new SplittableRandom(99L)
+    var ones = 0
+    val n = 20000
+    (0 until n).foreach { _ =>
+      val v = Rng.nextBeta(rng, 0.001, 0.001)
+      assert(!v.isNaN && v >= 0.0 && v <= 1.0)
+      if (v > 0.5) ones += 1
+    }
+    // Beta(eps, eps) is symmetric on {0, 1}
+    assert(math.abs(ones.toDouble / n - 0.5) < 0.02, s"ones $ones")
+  }
+
+  test("DiscreteDist duplicate values: probabilityOf matches sampling") {
+    val d = new DiscreteDist(IndexedSeq("a", "b", "a"),
+      Array(1.0, 1.0, 2.0))
+    assert(math.abs(d.probabilityOf("a") - 0.75) < 1e-12)
+    assert(math.abs(d.probabilityOf("b") - 0.25) < 1e-12)
+    assert(d.probabilityOf("z") == 0.0)
+    val rng = new SplittableRandom(7L)
+    val n = 100000
+    var hits = 0
+    (0 until n).foreach(_ => if (d.sample(rng) == "a") hits += 1)
+    assert(math.abs(hits.toDouble / n - 0.75) < 0.01)
+  }
 }

@@ -71,6 +71,18 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 0.9444444444) < 1e-9)
   }
 
+  test("astral code points compare as single characters") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+1D552 vs U+1D553: distinct code points sharing a high surrogate.
+    // A UTF-16 kernel would see length-2 strings with a matching first
+    // unit and report a spurious similarity; code-point semantics (the
+    // DuckDB/rapidfuzz convention) see two distinct 1-char strings.
+    val a = UTF8String.fromString(new String(Character.toChars(0x1D552)))
+    val b = UTF8String.fromString(new String(Character.toChars(0x1D553)))
+    assert(JaroWinkler.sim(a, b, winkler = true) == 0.0)
+    assert(JaroWinkler.sim(a, a, winkler = true) == 1.0)
+  }
+
   test("registry similarity: truncated-rescaled onto [0, maxSim]") {
     val fn = SimilarityFn.fromName("jaro_winkler", threshold = 7.0,
       maxSimilarity = 10.0)
