@@ -113,34 +113,51 @@ object Analysis {
     * of running the two metrics separately collapse to two shuffles.
     * Same values as the separate forms (the sums are integer-exact)
     * PROVIDED pred and truth cover the same record set and cluster ids
-    * are non-null — both true for chain evaluations, where pred assigns
-    * every record and truth is the full planted labeling. */
+    * are non-null — true for chain evaluations, where pred assigns
+    * every record and truth is the full planted labeling — and
+    * CHECKED, not assumed: the join is full-outer and the same cube
+    * pass counts records missing a partner or carrying a null cluster
+    * id (grouping_id separates rollup nulls from value nulls), so a
+    * coverage mismatch raises at execution instead of silently
+    * inflating the margins the way an unchecked inner join would. */
   def clusteringMetrics(
       pred: DataFrame, truth: DataFrame,
       recordCol: String, clusterCol: String): DataFrame = {
     val joined = pred
       .select(col(recordCol).as("__r"), col(clusterCol).as("predId"))
       .join(truth.select(col(recordCol).as("__r"),
-        col(clusterCol).as("trueId")), "__r")
+        col(clusterCol).as("trueId")), Seq("__r"), "full_outer")
     val sums = joined.cube(col("predId"), col("trueId"))
       .agg(count(lit(1)).as("n"), grouping_id().as("g"))
       .agg(
-        sum(when(col("g") === 0, comb2(col("n")))).as("tp"),
-        sum(when(col("g") === 1, comb2(col("n")))).as("pred_pairs"),
-        sum(when(col("g") === 2, comb2(col("n")))).as("true_pairs"),
-        max(when(col("g") === 3, comb2(col("n")))).as("total"))
+        sum(when(col("g") === 0 && col("predId").isNotNull &&
+          col("trueId").isNotNull, comb2(col("n")))).as("tp"),
+        sum(when(col("g") === 1 && col("predId").isNotNull,
+          comb2(col("n")))).as("pred_pairs"),
+        sum(when(col("g") === 2 && col("trueId").isNotNull,
+          comb2(col("n")))).as("true_pairs"),
+        max(when(col("g") === 3, comb2(col("n")))).as("total"),
+        sum(when(col("g") === 0 &&
+          (col("predId").isNull || col("trueId").isNull), col("n")))
+          .as("__miss"))
+    // assert_true is NULL on success, so coalesce passes each metric
+    // through; attaching it to EVERY output keeps the check alive under
+    // column pruning no matter which metric a caller selects.
+    val cov = assert_true(coalesce(col("__miss"), lit(0L)) === 0,
+      lit("clusteringMetrics: pred and truth must cover the same " +
+        "record set with non-null cluster ids")).cast("double")
     sums.select(
-      round(when(col("pred_pairs") > 0, col("tp") / col("pred_pairs"))
-        .otherwise(0.0), 6).as("precision"),
-      round(when(col("true_pairs") > 0, col("tp") / col("true_pairs"))
-        .otherwise(0.0), 6).as("recall"),
-      round(when(col("pred_pairs") + col("true_pairs") > 0,
+      coalesce(cov, round(when(col("pred_pairs") > 0,
+        col("tp") / col("pred_pairs")).otherwise(0.0), 6)).as("precision"),
+      coalesce(cov, round(when(col("true_pairs") > 0,
+        col("tp") / col("true_pairs")).otherwise(0.0), 6)).as("recall"),
+      coalesce(cov, round(when(col("pred_pairs") + col("true_pairs") > 0,
         lit(2.0) * col("tp") / (col("pred_pairs") + col("true_pairs")))
-        .otherwise(0.0), 6).as("f1"),
-      round(
+        .otherwise(0.0), 6)).as("f1"),
+      coalesce(cov, round(
         (col("tp") - col("pred_pairs") * col("true_pairs") / col("total")) /
           ((col("pred_pairs") + col("true_pairs")) / lit(2.0) -
-            col("pred_pairs") * col("true_pairs") / col("total")), 6)
+            col("pred_pairs") * col("true_pairs") / col("total")), 6))
         .as("ari"))
   }
 

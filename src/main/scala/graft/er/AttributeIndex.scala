@@ -327,6 +327,7 @@ object AttributeIndex {
     })
 
     val a = vals.select(col("vid").as("vida"), col("value").as("va"),
+      col("len").as("lena"),
       explode(sequence(col("len"), col("len") + gapUdf(col("len"))))
         .as("candLen"))
     val b = vals.select(col("vid").as("vidb"), col("value").as("vb"),
@@ -338,9 +339,12 @@ object AttributeIndex {
     // drop those whose shorter value has the larger id. EQUAL-length
     // pairs arrive in both orientations, so the id-order dedup applies
     // to them alone: each surviving row is unique, the similarity kernel
-    // runs once per pair, and no distinct() shuffle is needed.
+    // runs once per pair, and no distinct() shuffle is needed. Both sides
+    // of the equal-length test use the SAME driver-side UTF-16 length
+    // (lena/lenb) — Spark's length() counts code points, which diverges
+    // on astral characters and would let both orientations through.
     val pairs = a.join(b, col("candLen") === col("lenb"))
-      .filter(length(col("va")) =!= col("lenb") ||
+      .filter(col("lena") =!= col("lenb") ||
         col("vida") < col("vidb"))
       .withColumn("sim", simExpr(col("va"), col("vb")))
       .filter(col("sim") > 0.0)

@@ -389,14 +389,30 @@ object GibbsKernel {
     // record-side constant Π_{a obs} θ_a·φ_a(x_a) and the observed mask
     var cRec = 1.0
     var mask = 0L
+    var zeroTheta = false
     var a = 0
     while (a < nA) {
       val x = rec.values(a)
       if (x != MissingValue) {
         mask |= 1L << a
-        cRec *= theta(a, rec.fileId) * index.attributes(a).probs(x)
+        val th = theta(a, rec.fileId)
+        if (th == 0.0) zeroTheta = true
+        cRec *= th * index.attributes(a).probs(x)
       }
       a += 1
+    }
+    if (zeroTheta) {
+      // θ = 0.0 is reachable (Beta gamma-underflow limit returns exact
+      // 0/1): the ratio patch would compute dTrue/dDef = hit/0 = Inf and
+      // weights 0·Inf = NaN. The direct mixture is well-defined there
+      // (term = 1{x=y} exactly), so fall back to the exact scan for this
+      // record, reusing the scratch buffers.
+      var e = 0
+      while (e < nE) {
+        weights(e) = directCollapsedWeight(st.entities(e), index, theta, rec)
+        e += 1
+      }
+      return (cands, weights)
     }
     if (mask == 0L) { // nothing observed: flat weights
       java.util.Arrays.fill(weights, 1.0)

@@ -159,15 +159,26 @@ object LoopCheckpoint {
 
     /** Seal the loop's RESULT: in local mode a no-op (nothing is ever
       * pending there); in reliable mode the result gets its own durable
-      * cut and every pending generation persist is released — the loop
-      * leaves no CacheManager entries behind, and the returned frame
-      * roots at durable storage rather than at a possibly-evicted
-      * cache. Call once, on the frame the operator returns. */
+      * cut, every pending generation persist is released, and every
+      * OTHER durable file this truncator wrote — superseded generation
+      * cuts and loop-invariant pins — is deleted: the result is eagerly
+      * materialized on its own cut, so nothing lazy references them, and
+      * without reclamation the checkpoint dir grows by O(input) per
+      * operator invocation. Only the result's own cut remains (it IS the
+      * returned frame's storage); `release(deleteDurable = true)` can
+      * still reclaim it once the caller has fully consumed the result.
+      * Call once, on the frame the operator returns. */
     def finish(df: DataFrame): DataFrame =
       if (!reliable) df
       else {
-        val out = pin(df)
+        val out = df.checkpoint(eager = true)
+        val keep = reliableFileOf(out)
         release()
+        (pinnedFiles ++ reliableHistory)
+          .foreach(deleteCheckpointFile(spark, _))
+        pinnedFiles.clear()
+        reliableHistory.clear()
+        keep.foreach(pinnedFiles += _)
         out
       }
 

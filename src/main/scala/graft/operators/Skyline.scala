@@ -53,9 +53,9 @@ object Skyline {
     // different sampled boundaries). A checkpoint — unlike persist(),
     // whose CacheManager entry lives until explicit unpersist — is
     // reclaimed with the RDD once the result is consumed.
-    val ranged = LoopCheckpoint.forLoop(df.sparkSession)
-      .pin(df.repartitionByRange(n, col(maxCol).desc)
-        .withColumn("__pid", spark_partition_id()))
+    val cp = LoopCheckpoint.forLoop(df.sparkSession)
+    val ranged = cp.pin(df.repartitionByRange(n, col(maxCol).desc)
+      .withColumn("__pid", spark_partition_id()))
     // Parallel per-partition windows: running min over strictly-higher
     // max groups, and the per-max-group min (groups never straddle a
     // range partition).
@@ -71,7 +71,10 @@ object Skyline {
         Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select("__pid", "__carry")
-    ranged
+    // finish(): local mode is a no-op; reliable mode roots the (small)
+    // frontier at its own durable cut and reclaims the corpus-sized
+    // `ranged` pin file rather than leaving it under the checkpoint dir.
+    cp.finish(ranged
       .withColumn("__mhl", min(col(minCol)).over(higherLocal))
       .withColumn("__mg", min(col(minCol)).over(groupLocal))
       .join(broadcast(carries), "__pid")
@@ -80,6 +83,6 @@ object Skyline {
       .withColumn("__mh", least(col("__mhl"), col("__carry")))
       .filter(col(minCol) === col("__mg") &&
         (col("__mh").isNull || col(minCol) < col("__mh")))
-      .select(cols.map(col): _*)
+      .select(cols.map(col): _*))
   }
 }

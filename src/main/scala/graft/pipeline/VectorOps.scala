@@ -709,25 +709,26 @@ object VectorOps {
     *
     * Reliable checkpoint mode durably materializes the pair set and the
     * core table (and components() its core-edge subgraph) — recovery
-    * state while the call runs; the files remain under the checkpoint
-    * dir afterwards for the deployment's retention policy to reclaim,
-    * like any other checkpoint-dir content.
+    * state while the call runs; on return the result roots at its own
+    * durable cut and the intermediate files are reclaimed, so only one
+    * result-sized footprint remains under the checkpoint dir per call.
     *
-    * NOTE: `exactPairThreshold` defaulted to 100000 before round 11;
-    * corpora in the 10k-100k band now route to the LSH pair stage by
-    * default (a result-affecting change only if the full-recall config
-    * misses an ε-pair, per the miss bound above). Callers who need the
-    * exact guarantee at any size pass `exactPairThreshold =
-    * Long.MaxValue`; `0` forces LSH with no routing count.
+    * The default threshold keeps the EXACT pair stage for any corpus up
+    * to 100k rows — the documented guarantee existing callers rely on.
+    * Routing a mid-size corpus to the LSH stage is result-affecting (if
+    * the full-recall config misses an ε-pair), so it must be explicit at
+    * the call site: pass a lower `exactPairThreshold` to opt in, `0` to
+    * force LSH with no routing count, or `Long.MaxValue` for exact at
+    * any size.
     */
   def dbscan(corpus: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minPts: Int, exactPairThreshold: Long = 10000L,
+      eps: Double, minPts: Int, exactPairThreshold: Long = 100000L,
       lshBits: Int = 4, lshProbes: Int = 24): DataFrame = {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     // Routing count only when the exact path is even on the table —
     // threshold <= 0 forces LSH with no extra corpus pass. The default
-    // threshold keeps the quadratic broadcast path to ~5e7 pair checks
-    // (10k rows); past that the LSH stage wins decisively.
+    // threshold caps the quadratic broadcast path at ~5e9 pair checks
+    // (100k rows); past that the LSH stage wins decisively.
     val exact = exactPairThreshold > 0L && c.count() <= exactPairThreshold
     val epsPred = (l: Column, r: Column) =>
       round(l2DistSq(l, r), 6) <= eps * eps
@@ -770,13 +771,17 @@ object VectorOps {
       .join(coreCluster.select(col("__id").as("b"), col("__cl")), "b")
       .groupBy(col("a").as("__id"))
       .agg(min(col("__cl")).as("__bcl"))
-    core
+    // finish(): local mode is a no-op; reliable mode roots the result at
+    // its own durable cut and reclaims the pair/core pin files (the
+    // returned frame would otherwise stay lazy over them, leaving
+    // O(pairs) in the checkpoint dir per call).
+    cp.finish(core
       .join(coreCluster, Seq("__id"), "left")
       .join(borderCluster, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         col("__core").as("is_core"),
         when(col("__core"), col("__cl"))
-          .otherwise(coalesce(col("__bcl"), lit(-1L))).as("cluster"))
+          .otherwise(coalesce(col("__bcl"), lit(-1L))).as("cluster")))
   }
 
   /** k-nearest-neighbor classification: each query's label is the

@@ -37,6 +37,36 @@ class AnalysisSpec extends AnyFunSuite {
     assert(math.abs(m.getDouble(2) - 0.5) < 1e-9)        // f1
   }
 
+  test("fused clusteringMetrics == separate forms, and mismatched coverage raises") {
+    val pred = Seq(("a", 1), ("b", 1), ("c", 2)).toDF("recordId", "clusterId")
+    val truth = Seq(("a", 9), ("b", 9), ("c", 9)).toDF("recordId", "clusterId")
+    val m = Analysis.clusteringMetrics(pred, truth, "recordId", "clusterId")
+      .head()
+    assert(math.abs(m.getDouble(0) - 1.0) < 1e-9)        // precision
+    assert(math.abs(m.getDouble(1) - 1.0 / 3) < 1e-6)    // recall
+    assert(math.abs(m.getDouble(2) - 0.5) < 1e-9)        // f1
+    val ariSep = Analysis.adjustedRandIndex(pred, truth, "recordId", "clusterId")
+      .head().getDouble(0)
+    assert(math.abs(m.getDouble(3) - ariSep) < 1e-9)     // ari
+
+    // a record missing from truth must raise, not silently inflate the
+    // margins the fused cube computes on the joined set
+    val truthShort = Seq(("a", 9), ("b", 9)).toDF("recordId", "clusterId")
+    val e = intercept[Exception] {
+      Analysis.clusteringMetrics(pred, truthShort, "recordId", "clusterId")
+        .head()
+    }
+    assert(e.getMessage.contains("cover the same record set") ||
+      Option(e.getCause).exists(_.getMessage.contains("cover the same record set")))
+    // a null cluster id is flagged by the same check
+    val predNull = Seq(("a", Some(1)), ("b", Some(1)), ("c", None))
+      .toDF("recordId", "clusterId")
+    intercept[Exception] {
+      Analysis.clusteringMetrics(predNull, truth, "recordId", "clusterId")
+        .head()
+    }
+  }
+
   test("ARI is 1 on identical clusterings and ~0 on independent ones") {
     val c = Seq(("a", 1), ("b", 1), ("c", 2), ("d", 2)).toDF("recordId", "clusterId")
     val ari1 = Analysis.adjustedRandIndex(c, c, "recordId", "clusterId")

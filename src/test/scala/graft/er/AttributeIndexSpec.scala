@@ -104,6 +104,29 @@ class AttributeIndexSpec extends AnyFunSuite {
     assert(ln(ark).contains(kan) && ark < kan)
   }
 
+  test("distributed neighbor join emits astral-char pairs exactly once") {
+    // "𝐀BCD" (MATHEMATICAL BOLD CAPITAL A + BCD) is 5 UTF-16
+    // units but 4 code points; "XBCDE" is 5 of both. The driver builds
+    // lenb from String#length (UTF-16), so an equal-length test that
+    // recomputes side a's length with Spark's length() (code points)
+    // sees 4 != 5 and lets BOTH join orientations through — duplicating
+    // the neighbor entry and double-counting its simNorm term. Both
+    // sides must compare the SAME unit (the driver UTF-16 length).
+    val fn = LevenshteinSimilarity(5.0, 10.0)
+    val values = Array("𝐀BCD", "XBCDE", "QQQQQQQQQQQQ").sorted
+    val (ln, ls) = AttributeIndex.buildNeighborsLocal(values, fn)
+    val (dn, ds) = AttributeIndex.buildNeighbors(spark, values, fn)
+    for (i <- values.indices) {
+      assert(dn(i).toSeq == ln(i).toSeq, s"neighbors of ${values(i)}")
+      assert(ds(i).toSeq == ls(i).toSeq, s"sims of ${values(i)}")
+      assert(dn(i).distinct.length == dn(i).length,
+        s"duplicate neighbor entries for ${values(i)}")
+    }
+    // the astral pair really is a neighbor pair (sim > 0 both builds)
+    val a = values.indexOf("𝐀BCD")
+    assert(ln(a).nonEmpty && dn(a).length == 1)
+  }
+
   test("simNorm equals direct sum over the domain") {
     val fn = LevenshteinSimilarity(5.0, 10.0)
     val idx = AttributeIndex.build(spark, statesDf, 0,

@@ -267,4 +267,36 @@ class GibbsKernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("memoized collapsed weights: theta == 0.0 yields no NaN (== direct)") {
+    // θ = 0.0 is reachable (nextBeta returns exact 0/1 in the gamma-
+    // underflow limit). The ratio patch's default term is 0 there, so
+    // ratio = hit/0 = Inf and weight 0·Inf = NaN unless the kernel
+    // falls back to the direct mixture (term = 1{x=y} exactly).
+    val idx = levIndex
+    val model = mkModel(idx)
+    val theta = DistortionProbs(Map((0, "0") -> 0.0))
+    val entities = ArrayBuffer(
+      Array(idx.idOf("ANNA")), Array(idx.idOf("ANNE")), Array(idx.idOf("BOB")))
+    val recs = Array(
+      StateRecord("r0", "0", Array(idx.idOf("ANNA")), Array(false)),
+      StateRecord("r1", "0", Array(idx.idOf("BOB")), Array(false)))
+    val st = new GibbsKernel.PartitionState(entities, recs,
+      Array.fill(recs.length)(0),
+      ArrayBuffer(ArrayBuffer(0, 1), ArrayBuffer.empty[Int],
+        ArrayBuffer.empty[Int]))
+    val scratch = new GibbsKernel.CollapsedScratch(st, model)
+    recs.foreach { rec =>
+      val (_, wd) =
+        GibbsKernel.collapsedAssignmentWeights(st, model, theta, rec)
+      val (_, wf) = GibbsKernel.collapsedAssignmentWeightsFast(
+        st, model, theta, rec, scratch)
+      wd.indices.foreach { e =>
+        assert(!wf(e).isNaN, s"entity $e: fast weight is NaN")
+        assert(wd(e) == wf(e), s"entity $e: direct ${wd(e)} fast ${wf(e)}")
+      }
+      // at θ=0 the weight is the exact-match indicator product
+      assert(wf.count(_ > 0.0) == 1)
+    }
+  }
 }

@@ -136,6 +136,35 @@ class LoopCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("finish() keeps only the result's durable cut; result stays readable") {
+    withReliableDir { dir =>
+      def rddDirs(): Long = {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try w.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+        finally w.close()
+      }
+      val cp = LoopCheckpoint.forLoop(spark)
+      val base = (1L to 50L).toDF("v")
+      var gen = cp.pin(base)
+      (1 to 10).foreach { _ => gen = cp(gen.withColumn("v", $"v" + 1)) }
+      assert(rddDirs() == 3) // pin + the two kept generation cuts
+      val result = cp.finish(gen.withColumn("v", $"v" * 2))
+      // the result roots at its own fresh cut; every superseded cut AND
+      // the pin are reclaimed — without this the checkpoint dir grows by
+      // O(input) per operator invocation
+      assert(rddDirs() == 1,
+        s"finish must reclaim superseded cuts and pins, got ${rddDirs()}")
+      // reading AFTER reclamation proves nothing lazy referenced them
+      assert(result.agg(org.apache.spark.sql.functions.sum("v"))
+        .head.getLong(0) == (11L to 60L).map(_ * 2).sum)
+      cp.release(deleteDurable = true)
+      assert(rddDirs() == 0, "release(deleteDurable) reclaims the result cut")
+      // keep withReliableDir's reliable-files assertion satisfied
+      LoopCheckpoint.forLoop(spark).pin(base)
+      ()
+    }
+  }
+
   test("missing checkpoint dir fails loudly; bad mode rejected") {
     spark.conf.set(LoopCheckpoint.ModeKey, "reliable")
     try {
