@@ -49,6 +49,15 @@ object Blocking {
     * EQUI-join on rank (each record explodes to its w successor ranks),
     * so the shuffle is O(n·w) and never nested-loop. Returns
     * (id_a, key_a, id_b, key_b) with id_a's rank below id_b's.
+    *
+    * Hot-key audit: the join key is the GLOBAL rank, which is unique by
+    * construction (globalRank's order includes the id tie-break and
+    * assigns row_number), so the build side has exactly one row per key
+    * and the probe side at most w (the ranks r-w..r-1 each emit r once)
+    * — per-key fan-out is bounded by the window parameter, independent
+    * of the data. No df cap or salting is needed here; skew cannot
+    * arise. Spec-pinned in BlockingSpec ("join-key fan-out is bounded
+    * by w").
     */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
       w: Int): DataFrame = {
@@ -111,9 +120,27 @@ object Blocking {
     * quadratic value space. O(n·|w|) keys, hash-shuffled; the pair
     * verify is the codegen'd `levenshtein`.
     *
+    * Hot-key posture: a deletion key's bucket holds the key's own value
+    * plus its present single-insertions — bounded by 1 + (|k|+1)·|Σ|
+    * in principle, but |Σ| is the live alphabet, so a short-token
+    * vocabulary (every 2-char word containing 'a' shares key "a") or a
+    * dense neighborhood puts thousands of values on one key, and the
+    * keys×keys candidate stage then runs one |bucket|² straggler task.
+    * Buckets past `maxBucket` are therefore SALTED, not capped — the
+    * candidate set is exactly the unsalted one (lossless; dropping keys
+    * would lose pairs): each hot key splits into g = ⌈bucket/maxBucket⌉
+    * hash groups and the join runs per (key, groupA, groupB) composite,
+    * so per-task join input is ≤ ~2·maxBucket rows and the |bucket|²
+    * verify volume spreads over g² tasks. Replication cost is g× on the
+    * hot keys only; cold keys (g = 1) pay one counting window. Worst-key
+    * probe: `Test/runMain graft.er.SymSpellProbe` (numbers in
+    * BASELINE.md).
+    *
     * Returns (a, b, dist) with a < b, dist ≤ 1, a ≠ b — distance-0
     * pairs cannot occur because values are deduplicated first. */
-  def symspellPairs(df: DataFrame, valueCol: String): DataFrame = {
+  def symspellPairs(df: DataFrame, valueCol: String,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
     val v = df.select(col(valueCol).cast("string").as("w"))
       .filter(col("w").isNotNull).distinct()
     val keys = v.select(col("w"), explode(array_distinct(concat(
@@ -121,8 +148,24 @@ object Blocking {
         transform(sequence(lit(0), length(col("w")) - 1), i =>
           concat(col("w").substr(lit(1), i),
             col("w").substr(i + 2, length(col("w")))))))).as("key"))
-    keys.select(col("key"), col("w").as("a"))
-      .join(keys.select(col("key"), col("w").as("b")), Seq("key"))
+    // per-key posting size -> salt-group count g (integer ceil; 1 = cold)
+    val salted = keys
+      .withColumn("__kc", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .withColumn("__g",
+        floor((col("__kc") + lit(maxBucket - 1L)) / lit(maxBucket.toLong))
+          .cast("int"))
+      .withColumn("__s", pmod(xxhash64(col("w")), col("__g")).cast("int"))
+    // two-sided skew split: a keeps its own group on the A axis and
+    // replicates across the B axis, b the reverse — every (a, b) pair of
+    // a key meets in EXACTLY one (key, sa, sb) composite, so multiplicity
+    // (and thus the distinct) is unchanged from the unsalted join.
+    val left = salted.select(col("key"), col("w").as("a"),
+      col("__s").as("__sa"),
+      explode(sequence(lit(0), col("__g") - 1)).as("__sb"))
+    val right = salted.select(col("key"), col("w").as("b"),
+      explode(sequence(lit(0), col("__g") - 1)).as("__sa"),
+      col("__s").as("__sb"))
+    left.join(right, Seq("key", "__sa", "__sb"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
       .select(col("a"), col("b"),

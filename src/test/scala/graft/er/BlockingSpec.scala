@@ -81,5 +81,65 @@ class BlockingSpec extends AnyFunSuite {
     // spot-check the trap: "ab" vs "ba" share deletion keys but lev=2
     assert(!got.exists { case (a, b, _) => a == "ab" && b == "ba" })
     assert(got.contains(("aab", "ab", 1L)))
+
+    // salting is LOSSLESS: maxBucket=1 forces every key into per-value
+    // salt groups (maximum split) — the pair set must be identical
+    val salted = Blocking.symspellPairs(vals.toDF("w"), "w", maxBucket = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(salted == want, "salted candidate join lost or invented pairs")
+  }
+
+  test("symspellPairs salted == unsalted on a hot-key corpus") {
+    // the VERDICT's adversarial shape: a short-token vocabulary where
+    // one deletion key ("a") collects the word "a" itself plus every
+    // 2-char word containing 'a' — the hot bucket the salting splits
+    val alphabet = ('a' to 'z').map(_.toString)
+    val vals = (alphabet.flatMap(x => Seq("a" + x, x + "a")) ++
+      Seq("a", "b", "ab", "ba", "aa") ++
+      alphabet.map(x => x + x)).distinct
+    val df = vals.toDF("w")
+    val base = Blocking.symspellPairs(df, "w")
+      .as[(String, String, Long)].collect().toSet
+    val salted = Blocking.symspellPairs(df, "w", maxBucket = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(salted == base && base.nonEmpty)
+    // brute-force ground truth on this corpus too
+    def lev1(a: String, b: String): Boolean = {
+      if (math.abs(a.length - b.length) > 1) false
+      else if (a.length == b.length) a.zip(b).count(t => t._1 != t._2) <= 1
+      else {
+        val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+        (0 to s.length).exists(i =>
+          l.substring(0, i) == s.substring(0, i) &&
+            l.substring(i + 1) == s.substring(i))
+      }
+    }
+    val want = (for {
+      i <- vals.indices; j <- (i + 1) until vals.size
+      if lev1(vals(i), vals(j))
+    } yield {
+      val (x, y) = if (vals(i) < vals(j)) (vals(i), vals(j))
+        else (vals(j), vals(i))
+      (x, y)
+    }).toSet
+    assert(base.map(t => (t._1, t._2)) == want)
+  }
+
+  test("sorted-neighborhood join-key fan-out is bounded by w") {
+    // the rank join key is unique on the build side, so the candidate
+    // join's worst per-key bucket is w probe rows + 1 build row — the
+    // skew audit for this blocking scheme (the bound is the window
+    // parameter, not a data property)
+    val df = (0 until 200).map(i => (i, s"k${i % 7}")).toDF("id", "k")
+    val w = 5
+    val ranked = Blocking.globalRank(df.select(col("id").as("__id"),
+      col("k").as("__key")), Seq(col("__key"), col("__id")))
+    val probes = ranked.select(
+      explode(sequence(col("rank") + 1, col("rank") + w)).as("rank"))
+    val worst = probes.groupBy("rank").count()
+      .agg(max("count")).head().getLong(0)
+    assert(worst <= w, s"probe-side fan-out $worst exceeds the window $w")
+    assert(ranked.groupBy("rank").count()
+      .agg(max("count")).head().getLong(0) == 1L, "rank must be unique")
   }
 }
