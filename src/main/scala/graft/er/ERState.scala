@@ -72,10 +72,15 @@ final class ERState private (
     val kind = samplerKind
     val seed = baseSeed
     val sweepIters = (iteration + 1) to it
+    // chaos hook (retry-determinism spec): resolved on the driver,
+    // inert unless the session opts in — see graft.core.Chaos
+    val chaosFail =
+      spark.conf.get(graft.core.Chaos.FailSweepKey, "false").toBoolean
 
     val next = clusters
       .groupByKey(_.partitionId)
       .flatMapGroups { (pid: Int, rows: Iterator[EntityCluster]) =>
+        if (chaosFail) graft.core.Chaos.failFirstAttempt(s"sweep pid=$pid")
         val rngs = sweepIters.map(j =>
           new SplittableRandom(Rng.seedFor(seed, j, pid.toLong)))
         GibbsKernel.sweepMany(rows.toArray, idxB.value, part, newTheta, rngs, kind)

@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object TestSpark {
+  // local[threads, maxFailures]: task retries ON (2 attempts) so the
+  // fault-injection specs can exercise retry determinism; tests that
+  // never fail a task are unaffected.
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     // same extension surface as production (Verify/Bench load it too)

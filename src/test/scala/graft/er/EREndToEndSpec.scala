@@ -286,6 +286,49 @@ class EREndToEndSpec extends AnyFunSuite {
     assert(a == b, "SMPC must not depend on input physical layout")
   }
 
+  test("injected first-attempt task failures leave the chain bit-identical") {
+    import spark.implicits._
+    // the retry-determinism claim, proven under an ACTUAL task failure:
+    // with spark.graft.test.failSweepOnce on, EVERY sweep task's first
+    // attempt throws (TaskContext.attemptNumber == 0 guard) and the
+    // local[4, 2] master retries it — the sweep is a pure function of
+    // (seed, iteration, partition), never of the attempt, so the full
+    // sampler e2e (checkpoint cadence included) must reproduce the
+    // no-failure chain exactly.
+    val rng = new java.util.SplittableRandom(5150L)
+    val rows = (0 until 60).map { e =>
+      (s"r$e", firstNames(rng.nextInt(firstNames.length)),
+        lastNames(rng.nextInt(lastNames.length)))
+    }
+    val df = rows.toDF("rec_id", "fname", "lname")
+    val specs = Seq(
+      AttributeSpec("fname", LevenshteinSimilarity(7.0, 10.0), BetaParams(0.5, 50.0)),
+      AttributeSpec("lname", ConstantSimilarity, BetaParams(0.5, 50.0)))
+
+    def chain(): (Seq[String], Seq[(Long, Double)]) = {
+      val init = ERState.initialize(spark, df, "rec_id", None, specs,
+        idx => KDTreePartitioner.fit(idx, Seq(0), 2), seed = 21L)
+      val res = Sampler.run(init, numSweeps = 8, burnIn = 2, thin = 2,
+        checkpointEvery = 3)
+      val smpc = Analysis.sharedMostProbableClusters(res.chain.get)
+        .select("records").as[Seq[String]].collect()
+        .map(_.sorted.mkString(",")).sorted.toSeq
+      (smpc, res.diagnostics.map(d => (d.iteration, d.logLikelihood)))
+    }
+
+    val base = chain()
+    val before = graft.core.Chaos.injected.get()
+    spark.conf.set(graft.core.Chaos.FailSweepKey, "true")
+    val faulted =
+      try chain()
+      finally spark.conf.unset(graft.core.Chaos.FailSweepKey)
+    // the fault genuinely fired (one per first sweep-task attempt)
+    assert(graft.core.Chaos.injected.get() > before,
+      "chaos hook never fired — the spec would be a no-op")
+    assert(faulted == base,
+      "chain under injected task retries diverged from the clean run")
+  }
+
   test("LPT-split partitions run the full sampler loop (small skewed domain)") {
     import spark.implicits._
     // split attribute with 5 values, one dominant: every KD node takes

@@ -136,6 +136,35 @@ class LoopCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable-mode graph loop under injected task failures == clean run") {
+    // every task that scans the RAW edge input throws on its first
+    // attempt (local[4, 2] retries it): the reliable loop's pin job and
+    // any stage that recomputes the input must come out bit-identical —
+    // the loop body is deterministic SQL, and the truncation machinery
+    // must be indifferent to which attempt materialized a cut.
+    import org.apache.spark.sql.functions.col
+    val base = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toSet
+    val chaoticEdges = edges.as[(Long, Long)].mapPartitions { it =>
+      graft.core.Chaos.failFirstAttempt("edge scan")
+      it
+    }.toDF("a", "b")
+    val before = graft.core.Chaos.injected.get()
+    val rel = withReliable {
+      ConnectedComponents.components(chaoticEdges)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(graft.core.Chaos.injected.get() > before,
+      "chaos hook never fired — the spec would be a no-op")
+    assert(rel == base && base.nonEmpty,
+      "reliable loop under injected task retries diverged from clean run")
+    // same injection through a local-mode loop for completeness
+    val before2 = graft.core.Chaos.injected.get()
+    val loc = ConnectedComponents.components(chaoticEdges)
+      .as[(Long, Long)].collect().toSet
+    assert(graft.core.Chaos.injected.get() > before2 && loc == base)
+  }
+
   test("finish() keeps only the result's durable cut; result stays readable") {
     withReliableDir { dir =>
       def rddDirs(): Long = {
