@@ -6,7 +6,10 @@ package graft
   *
   * Run: sbt "Test/runMain graft.QueryProfile q_dedup_minhash_lsh [more...]"
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
-  *      SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_EXPLAIN=1 to dump plans.
+  *      SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_EXPLAIN=1 to dump plans,
+  *      SPARK_GRAFT_RELIABLE=1 to run every query with
+  *      spark.graft.iterative.checkpoint=reliable (durable cuts under a
+  *      temp dir) — the reliable-vs-local overhead A/B for the loops.
   */
 object QueryProfile {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,13 @@ object QueryProfile {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-profile-ckpt").toString
+      spark.conf.set(graft.operators.LoopCheckpoint.ModeKey, "reliable")
+      spark.conf.set(graft.operators.LoopCheckpoint.DirKey, dir)
+      println(s"[profile] reliable checkpoint mode ON (dir=$dir)")
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val jobTrace = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
