@@ -120,6 +120,22 @@ object CoreProperties extends Properties("graft.core") {
       (masses(0) - masses(1)).abs <= ws.max
     }
 
+  // --- Beta sampler totality (r11 underflow fix, promoted) ---
+
+  private val shape: Gen[Double] = Gen.frequency(
+    4 -> Gen.choose(1e-3, 50.0),
+    1 -> Gen.oneOf(1e-300, 1e-12, 1e-6), // gamma-underflow territory
+    1 -> Gen.choose(50.0, 5e4))
+
+  property("nextBeta is total: always in [0,1], never NaN") =
+    forAll(shape, shape, Gen.long) { (a, b, seed) =>
+      val rng = new java.util.SplittableRandom(seed)
+      (0 until 20).forall { _ =>
+        val x = graft.core.Rng.nextBeta(rng, a, b)
+        x >= 0.0 && x <= 1.0 // NaN fails both
+      }
+    }
+
   // --- SymSpell deletion-key blocking (er/Blocking.symspellPairs) ---
 
   private def delKeys(w: String): Set[String] =
@@ -173,6 +189,151 @@ object CoreProperties extends Properties("graft.core") {
       val viaString = wrap(syms)
         .replace(S + l + S + S + r + S, S + l + r + S)
       viaString == wrap(greedyMerge(syms, l, r))
+    }
+}
+
+/** Properties for the bounded top-k aggregate state (r11 review-ledger
+  * invariant promoted to ScalaCheck): the NaN-ordering fix made the
+  * result a pure function of the SET of inputs — here pinned over
+  * random inputs including NaN, ±0.0 and ±∞, random insertion orders,
+  * random partition/merge shapes, and the serde round-trip. */
+object TopKProperties extends Properties("graft.functions.topk") {
+  import graft.functions.TopKState
+
+  private val score: Gen[Double] = Gen.frequency(
+    6 -> Gen.choose(-10.0, 10.0),
+    1 -> Gen.oneOf(Double.NaN, 0.0, -0.0,
+      Double.PositiveInfinity, Double.NegativeInfinity))
+  // ids are DISTINCT within a list — the aggregate's contract (id is a
+  // unique row key per group); with duplicate ids a 0.0/-0.0 tie pair
+  // would be bit-level order-dependent by construction
+  private val entries: Gen[List[(Double, Long)]] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, score))
+      .map(_.zipWithIndex.map { case (s, i) => (s, i.toLong) })
+  private val kGen: Gen[Int] = Gen.choose(1, 8)
+
+  private def build(k: Int, es: Seq[(Double, Long)]): TopKState = {
+    val st = new TopKState(k)
+    es.foreach { case (s, id) => st.insert(s, id) }
+    st
+  }
+  private def out(st: TopKState): Seq[(Double, Long)] =
+    (0 until st.n).map(i => (st.scores(i), st.ids(i)))
+  // the kernel's total order, restated independently: ties are == (so
+  // ±0.0 collapse) or both-NaN and break on id asc; otherwise
+  // Double.compare descending (NaN above every number)
+  private def refTopK(k: Int, es: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    es.sortWith { case ((s1, i1), (s2, i2)) =>
+      val tie = (s1 == s2) || (s1 != s1 && s2 != s2)
+      if (tie) i1 < i2 else java.lang.Double.compare(s1, s2) > 0
+    }.take(k)
+
+  private def sameEntries(a: Seq[(Double, Long)],
+      b: Seq[(Double, Long)]): Boolean =
+    a.length == b.length && a.zip(b).forall { case ((s1, i1), (s2, i2)) =>
+      i1 == i2 && (s1 == s2 || (s1 != s1 && s2 != s2)) &&
+        // ±0.0 must come out as the exact inserted value, not a collapse
+        java.lang.Double.doubleToLongBits(s1) ==
+          java.lang.Double.doubleToLongBits(s2)
+    }
+
+  property("insertion order never changes the result") =
+    forAll(kGen, entries, Gen.long) { (k, es, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(es)
+      sameEntries(out(build(k, es)), out(build(k, shuffled)))
+    }
+
+  property("state == reference sort-take-k") =
+    forAll(kGen, entries) { (k, es) =>
+      sameEntries(out(build(k, es)), refTopK(k, es))
+    }
+
+  property("merge of any partitioning == single build") =
+    forAll(kGen, entries, Gen.choose(1, 5), Gen.long) { (k, es, parts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val buckets = Array.fill(parts)(
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+      es.foreach(e => buckets(rnd.nextInt(parts)) += e)
+      val states = buckets.map(b => build(k, b.toSeq))
+      val merged = states.reduce { (a, b) =>
+        (0 until b.n).foreach(i => a.insert(b.scores(i), b.ids(i)))
+        a
+      }
+      sameEntries(out(merged), out(build(k, es)))
+    }
+
+  property("serde round-trips via the aggregate's codec") =
+    forAll(kGen, entries) { (k, es) =>
+      import graft.functions.TopKByScore
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val agg = TopKByScore(Literal(0.0), Literal(0L), k)
+      val st = build(k, es)
+      sameEntries(out(agg.deserialize(agg.serialize(st))), out(st))
+    }
+}
+
+/** String-comparator kernel properties (r11 review-ledger invariant
+  * promoted to ScalaCheck): the UTF-16 → code-point fixes mean every
+  * kernel must be invariant under an injective remap of the alphabet
+  * into the ASTRAL plane — with UTF-16 units the remap doubles every
+  * length and changes the result; with code points it cannot. */
+object StringKernelProperties extends Properties("graft.functions.strings") {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def u(s: String): UTF8String = UTF8String.fromString(s)
+  // injective map of a-e onto MATHEMATICAL BOLD CAPITALs (U+1D400+) —
+  // each target is one code point but TWO UTF-16 units
+  private def astral(s: String): String =
+    s.map(c => new String(Character.toChars(0x1D400 + (c - 'a')))).mkString
+
+  private val word: Gen[String] = for {
+    len <- Gen.choose(0, 10)
+    cs <- Gen.listOfN(len, Gen.choose('a', 'e')) // small alphabet: collisions
+  } yield cs.mkString
+
+  property("jaro-winkler: symmetric, bounded, self=1") =
+    forAll(word, word) { (a, b) =>
+      val s = graft.functions.JaroWinkler.sim(u(a), u(b), winkler = true)
+      val sym = graft.functions.JaroWinkler.sim(u(b), u(a), winkler = true)
+      s >= 0.0 && s <= 1.0 && s == sym &&
+        (a.isEmpty ||
+          graft.functions.JaroWinkler.sim(u(a), u(a), winkler = true) == 1.0)
+    }
+
+  property("winkler boost never decreases jaro") =
+    forAll(word, word) { (a, b) =>
+      graft.functions.JaroWinkler.sim(u(a), u(b), winkler = true) >=
+        graft.functions.JaroWinkler.sim(u(a), u(b), winkler = false)
+    }
+
+  property("jaro-winkler is code-point based (astral remap invariant)") =
+    forAll(word, word) { (a, b) =>
+      graft.functions.JaroWinkler.sim(u(a), u(b), winkler = true) ==
+        graft.functions.JaroWinkler.sim(u(astral(a)), u(astral(b)),
+          winkler = true)
+    }
+
+  property("levenshtein sim kernel is astral-remap invariant") =
+    forAll(word, word) { (a, b) =>
+      graft.functions.LevenshteinSim.sim(u(a), u(b), 5.0, 10.0) ==
+        graft.functions.LevenshteinSim.sim(u(astral(a)), u(astral(b)),
+          5.0, 10.0)
+    }
+
+  property("damerau distance is astral-remap invariant and symmetric") =
+    forAll(word, word) { (a, b) =>
+      val d = graft.functions.DamerauLevenshtein.distance(u(a), u(b))
+      d == graft.functions.DamerauLevenshtein.distance(
+        u(astral(a)), u(astral(b))) &&
+        d == graft.functions.DamerauLevenshtein.distance(u(b), u(a))
+    }
+
+  property("driver-side LevenshteinSimilarity == codegen kernel (astral too)") =
+    forAll(word, word) { (a, b) =>
+      val fn = LevenshteinSimilarity(5.0, 10.0)
+      fn.sim(astral(a), astral(b)) ==
+        graft.functions.LevenshteinSim.sim(u(astral(a)), u(astral(b)),
+          5.0, 10.0)
     }
 }
 
