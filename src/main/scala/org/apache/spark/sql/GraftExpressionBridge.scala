@@ -8,4 +8,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-computed RDD[InternalRow] with a known
+    * schema — the reverse of `queryExecution.toRdd`. Lets a driver-paced
+    * loop materialize a generation and read its count from the SAME
+    * action (rdd.localCheckpoint() + rdd.count()) instead of paying a
+    * separate count job per round, then keep planning against the
+    * result relationally. Rows must be safe to retain (copy unsafe rows
+    * before caching). */
+  def ofInternalRows(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
