@@ -271,12 +271,17 @@ object AttributeIndex {
     val n = values.length
     val utf8 = values.map(UTF8String.fromString)
     val nbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+    // lengths in CODE POINTS: the similarity kernel is code-point based,
+    // so d >= |Δlen| (the gap bound's soundness) only holds in that
+    // unit — a UTF-16 length difference can exceed the edit distance
+    // on astral characters and silently prune a real neighbor pair
+    val cpLen = values.map(v => v.codePointCount(0, v.length))
     var i = 0
     while (i < n) {
-      val li = values(i).length
+      val li = cpLen(i)
       var j = i + 1
       while (j < n) {
-        val lj = values(j).length
+        val lj = cpLen(j)
         val shorter = math.min(li, lj)
         val gap = lev.maxLengthGap(shorter)
         if (math.abs(li - lj) <= math.min(gap, 64)) {
@@ -311,8 +316,12 @@ object AttributeIndex {
     import spark.implicits._
 
     val n = values.length
+    // lengths in CODE POINTS (driver-computed, carried through the join
+    // so both sides compare the same unit): the gap bound is only sound
+    // in the similarity kernel's unit — see buildNeighborsLocal
     val vals = spark.createDataset(
-      values.zipWithIndex.map { case (v, i) => (i, v, v.length) }.toSeq)
+      values.zipWithIndex.map { case (v, i) =>
+        (i, v, v.codePointCount(0, v.length)) }.toSeq)
       .toDF("vid", "value", "len")
 
     // Each value emits candidate lengths [len, len + gap]; joining on the
@@ -339,10 +348,10 @@ object AttributeIndex {
     // drop those whose shorter value has the larger id. EQUAL-length
     // pairs arrive in both orientations, so the id-order dedup applies
     // to them alone: each surviving row is unique, the similarity kernel
-    // runs once per pair, and no distinct() shuffle is needed. Both sides
-    // of the equal-length test use the SAME driver-side UTF-16 length
-    // (lena/lenb) — Spark's length() counts code points, which diverges
-    // on astral characters and would let both orientations through.
+    // runs once per pair, and no distinct() shuffle is needed. Both
+    // sides of the equal-length test use the SAME driver-computed
+    // length column (lena/lenb) — recomputing one side with a different
+    // unit once let both orientations through, duplicating pairs.
     val pairs = a.join(b, col("candLen") === col("lenb"))
       .filter(col("lena") =!= col("lenb") ||
         col("vida") < col("vidb"))

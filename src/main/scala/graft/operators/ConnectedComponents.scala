@@ -36,6 +36,19 @@ object ConnectedComponents {
     * component is the minimum node id reachable. */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val cp = LoopCheckpoint.forLoop(edges.sparkSession)
+    cp.finish(componentsWith(edges, cp, maxIter))
+  }
+
+  /** The same loop run inside a CALLER's truncator (an operator that
+    * embeds components as a stage — dbscan): every intermediate cut and
+    * pin is tracked THERE, so the caller's own finish() reclaims them.
+    * The result is deliberately NOT sealed here — it stays lazy over
+    * the loop's last cut, and the caller's finish() materializes its
+    * final frame before any reclamation. A standalone components() call
+    * would otherwise orphan its result cut under the checkpoint dir in
+    * reliable mode every time it runs nested (no surviving tracker). */
+  private[graft] def componentsWith(edges: DataFrame,
+      cp: LoopCheckpoint.Truncator, maxIter: Int = 20): DataFrame = {
     // ONE eager materialization of the edge list: runs the (possibly
     // expensive) upstream derivation — e.g. an LSH candidate+verify
     // pipeline — exactly once, and replaces its logical plan with a
@@ -79,6 +92,6 @@ object ConnectedComponents {
     }
     require(changed == 0,
       s"connected components did not converge in $maxIter iterations")
-    cp.finish(labels.select(col("id"), col("comp")))
+    labels.select(col("id"), col("comp"))
   }
 }

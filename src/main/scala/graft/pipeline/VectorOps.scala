@@ -761,7 +761,10 @@ object VectorOps {
       .join(coreIds.select(col("__id").as("a")), "a")
       .join(coreIds.select(col("__id").as("b")), "b")
       .select(col("a"), col("b"))
-    val comps = graft.operators.ConnectedComponents.components(coreEdges)
+    // nested loop shares THIS truncator so cp.finish below reclaims its
+    // cuts too (a standalone components() would orphan its result cut)
+    val comps =
+      graft.operators.ConnectedComponents.componentsWith(coreEdges, cp)
     // core points keep their component (isolated cores self-cluster);
     // border points adopt the min adjacent core cluster; rest is noise
     val coreCluster = coreIds

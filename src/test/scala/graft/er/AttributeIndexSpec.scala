@@ -127,6 +127,32 @@ class AttributeIndexSpec extends AnyFunSuite {
     assert(ln(a).nonEmpty && dn(a).length == 1)
   }
 
+  test("length-gap prune is code-point sound (astral pairs not dropped)") {
+    // "abcdefghij" (10 code points = 10 UTF-16 units) vs six astral
+    // chars + "abcdefghij" (16 code points but 22 UTF-16 units): edit
+    // distance 6, sim > 0 at θ=5 — a REAL neighbor pair. The gap bound
+    // maxLengthGap(10) = 10 covers the code-point diff (6) but not the
+    // UTF-16 diff (12), so a UTF-16-length prune silently drops the
+    // pair from BOTH the local and the distributed build — invisible to
+    // their parity check, only brute force catches it.
+    val fn = LevenshteinSimilarity(5.0, 10.0)
+    val astral6 = (0 until 6).map(i =>
+      new String(Character.toChars(0x1D400 + i))).mkString
+    val values = Array("abcdefghij", astral6 + "abcdefghij", "zzz").sorted
+    assert(fn.sim(values.find(_.length == 10).get,
+      values.find(_.length == 22).get) > 0.0) // the pair really qualifies
+    val (ln, _) = AttributeIndex.buildNeighborsLocal(values, fn)
+    val (dn, _) = AttributeIndex.buildNeighbors(spark, values, fn)
+    for (i <- values.indices) {
+      val expected = values.indices
+        .filter(j => j != i && fn.sim(values(i), values(j)) > 0.0)
+      assert(ln(i).toSeq == expected,
+        s"local build vs brute force for ${values(i)}")
+      assert(dn(i).toSeq == expected,
+        s"distributed build vs brute force for ${values(i)}")
+    }
+  }
+
   test("simNorm equals direct sum over the domain") {
     val fn = LevenshteinSimilarity(5.0, 10.0)
     val idx = AttributeIndex.build(spark, statesDf, 0,

@@ -327,6 +327,13 @@ class EREndToEndSpec extends AnyFunSuite {
       "chaos hook never fired — the spec would be a no-op")
     assert(faulted == base,
       "chain under injected task retries diverged from the clean run")
+    // hygiene: local[4, 2]'s retry budget exists FOR this spec — it must
+    // not have silently absorbed a one-shot non-chaos crash anywhere in
+    // the suite so far (TestSpark's listener counts masked retries in
+    // jobs that ultimately succeeded; deliberate intercept-failures fail
+    // both attempts and don't count)
+    assert(graft.TestSpark.maskedRetries.get() == 0,
+      "a non-chaos task failure was silently retried somewhere in the suite")
   }
 
   test("LPT-split partitions run the full sampler loop (small skewed domain)") {

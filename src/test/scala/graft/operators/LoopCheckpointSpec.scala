@@ -163,6 +163,10 @@ class LoopCheckpointSpec extends AnyFunSuite {
     val loc = ConnectedComponents.components(chaoticEdges)
       .as[(Long, Long)].collect().toSet
     assert(graft.core.Chaos.injected.get() > before2 && loc == base)
+    // hygiene: the retry budget must not have masked a one-shot
+    // NON-chaos crash anywhere in the suite so far (see TestSpark)
+    assert(graft.TestSpark.maskedRetries.get() == 0,
+      "a non-chaos task failure was silently retried somewhere in the suite")
   }
 
   test("finish() keeps only the result's durable cut; result stays readable") {
