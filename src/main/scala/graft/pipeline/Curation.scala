@@ -54,25 +54,29 @@ object Curation {
       .select(col("docId"), col("clean_hash"), col("lang"), col("quality"))
   }
 
-  /** Per-group score cutoffs that keep (at least) the top `keepFrac`
-    * fraction of each group: cutoff = the ⌊keepFrac·n⌋-th largest score
+  /** Per-group score cutoffs that keep AT LEAST the top `keepFrac`
+    * fraction of each group: cutoff = the ⌈keepFrac·n⌉-th largest score
     * (an order statistic, NOT an interpolated quantile — value-based,
     * so it is exact and tie-stable across engines: permuting equal
-    * scores never changes the k-th largest VALUE). Rows with
+    * scores never changes the k-th largest VALUE). Ceil, not floor:
+    * floor(10·0.25) = 2 keeps 20% < the promised 25%. Rows with
     * score == cutoff all survive, so ties can keep slightly more than
-    * the target fraction — the deterministic choice.
-    * Returns (group, n_total, cutoff). */
+    * the target fraction — the deterministic choice. NaN scores are
+    * EXCLUDED before ranking (Spark orders NaN above every number, so
+    * one NaN score would otherwise become the cutoff and the keep
+    * filter would then drop the whole group); n_total counts the
+    * rankable rows. Returns (group, n_total, cutoff). */
   def groupScoreCutoffs(docs: DataFrame, groupCol: String,
       scoreCol: String, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1], got $keepFrac")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
     docs
+      .filter(!isnan(col(scoreCol).cast("double")))
       .withColumn("__rn",
         row_number().over(w.orderBy(col(scoreCol).desc)))
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rn") ===
-        greatest(floor(col("__n") * keepFrac).cast("long"), lit(1L)))
+      .filter(col("__rn") === ceil(col("__n") * keepFrac).cast("long"))
       .select(col(groupCol), col("__n").as("n_total"),
         col(scoreCol).as("cutoff"))
   }
@@ -88,7 +92,9 @@ object Curation {
         broadcast(groupScoreCutoffs(docs, groupCol, scoreCol, keepFrac)
           .select(col(groupCol), col("cutoff"))),
         groupCol)
-      .filter(col(scoreCol) >= col("cutoff"))
+      // NaN scores must not survive: Spark orders NaN ABOVE the cutoff
+      .filter(!isnan(col(scoreCol).cast("double")) &&
+        col(scoreCol) >= col("cutoff"))
 
   /** Percentile-rank normalization within each group: append
     * `pct_rank` ∈ [0, 1] — `(rank-1)/(n-1)`, ties sharing a rank — so

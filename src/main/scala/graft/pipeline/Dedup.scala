@@ -105,18 +105,44 @@ object Dedup {
       bands, rowsPerBand)
 
   /** Candidate pairs from LSH buckets (distinct, canonicalized a < b).
-    * The self-join shuffles once on the bucket key; bucket skew is bounded
-    * because identical signatures collapse to identical hashes. */
+    * The self-join shuffles once on the bucket key. A template-heavy
+    * corpus lands MANY docs in one (band, bandHash) bucket; |bucket|²
+    * pairs ARE the LSH candidate semantics, but an uncapped self-join
+    * runs them as ONE straggler task — buckets past `maxBucket` are
+    * therefore SALTED exactly like `Blocking.symspellPairs` (two-sided
+    * hash split into g = ⌈bucket/maxBucket⌉ groups per axis; every pair
+    * of a bucket meets in exactly one (bucket, ga, gb) composite, so
+    * the candidate set is unchanged — lossless, unlike a df cap, and
+    * the per-task join input is bounded by ~2·maxBucket rows). */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
     // both sides of the self-join consume the band table — materialize it
     // once instead of recomputing the signatures per side (at scale this
     // is the natural checkpoint of the dedup pipeline)
+    // eager localCheckpoint (GC-reclaimed), not persist: the returned
+    // pair plan stays lazy over this frame and no caller can unpersist it
     val b = lshBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = b.toDF("a", "band", "bandHash")
-    val r = b.toDF("b", "band", "bandHash")
-    l.join(r, Seq("band", "bandHash"))
+      .localCheckpoint(true)
+      .toDF("docId", "band", "bandHash")
+    val salted = b
+      .withColumn("__kc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bandHash"))))
+      .withColumn("__g",
+        floor((col("__kc") + lit(maxBucket - 1L)) / lit(maxBucket.toLong))
+          .cast("int"))
+      .withColumn("__s",
+        pmod(xxhash64(col("docId")), col("__g")).cast("int"))
+    val l = salted.select(col("docId").as("a"), col("band"),
+      col("bandHash"), col("__s").as("__sa"),
+      explode(sequence(lit(0), col("__g") - 1)).as("__sb"))
+    val r = salted.select(col("docId").as("b"), col("band"),
+      col("bandHash"),
+      explode(sequence(lit(0), col("__g") - 1)).as("__sa"),
+      col("__s").as("__sb"))
+    l.join(r, Seq("band", "bandHash", "__sa", "__sb"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
@@ -175,7 +201,9 @@ object Dedup {
     val hs = fanOut(docs).select(col(idCol).as("docId"),
         array_distinct(transform(shingles(col(textCol), shingleSize),
           s => md5Long(s))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint (GC-reclaimed), not persist — see
+      // lshCandidatePairs; the result plan stays lazy over this frame
+      .localCheckpoint(true)
     val sizes = hs.select(col("docId"), size(col("hs")).cast("long").as("n"))
     val ex = hs.select(col("docId"), explode(col("hs")).as("h"))
     val kept = ex.join(

@@ -393,7 +393,9 @@ object Multimodal {
       while (o + 8 <= to) {
         val id = rdCc(payload, o)
         val size = rdLe32(payload, o + 4)
-        if (size < 0 || o + 8 + size > to) return
+        // Long arithmetic: a crafted size near Int.MaxValue would wrap
+        // o + 8 + size negative and bypass the bounds check
+        if (size < 0 || o.toLong + 8L + size.toLong > to.toLong) return
         if (id == "LIST") walk(o + 12, o + 8 + size)
         else if (id == "strf" && size >= 40) {
           w = rdLe32(payload, o + 8 + 4)
@@ -406,7 +408,10 @@ object Multimodal {
     }
     walk(12, payload.length)
     val fs = frames.result()
-    if (w <= 0 || h <= 0 || compression != 0 ||
+    // zero-frame containers are quarantined too: the frame-sampling
+    // stats index frames(0), and an "AVI" with no video data is not a
+    // decodable video under the drop/None contract
+    if (w <= 0 || h <= 0 || compression != 0 || fs.isEmpty ||
       fs.exists(_.length < dibStride(w) * h)) None
     else Some((w, h, fs))
   }
@@ -467,7 +472,9 @@ object Multimodal {
       while (o + 8 <= to) {
         val id = rdCc(payload, o)
         val size = rdLe32(payload, o + 4)
-        if (size < 0 || o + 8 + size > to) return
+        // Long arithmetic: a crafted size near Int.MaxValue would wrap
+        // o + 8 + size negative and bypass the bounds check
+        if (size < 0 || o.toLong + 8L + size.toLong > to.toLong) return
         if (id == "LIST") walk(o + 12, o + 8 + size)
         else if (id == "strf" && size >= 40) {
           w = rdLe32(payload, o + 8 + 4)
@@ -479,10 +486,15 @@ object Multimodal {
       }
     }
     walk(12, payload.length)
-    if (w <= 0 || h <= 0 || compression != MjpgFourcc) None
+    if (w <= 0 || h <= 0 || compression != MjpgFourcc ||
+      frames.result().isEmpty) None
     else {
       val decoded = frames.result().map(decodeImage)
-      if (decoded.exists(_.isEmpty)) None
+      // a frame decoded SMALLER than the strf header's dimensions would
+      // blow up the stats loop (it scans the header's w x h) — the
+      // container is inconsistent, quarantine it like a failed decode
+      if (decoded.exists(_.isEmpty) ||
+        decoded.exists(d => d.get.getWidth < w || d.get.getHeight < h)) None
       else Some((w, h, decoded.map(_.get)))
     }
   }

@@ -62,7 +62,9 @@ object Sampling {
       .filter(length(col("__tok")) > 0)
       .select(col("__id"), col("__t"),
         pmod(Dedup.md5Long(col("__tok")), lit(buckets.toLong)).as("__b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint (GC-reclaimed), not persist — the returned
+      // weight plan stays lazy over this frame (see Dedup.lshCandidatePairs)
+      .localCheckpoint(true)
     // both bucket LMs in one aggregate over <= buckets rows
     val counts = toks.groupBy(col("__b"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
@@ -266,9 +268,16 @@ object Sampling {
       weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
       "mixture weights must be in [0, 1]")
-    val wcol = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, p)) =>
-      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    // thresholds quantized on the DRIVER with math.round, like
+    // upsampleByGroup: (w * 10000).cast(long) at query time TRUNCATES
+    // the IEEE product (0.57 * 10000 = 5699.999…), dropping bucket 5699
+    // and breaking the documented "survives iff bucket < weight·10000"
+    // replay contract — no float math at query time
+    def thresh(w: Double): Long = math.round(w * 10000.0)
+    val wcol = weights.foldLeft(lit(thresh(defaultWeight))) {
+      case (acc, (g, p)) =>
+        when(col(groupCol) === g, lit(thresh(p))).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol), 10000) < (wcol * 10000).cast("long"))
+    df.filter(hashBucket(col(idCol), 10000) < wcol)
   }
 }

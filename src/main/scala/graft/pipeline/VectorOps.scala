@@ -252,7 +252,10 @@ object VectorOps {
     import spark.implicits._
     val c = graft.Tables.fanOut(corpus)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
-    var cen: DataFrame = c.filter(col("cid") < k)
+    // the k lowest IDS, not ids < k: a 1-based or offset id space would
+    // otherwise silently train on fewer (or zero) centroids. TopK limit
+    // k is a TakeOrderedAndProject — no global sort at any corpus size.
+    var cen: DataFrame = c.orderBy(col("cid")).limit(k)
       .select(col("cid").as("cenId"),
         transform(col("cvec"), x => x.cast("double")).as("cenVec"))
     for (_ <- 1 to iters) {
@@ -357,6 +360,12 @@ object VectorOps {
     cands
       .join(vCand.toDF("a", "va", "na"), "a")
       .join(vCand.toDF("b", "vb", "nb"), "b")
+      // zero-norm vectors (padding rows, failed encodes) have UNDEFINED
+      // cosine: 0/0 = NaN, which Spark's comparison orders ABOVE every
+      // number, so an unguarded filter would emit the bogus pair (and
+      // the streaming matcher's BigDecimal round would crash on it) —
+      // they match nothing instead, on both paths
+      .filter(col("na") > 0.0 && col("nb") > 0.0)
       .select(col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cosine"))

@@ -3468,7 +3468,7 @@ object Pipeline {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents),
         |c AS (SELECT lang, n_chars AS cutoff FROM r
-        |      WHERE rn = greatest(CAST(floor(n * 0.25) AS BIGINT), 1))
+        |      WHERE rn = CAST(ceil(n * 0.25) AS BIGINT))
         |SELECT d.lang, count(*) AS n_kept,
         |  min(d.n_chars) AS min_kept_chars,
         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars

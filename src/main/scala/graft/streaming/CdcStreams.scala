@@ -58,8 +58,14 @@ object CdcStreams {
     * partition; commit cost is per-store, and the sf-scale key count
     * doesn't need 32) — at real scale the knob goes UP with state
     * volume instead. */
-  def runStreamingMergeOnce(spark: SparkSession, sfDir: String,
+  def runStreamingMergeOnce(parent: SparkSession, sfDir: String,
       queryName: String): StreamingQuery = {
+    // isolated session (the package invariant): sources AND the query
+    // live on a private newSession with the shuffle pin applied there —
+    // mutating the SHARED session's shuffle-partition conf, even
+    // try/finally-restored, races every concurrent batch plan and
+    // stream start in the window
+    val spark = StreamConf.isolated(parent)
     import spark.implicits._
     val fileSchema = spark.read.parquet(s"$sfDir/orders.parquet").schema
     def ordersStream: DataFrame = spark.readStream.schema(fileSchema)
@@ -85,14 +91,11 @@ object CdcStreams {
         lit(1L).as("version"), lit("U").as("op"))
     val feed = snap.unionByName(del).unionByName(upd).unionByName(ins)
       .as[OrderChange]
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StreamConf.publish(parent, spark, queryName,
       latestPerKey[OrderChange](feed, _.o_orderkey, _.version)
         .writeStream.outputMode(OutputMode.Update)
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        .start())
   }
 }

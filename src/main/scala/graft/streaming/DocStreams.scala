@@ -145,7 +145,13 @@ object DocStreams {
           def hit(x: (Long, Array[Float]),
               y: (Long, Array[Float])): Option[EmbeddingHit] = {
             if (x._1 == y._1) return None
-            val c = BigDecimal(dot(x._2, y._2) / (norm(x._2) * norm(y._2)))
+            // zero-norm vectors have undefined cosine and match nothing
+            // (the batch path filters them identically); unguarded, the
+            // 0/0 = NaN would crash BigDecimal's round here
+            val nx = norm(x._2)
+            val ny = norm(y._2)
+            if (nx == 0.0 || ny == 0.0) return None
+            val c = BigDecimal(dot(x._2, y._2) / (nx * ny))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
             if (c >= minCosine)
               Some(EmbeddingHit(math.min(x._1, y._1), math.max(x._1, y._1), c))

@@ -35,26 +35,57 @@ object EventStreams {
         col("n"), col("sum_value"))
 
   /** Per-user session aggregation with explicit state: a session closes
-    * after `gapMs` of event-time inactivity (flushed on timeout or at
-    * stream end). Demonstrates KeyValueGroupedDataset.flatMapGroupsWithState
-    * — the engine's custom-stateful-operator surface. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
+    * after `gapMs` of event-time inactivity. The open tail is FLUSHED by
+    * an event-time TIMEOUT — once the watermark passes lastEvent + gap,
+    * no event can reopen the session, so it emits and its state drops
+    * (NoTimeout would hold every user's final session forever and
+    * diverge from the batch kernel). Sessions still inside the final
+    * watermark horizon stay open — inherent streaming semantics. On a
+    * BATCH dataset (where timeouts never fire) it degrades to the
+    * sessionizeBatch semantics instead: open tails emitted directly.
+    * Demonstrates KeyValueGroupedDataset.flatMapGroupsWithState — the
+    * engine's custom-stateful-operator surface. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events
+    def summary(userId: Long, s: List[(Long, Double)]) =
+      SessionSummary(userId, s.length,
+        math.round(s.map(_._2).sum * 100.0) / 100.0,
+        s.head._1, s.last._1)
+    if (!events.isStreaming)
+      events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+        val all = evs.map(e => (e.ts.getTime, e.value)).toList.sortBy(_._1)
+        val (closed, open) = splitSessions(all, gapMs)
+        (closed ++ (if (open.nonEmpty) List(open) else Nil)).iterator
+          .map(s => summary(userId, s))
+      }
+    else events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[(Long, Double)], SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, evs, state: GroupState[List[(Long, Double)]]) =>
-          // micro-batch arrival: fold new events into per-user event list,
-          // emit every closed session (gap exceeded between sorted events)
-          val incoming = evs.map(e => (e.ts.getTime, e.value)).toList
-          val all = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(_._1)
-          val (closed, open) = splitSessions(all, gapMs)
-          state.update(open)
-          closed.iterator.map { s =>
-            SessionSummary(userId, s.length,
-              math.round(s.map(_._2).sum * 100.0) / 100.0,
-              s.head._1, s.last._1)
+          if (state.hasTimedOut) {
+            // the watermark passed lastEvent + gap: the session IS closed
+            val open = state.get
+            state.remove()
+            Iterator.single(summary(userId, open))
+          } else {
+            // micro-batch arrival: fold new events into per-user event
+            // list, emit every closed session (gap exceeded between
+            // sorted events), re-arm the timeout for the open tail
+            val incoming = evs.map(e => (e.ts.getTime, e.value)).toList
+            val all = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(_._1)
+            val (closed, open) = splitSessions(all, gapMs)
+            if (open.nonEmpty) {
+              state.update(open)
+              // a late-arriving tail may already sit behind the
+              // watermark; the timeout must not (Spark rejects it) —
+              // clamp to just past the current watermark
+              state.setTimeoutTimestamp(math.max(open.last._1 + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            closed.iterator.map(s => summary(userId, s))
           }
       }
   }

@@ -63,6 +63,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.count() == 60L * 59 / 2 + 1)
   }
 
+  test("lshCandidatePairs salting is lossless on a hot-bucket corpus") {
+    // 40 template docs share almost every shingle, so whole bands
+    // collide into a handful of hot (band, bandHash) buckets — the
+    // straggler shape the two-sided salt splits. maxBucket=3 forces
+    // multi-group salting on every hot bucket; the candidate set must
+    // be IDENTICAL to the unsalted join (losslessness, like
+    // Blocking.symspellPairs).
+    val tpl = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val base = Dedup.lshCandidatePairs(tpl, "doc_id", "text", 3, 8, 4,
+      maxBucket = Int.MaxValue).as[(Long, Long)].collect().toSet
+    val salted = Dedup.lshCandidatePairs(tpl, "doc_id", "text", 3, 8, 4,
+      maxBucket = 3).as[(Long, Long)].collect().toSet
+    assert(base.size == 40 * 39 / 2, s"identical docs must all pair: ${base.size}")
+    assert(salted == base, "salted candidate join lost or invented pairs")
+  }
+
   test("simhash: identical docs distance 0, similar small, unrelated large") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
@@ -383,8 +401,8 @@ class PipelineSpec extends AnyFunSuite {
       ("a", 5L, 7), ("a", 6L, 6), ("a", 7L, 5), ("a", 8L, 4),
       ("b", 9L, 100))
       .toDF("grp", "id", "score")
-    // group a: n=8, keep 25% → cutoff = 2nd largest = 9 → ids 1,2
-    // group b: n=1, floor(0.25)=0 → clamped to rank 1 → keeps its row
+    // group a: n=8, keep 25% → cutoff = ceil(2.0) = 2nd largest = 9 → ids 1,2
+    // group b: n=1, ceil(0.25) = 1 → keeps its row
     val kept = Curation.keepTopFraction(df, "grp", "score", 0.25)
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 9L))
@@ -393,6 +411,19 @@ class PipelineSpec extends AnyFunSuite {
     val half = Curation.keepTopFraction(df.filter(col("grp") === "a"),
       "grp", "score", 0.5).count()
     assert(half == 4L)
+    // "at least the fraction": n=10 at 25% must keep ceil(2.5) = 3 rows
+    // (floor would keep 2 = 20%, under-delivering the contract)
+    val ten = (1 to 10).map(i => ("c", i.toLong, 100 - i))
+      .toDF("grp", "id", "score")
+    assert(Curation.keepTopFraction(ten, "grp", "score", 0.25).count() == 3L)
+    // a NaN score must neither become the cutoff (it would drop the
+    // whole group: Spark ranks NaN above every number) nor survive the
+    // keep filter itself
+    val withNaN = Seq(("d", 1L, Double.NaN), ("d", 2L, 0.9), ("d", 3L, 0.8),
+      ("d", 4L, 0.7), ("d", 5L, 0.6)).toDF("grp", "id", "score")
+    val keptNaN = Curation.keepTopFraction(withNaN, "grp", "score", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(keptNaN == Set(2L), s"NaN mishandled: $keptNaN")
   }
 
   test("curation pass: cleans, filters language and quality, dedups") {

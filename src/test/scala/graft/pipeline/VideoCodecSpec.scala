@@ -41,6 +41,30 @@ class VideoCodecSpec extends AnyFunSuite {
       Multimodal.encodeWavPcm16(Array.fill(16)(0.toShort), 8000f)).isEmpty)
   }
 
+  test("degenerate AVIs quarantine (None), never throw") {
+    // zero-frame container: videoStats would index frames(0)
+    val empty = Multimodal.encodeAviDib(8, 8, nFrames = 0, px)
+    assert(Multimodal.decodeAviDib(empty).isEmpty)
+    assert(Multimodal.videoStats(1L, empty, n = 2).isEmpty)
+    val emptyMj = Multimodal.encodeAviMjpeg(8, 8, nFrames = 0, px)
+    assert(Multimodal.decodeAviMjpeg(emptyMj).isEmpty)
+    assert(Multimodal.mjpegVideoStats(1L, emptyMj, n = 2).isEmpty)
+    // chunk size near Int.MaxValue: Int arithmetic would wrap the
+    // bounds check negative and copyOfRange would throw
+    val hostile = Multimodal.encodeAviDib(4, 4, nFrames = 1, px).clone()
+    // find a 00db chunk and poison its size field (little-endian)
+    val idx = {
+      val pat = "00db".getBytes
+      (0 until hostile.length - 4).find(i =>
+        hostile.slice(i, i + 4).sameElements(pat)).get
+    }
+    hostile(idx + 4) = 0xfc.toByte
+    hostile(idx + 5) = 0xff.toByte
+    hostile(idx + 6) = 0xff.toByte
+    hostile(idx + 7) = 0x7f.toByte
+    assert(Multimodal.videoStats(1L, hostile, n = 2).isEmpty)
+  }
+
   test("videoStats samples the evenly spaced frame indices exactly") {
     val (w, h, nf) = (4, 4, 5)
     val avi = Multimodal.encodeAviDib(w, h, nf, px)

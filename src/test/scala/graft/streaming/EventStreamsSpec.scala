@@ -166,7 +166,7 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(open == List((99999L, 5.0)))
   }
 
-  test("sessionize emits closed sessions (batch-driven)") {
+  test("sessionize emits closed sessions AND open tails (batch-driven)") {
     import spark.implicits._
     val evs = Seq(
       EventStreams.Event(1, new java.sql.Timestamp(0L), 1L, "a", 1.0),
@@ -175,11 +175,69 @@ class EventStreamsSpec extends AnyFunSuite {
       EventStreams.Event(4, new java.sql.Timestamp(5000L), 2L, "b", 8.0))
       .toDS()
     val sessions = EventStreams.sessionize(evs, gapMs = 60 * 1000L).collect()
-    // user 1: first session (2 events) closed by the 10h-later event;
-    // the trailing singletons stay open and are not emitted
-    assert(sessions.length == 1)
-    val s = sessions.head
-    assert(s.user_id == 1L && s.nEvents == 2 && s.totalValue == 3.0)
+      .sortBy(s => (s.user_id, s.startTs))
+    // batch semantics == sessionizeBatch: user 1's first session (2
+    // events) closed by the 10h-later event, PLUS the trailing open
+    // singletons of both users (timeouts don't exist in batch, so the
+    // tails flush directly — same rows the batch kernel emits)
+    assert(sessions.length == 3)
+    assert(sessions(0).user_id == 1L && sessions(0).nEvents == 2 &&
+      sessions(0).totalValue == 3.0)
+    assert(sessions(1).user_id == 1L && sessions(1).nEvents == 1)
+    assert(sessions(2).user_id == 2L && sessions(2).nEvents == 1)
+  }
+
+  test("sessionize (streaming) flushes the open session via event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // 10s watermark delay, 60s gap
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 60 * 1000L,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sess_timeout_spec")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, ms: Long, user: Long) =
+        EventStreams.Event(id, new java.sql.Timestamp(ms), user, "a", 1.0)
+      // batch 1: two events 10s apart (one open session). NOTE the
+      // offset from t=0: stateful operators late-filter rows at or
+      // below the current watermark, and the INITIAL watermark is 0 —
+      // a t=0 event would be dropped before the kernel ever saw it.
+      input.addData(ev(1, 100000L, 1L), ev(2, 110000L, 1L))
+      q.processAllAvailable()
+      // batch 2: an event 10 HOURS later — the session kernel closes the
+      // first session immediately (gap exceeded within the key's list),
+      // and the watermark jump also passes its timeout
+      input.addData(ev(3, 10L * 3600 * 1000, 1L))
+      q.processAllAvailable()
+      // batch 3: 20 hours (user 2) — ADVANCES the watermark past
+      // 10h + gap; the timeout itself fires on the NEXT batch, which is
+      // how event-time timeouts work (watermark updates at batch end)
+      input.addData(ev(4, 20L * 3600 * 1000, 2L))
+      q.processAllAvailable()
+      // batch 4: triggers processing under the advanced watermark — the
+      // 10h OPEN session of user 1 must flush via the TIMEOUT path
+      // (nothing touches user 1 in this batch); user 2's 20h singleton
+      // closes by gap within its own list
+      input.addData(ev(5, 30L * 3600 * 1000, 2L))
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout_spec")
+        .as[EventStreams.SessionSummary].collect()
+        .sortBy(s => (s.user_id, s.startTs))
+      // [100s, 110s] closed by gap; 10h singleton closed by TIMEOUT;
+      // user 2's 20h singleton closed by gap; 30h still open
+      assert(got.length == 3, s"got ${got.toSeq}")
+      assert(got(0).user_id == 1L && got(0).nEvents == 2 &&
+        got(0).startTs == 100000L && got(0).endTs == 110000L)
+      assert(got(1).user_id == 1L && got(1).nEvents == 1 &&
+        got(1).startTs == 10L * 3600 * 1000)
+      assert(got(2).user_id == 2L && got(2).nEvents == 1 &&
+        got(2).startTs == 20L * 3600 * 1000)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_timeout_spec")
+    }
   }
 
   for (flavor <- Seq("ltz", "ntz"))
