@@ -32,14 +32,23 @@ object Sketches {
     var j = 0
     val m = arr.numElements()
     while (j < m) {
-      // null slots are SKIPPED, matching the column-algebra form
-      // (array_min over transform ignores null elements)
       if (!arr.isNullAt(j)) {
         val h = arr.getLong(j)
         var i = 0
         while (i < n) {
           val v = XXH64.hashLong(h, seeds(i))
           if (v < out(i)) out(i) = v
+          i += 1
+        }
+      } else {
+        // a null slot contributes seeds(i) per hash function — exactly
+        // the column-algebra form: xxhash64(lit(i), NULL) SKIPS the null
+        // child, not the row, so transform yields hashInt(i, 42) for
+        // that slot and array_min folds it in (merely skipping the slot
+        // here would break the documented bitwise parity)
+        var i = 0
+        while (i < n) {
+          if (seeds(i) < out(i)) out(i) = seeds(i)
           i += 1
         }
       }
@@ -106,6 +115,16 @@ object Sketches {
 
   def hyperplaneSigKernel(arr: ArrayData, seed: Int, bits: Int): Long = {
     val dim = arr.numElements()
+    // a null element poisons every projection in the column-algebra
+    // form (x * h = NULL -> the aggregate sum is NULL -> every
+    // `when(proj > 0)` is false), so the whole signature is 0 — match
+    // that exactly rather than reading the null slot's storage as
+    // garbage through getFloat
+    var i0 = 0
+    while (i0 < dim) {
+      if (arr.isNullAt(i0)) return 0L
+      i0 += 1
+    }
     val hs = planes(seed, bits, dim)
     var sig = 0L
     var b = 0

@@ -36,8 +36,14 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** True iff the executed plan of `df` contains no shuffle exchange —
-    * the co-location assertion used by tests and plan audits. */
+  /** True iff the executed plan of `df` contains no SHUFFLE exchange —
+    * the co-location assertion used by tests and plan audits. Checked
+    * structurally (a substring match on "Exchange" would also hit
+    * BroadcastExchange, which is not a shuffle and must not fail the
+    * assertion when a small side auto-broadcasts). */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    !df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
 }

@@ -158,8 +158,10 @@ object EventAnalytics {
     val stepSums = steps.indices.map(i =>
       sum((col("reach") > i).cast("long")).as(s"s$i"))
     val counts = reach.agg(stepSums.head, stepSums.tail: _*)
+    // step names are caller data, not SQL — escape quotes (a name with
+    // a single quote would otherwise break, or rewrite, the stack() SQL)
     val stackArgs = steps.indices
-      .map(i => s"$i, '${steps(i)}', s$i").mkString(", ")
+      .map(i => s"$i, '${steps(i).replace("'", "''")}', s$i").mkString(", ")
     counts
       .select(expr(s"stack(${steps.size}, $stackArgs) " +
         "as (step, step_name, users)"))
@@ -240,10 +242,18 @@ object EventAnalytics {
       .select(col("k"), explode(col("hs")).as("h"))
     val w = Window.partitionBy("k").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(observed, Seq("k", "h"), "left")
+    // the observed value rides inside a STRUCT so "bucket had an event
+    // whose value is NULL" stays distinguishable from "no event in
+    // bucket" (a left-join miss nulls the whole struct): is_gap means
+    // NO EVENT, an observed NULL is reported as such (not overwritten
+    // by the previous hour's fill), and the fill carries the last
+    // OBSERVED value — null included — across true gaps
+    grid.join(observed.withColumn("__obs", struct(col("v_obs"))),
+        Seq("k", "h"), "left")
       .select(col("k"), col("h"),
-        last(col("v_obs"), ignoreNulls = true).over(w).as("value"),
-        col("v_obs").isNull.as("is_gap"))
+        last(col("__obs"), ignoreNulls = true).over(w)
+          .getField("v_obs").as("value"),
+        col("__obs").isNull.as("is_gap"))
       .orderBy("k", "h")
   }
 

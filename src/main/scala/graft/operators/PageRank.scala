@@ -50,71 +50,21 @@ object PageRank {
       damping: Double = 0.85): DataFrame =
     core(edges, Some(seeds), iterations, damping)
 
-  /** Weighted PageRank: edges carry a positive weight column `w`, and a
-    * node's rank flows out proportionally to each edge's share of its
-    * total out-weight (w / Σ_out w) instead of 1/outdeg. Same loop
-    * shape as [[run]] — the out-weight aggregation simply replaces the
-    * out-degree count, and parallel edges act as additive weight. */
+  /** Weighted PageRank: edges carry a strictly positive weight column
+    * `w`, and a node's rank flows out proportionally to each edge's
+    * share of its total out-weight (w / Σ_out w) instead of 1/outdeg.
+    * SAME loop as [[run]] (core parameterized over the out-mass
+    * aggregate and contribution term — not a clone, so dangling-mass /
+    * checkpoint / rounding fixes apply to both automatically); parallel
+    * edges act as additive weight. Fails loudly on w <= 0 (a
+    * zero-out-weight source with edges would divide rank by zero). */
   def runWeighted(edges: DataFrame, iterations: Int,
-      damping: Double = 0.85): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0: $iterations")
-    val spark = edges.sparkSession
-    val cp = LoopCheckpoint.forLoop(spark)
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = cp.pin(edges.select(col("src"), col("dst"),
-        col("w").cast("double").as("w"))
-      .repartition(shufflePartitions, col("src")))
-
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("outw"), lit(0.0)).as("outw"))
-      .repartition(shufflePartitions, col("node"))
-    val nodes = cp.pin(nodes0)
-
-    val stats = nodes.agg(count(lit(1)).as("n"),
-      count(when(col("outw") === 0.0, lit(1))).as("nDangling")).head()
-    val n = stats.getLong(0).toDouble
-    val hasDangling = stats.getLong(1) > 0L
-    require(n > 0, "PageRank needs a non-empty edge list")
-
-    val fanout = cp.pin(e.join(nodes.select(col("node").as("src"), col("outw")),
-      "src"))
-
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"),
-      col("outw"))
-
-    for (_ <- 0 until iterations) {
-      val contrib = fanout
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("w") / col("outw")).as("contrib"))
-      val base = nodes.join(contrib, Seq("node"), "left")
-      ranks = (if (!hasDangling) {
-        base.select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
-          col("outw"))
-      } else {
-        val dangling = ranks.agg(coalesce(
-          sum(when(col("outw") === 0.0, col("rank"))), lit(0.0))
-          .as("danglingMass"))
-        base.crossJoin(broadcast(dangling))
-          .select(col("node"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-                col("danglingMass") / lit(n))).as("rank"),
-            col("outw"))
-      })
-      ranks = cp(ranks)
-    }
-    cp.finish(ranks.select(col("node"), col("rank")))
-  }
+      damping: Double = 0.85): DataFrame =
+    core(edges, None, iterations, damping, weighted = true)
 
   private def core(edges: DataFrame, seeds: Option[DataFrame],
-      iterations: Int, damping: Double): DataFrame = {
+      iterations: Int, damping: Double,
+      weighted: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val spark = edges.sparkSession
     val cp = LoopCheckpoint.forLoop(spark)
@@ -123,14 +73,25 @@ object PageRank {
     // materialize the edge derivation once; hash-partition by src so the
     // per-iteration ranks-join re-uses this layout instead of
     // re-shuffling the (large) edge side every round
-    val e = cp.pin(edges.select(col("src"), col("dst"))
+    val eCols =
+      if (weighted) Seq(col("src"), col("dst"), col("w").cast("double").as("w"))
+      else Seq(col("src"), col("dst"))
+    val e = cp.pin(edges.select(eCols: _*)
       .repartition(shufflePartitions, col("src")))
 
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // out-mass per source: Σ out-weight (weighted) or out-degree count;
+    // the weighted branch also carries the per-source min weight so the
+    // one stats pass below can validate positivity without an extra
+    // edge scan
+    val outMass =
+      if (weighted) e.groupBy(col("src"))
+        .agg(sum(col("w")).as("outm"), min(col("w")).as("__minw"))
+      else e.groupBy(col("src"))
+        .agg(count(lit(1)).as("outm"), lit(null).cast("double").as("__minw"))
 
-    // ONE materialized node table carrying out-degree (0 = dangling)
+    // ONE materialized node table carrying out-mass (0 = dangling)
     // and the seed flag: the rank recurrence joins/aggregates against
-    // this every round, and carrying outdeg on the rank rows lets the
+    // this every round, and carrying outm on the rank rows lets the
     // dangling mass fall out of a plain conditional sum over ranks — no
     // per-iteration anti or semi join. Pinned to the node hash layout
     // the loop's left join and the contrib aggregation both use. The
@@ -140,31 +101,38 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .join(outMass.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("outm"), if (weighted) lit(0.0) else lit(0L)).as("outm"),
+        col("__minw"))
     val meta0 = (seeds match {
       case Some(s) => nodes
         .join(broadcast(s.select(col("node")).distinct()
           .withColumn("__seed", lit(true))), Seq("node"), "left")
-        .select(col("node"), col("outdeg"),
+        .select(col("node"), col("outm"), col("__minw"),
           coalesce(col("__seed"), lit(false)).as("isSeed"))
       case None => nodes.withColumn("isSeed", lit(true))
     })
     val meta = cp.pin(meta0.repartition(shufflePartitions, col("node")))
 
-    // |V|, dangling presence, and |seeds ∩ V| in one pass; a
-    // dangling-free graph — common for crawl graphs closed by
+    // |V|, dangling presence, |seeds ∩ V| and the weight floor in one
+    // pass; a dangling-free graph — common for crawl graphs closed by
     // construction, like the gate's ring graph — drops the dangling
     // term from every iteration
     val stats = meta.agg(count(lit(1)).as("n"),
-      count(when(col("outdeg") === 0, lit(1))).as("nDangling"),
-      count(when(col("isSeed"), lit(1))).as("nSeeds")).head()
+      count(when(col("outm") === 0, lit(1))).as("nDangling"),
+      count(when(col("isSeed"), lit(1))).as("nSeeds"),
+      min(col("__minw")).as("minW")).head()
     val n = stats.getLong(0).toDouble
     val hasDangling = stats.getLong(1) > 0L
     val nSeeds = stats.getLong(2).toDouble
     require(n > 0, "PageRank needs a non-empty edge list")
     require(nSeeds > 0,
       "personalized PageRank needs at least one seed present in the graph")
+    if (weighted && !stats.isNullAt(3))
+      require(stats.getDouble(3) > 0.0,
+        s"weighted PageRank needs strictly positive weights; min(w) = " +
+          s"${stats.getDouble(3)}")
 
     // teleport value per node. The uniform case keeps the single
     // driver-computed constant (1-d)/n — bit-compatible with the
@@ -183,13 +151,19 @@ object PageRank {
 
     // each edge annotated with its source's fan-out — both sides are
     // already hash-partitioned on the join key, so nothing moves
-    val fanout = cp.pin(e.join(meta.select(col("node").as("src"), col("outdeg")),
+    val fanout = cp.pin(e.join(meta.select(col("node").as("src"), col("outm")),
       "src"))
+
+    // per-edge share of the source's outgoing rank: the ONLY term that
+    // differs between classic and weighted PageRank
+    val share: Column =
+      if (weighted) col("rank") * col("w") / col("outm")
+      else col("rank") / col("outm")
 
     // start at the teleport distribution: a projection over the
     // checkpointed meta (no job)
     var ranks = meta.select(col("node"), teleport.as("rank"),
-      col("outdeg"), col("isSeed"))
+      col("outm"), col("isSeed"))
 
     for (_ <- 0 until iterations) {
       // rank mass arriving at each dst: shuffle 1 (ranks to src
@@ -197,26 +171,26 @@ object PageRank {
       val contrib = fanout
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+        .agg(sum(share).as("contrib"))
       val base = meta.join(contrib, Seq("node"), "left")
       ranks = (if (!hasDangling) {
         base.select(col("node"),
           (resetTerm +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
-          col("outdeg"), col("isSeed"))
+          col("outm"), col("isSeed"))
       } else {
         // dangling rank this round as a 1-row conditional sum over the
         // rank table itself — in-plan via broadcast cross join, no
         // collect and no join against a dangling-node set
         val dangling = ranks.agg(coalesce(
-          sum(when(col("outdeg") === 0, col("rank"))), lit(0.0))
+          sum(when(col("outm") === 0, col("rank"))), lit(0.0))
           .as("danglingMass"))
         base.crossJoin(broadcast(dangling))
           .select(col("node"),
             (resetTerm +
               lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
                 col("danglingMass") * teleport)).as("rank"),
-            col("outdeg"), col("isSeed"))
+            col("outm"), col("isSeed"))
       })
       ranks = cp(ranks)
     }

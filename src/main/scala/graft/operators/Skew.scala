@@ -13,8 +13,19 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-stage salted aggregation: count + sum(valueCol) per key.
-    * Deterministic results (the salt only routes rows; partial sums are
-    * rounded after the final merge, not per bucket). */
+    *
+    * Determinism contract, stated precisely: the salt only ROUTES rows
+    * (it never changes what is aggregated), so counts and sums of
+    * integer/decimal values are exactly deterministic. Sums of DOUBLES
+    * are deterministic only up to floating-point association — the
+    * salt derives from monotonically_increasing_id, which is stable
+    * for a fixed input layout and under task retry, but a different
+    * split count re-routes rows and re-associates the partial sums at
+    * the last-ulp level (true of any distributed double sum, salted or
+    * not). Callers needing hash-exact double output should quantize to
+    * an integer grid before summing (the repo's float-parity rule); the
+    * final round(2) here masks association noise only off rounding
+    * boundaries. */
   def saltedCountSum(
       df: DataFrame, keyCol: String, valueCol: String,
       buckets: Int = 32): DataFrame = {

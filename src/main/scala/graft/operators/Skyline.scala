@@ -41,6 +41,20 @@ object Skyline {
     * only. `partitions` <= 0 uses the session shuffle parallelism. */
   def pareto2D(df: DataFrame, maxCol: String, minCol: String,
       partitions: Int = 0): DataFrame = {
+    // fail loudly on fractional dimensions: the running-min window uses
+    // rangeBetween(unboundedPreceding, -1), i.e. "value+1 and above",
+    // which is only 'strictly better' on an INTEGER grid — a DOUBLE
+    // maxCol would silently emit dominated rows instead of erroring
+    Seq(maxCol, minCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"pareto2D needs integer-valued dimensions (the repo's grid " +
+          s"discipline); column '$c' is ${df.schema(c).dataType.catalogString}")
+    }
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val cols = df.columns

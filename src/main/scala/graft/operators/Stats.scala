@@ -34,10 +34,15 @@ object Stats {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
     val v = col(valueCol).cast("double")
-    val med = gridMedian(df.select(col(groupCol), v.as("__v")),
+    // NULL values carry no median information and must not shift the
+    // rank picks (gridMedian's row_number would rank them FIRST under
+    // Spark's NULLS FIRST default, corrupting the median of the
+    // non-null data — the SQL median convention) nor count as rows
+    val base = df.filter(v.isNotNull)
+    val med = gridMedian(base.select(col(groupCol), v.as("__v")),
         groupCol, "__v")
       .select(col(groupCol), col("__med6"))
-    val dev = df.join(broadcast(med), groupCol)
+    val dev = base.join(broadcast(med), groupCol)
       .withColumn("__medd", col("__med6").cast("double") / lit(1e6))
       .withColumn("__dev", abs(v - col("__medd")))
     val mad = gridMedian(dev.select(col(groupCol), col("__dev")),
