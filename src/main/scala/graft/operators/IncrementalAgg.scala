@@ -26,17 +26,23 @@ object IncrementalAgg {
   private def mergeCols(measures: Seq[String]): Seq[Column] =
     sum(col("n")).as("n") +: measures.flatMap { m =>
       Seq(sum(col(s"sum_$m")).as(s"sum_$m"),
+        sum(col(s"n_$m")).as(s"n_$m"),
         min(col(s"min_$m")).as(s"min_$m"),
         max(col(s"max_$m")).as(s"max_$m"))
     }
 
-  /** Per-group partial-aggregate state for one batch: `n` plus
-    * sum_/min_/max_ per measure column. Map-side combine makes this one
-    * shuffle of O(|groups|) rows however large the batch. */
+  /** Per-group partial-aggregate state for one batch: `n` (row count)
+    * plus sum_/n_/min_/max_ per measure column — `n_m` is the NON-NULL
+    * count of measure m, the denominator SQL AVG uses (dividing by the
+    * row count would silently diverge from AVG whenever a measure
+    * carries NULLs, and the state could never recover the right value
+    * after the fact). Map-side combine makes this one shuffle of
+    * O(|groups|) rows however large the batch. */
   def partials(batch: DataFrame, keys: Seq[String], measures: Seq[String])
       : DataFrame = {
     val aggs = count(lit(1)).as("n") +: measures.flatMap { m =>
       Seq(sum(col(m)).as(s"sum_$m"),
+        count(col(m)).as(s"n_$m"),
         min(col(m)).as(s"min_$m"),
         max(col(m)).as(s"max_$m"))
     }
@@ -53,12 +59,15 @@ object IncrementalAgg {
   }
 
   /** Read-time view: the finalized aggregates (count, sum, min, max,
-    * avg) derived from the state — no fact-table access. */
+    * avg) derived from the state — no fact-table access. avg divides by
+    * the measure's NON-NULL count (SQL AVG semantics); an all-NULL
+    * group yields NULL, like AVG. */
   def finalized(state: DataFrame, keys: Seq[String], measures: Seq[String])
       : DataFrame = {
     val derived = col("n") +: measures.flatMap { m =>
       Seq(col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"),
-        (col(s"sum_$m") / col("n")).as(s"avg_$m"))
+        when(col(s"n_$m") > 0, col(s"sum_$m") / col(s"n_$m"))
+          .as(s"avg_$m"))
     }
     state.select(keys.map(col) ++ derived: _*)
   }

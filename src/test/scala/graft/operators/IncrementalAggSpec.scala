@@ -55,4 +55,27 @@ class IncrementalAggSpec extends AnyFunSuite {
     val row = snapshot(a).head
     assert(row == (("x", 2L, 4.0, 1.0, 3.0, 2.0)))
   }
+
+  test("avg over NULL-bearing measures matches SQL AVG (non-null count)") {
+    import spark.implicits._
+    // (10.0, NULL) for one group: AVG = 10.0, not sum/rowcount = 5.0 —
+    // the state must carry the measure's non-null count to recover it
+    val df = Seq(("x", Some(10.0)), ("x", None), ("y", None))
+      .toDF("k", "v")
+    val st = IncrementalAgg.partials(df, keys, ms)
+    val fin = IncrementalAgg.finalized(st, keys, ms)
+      .select("k", "n", "avg_v")
+      .as[(String, Long, Option[Double])].collect()
+      .map { case (k, n, a) => k -> ((n, a)) }.toMap
+    assert(fin("x") == ((2L, Some(10.0))), s"got ${fin("x")}")
+    // an all-NULL group yields NULL avg, like SQL AVG
+    assert(fin("y") == ((1L, None)), s"got ${fin("y")}")
+    // the incremental path agrees with a direct AVG after a merge
+    val d2 = IncrementalAgg.partials(
+      Seq(("x", Some(20.0)), ("y", Some(4.0))).toDF("k", "v"), keys, ms)
+    val merged = IncrementalAgg.finalized(
+        IncrementalAgg.merge(st, d2, keys, ms), keys, ms)
+      .select("k", "avg_v").as[(String, Option[Double])].collect().toMap
+    assert(merged == Map("x" -> Some(15.0), "y" -> Some(4.0)))
+  }
 }
