@@ -40,10 +40,21 @@ object Bucketing {
     * the co-location assertion used by tests and plan audits. Checked
     * structurally (a substring match on "Exchange" would also hit
     * BroadcastExchange, which is not a shuffle and must not fail the
-    * assertion when a small side auto-broadcasts). */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.exists {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
-      case _ => false
+    * assertion when a small side auto-broadcasts) and ACROSS adaptive
+    * boundaries: under AQE the top-level plan is an
+    * AdaptiveSparkPlanExec — a leaf as far as `exists` recursion goes —
+    * so a naive structural walk finds nothing and the assertion would
+    * pass vacuously for every DataFrame. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec => hasShuffle(q.plan)
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(hasShuffle)
     }
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

@@ -158,10 +158,13 @@ object EventAnalytics {
     val stepSums = steps.indices.map(i =>
       sum((col("reach") > i).cast("long")).as(s"s$i"))
     val counts = reach.agg(stepSums.head, stepSums.tail: _*)
-    // step names are caller data, not SQL — escape quotes (a name with
-    // a single quote would otherwise break, or rewrite, the stack() SQL)
+    // step names are caller data, not SQL — escape BOTH the backslash
+    // (Spark's string-literal parser interprets \t, and a trailing \
+    // breaks or restructures the generated SQL) and the single quote
+    def sqlStringLit(s: String): String =
+      s.replace("\\", "\\\\").replace("'", "''")
     val stackArgs = steps.indices
-      .map(i => s"$i, '${steps(i).replace("'", "''")}', s$i").mkString(", ")
+      .map(i => s"$i, '${sqlStringLit(steps(i))}', s$i").mkString(", ")
     counts
       .select(expr(s"stack(${steps.size}, $stackArgs) " +
         "as (step, step_name, users)"))

@@ -31,6 +31,19 @@ object IncrementalAgg {
         max(col(s"max_$m")).as(s"max_$m"))
     }
 
+  /** Legacy-state migration: state tables persisted before the n_<m>
+    * columns existed default each missing one to the row count — the
+    * exact value the old avg divided by, so upgraded reads reproduce
+    * the old answers for old state (correct when its measures had no
+    * NULLs; unrecoverable information otherwise) instead of failing
+    * with an unresolved column. */
+  private def withMeasureCounts(state: DataFrame,
+      measures: Seq[String]): DataFrame =
+    measures.foldLeft(state) { (df, m) =>
+      if (df.columns.contains(s"n_$m")) df
+      else df.withColumn(s"n_$m", col("n"))
+    }
+
   /** Per-group partial-aggregate state for one batch: `n` (row count)
     * plus sum_/n_/min_/max_ per measure column — `n_m` is the NON-NULL
     * count of measure m, the denominator SQL AVG uses (dividing by the
@@ -54,7 +67,9 @@ object IncrementalAgg {
   def merge(state: DataFrame, deltaPartials: DataFrame, keys: Seq[String],
       measures: Seq[String]): DataFrame = {
     val m = mergeCols(measures)
-    state.unionByName(deltaPartials, allowMissingColumns = false)
+    withMeasureCounts(state, measures)
+      .unionByName(withMeasureCounts(deltaPartials, measures),
+        allowMissingColumns = false)
       .groupBy(keys.map(col): _*).agg(m.head, m.tail: _*)
   }
 
@@ -69,6 +84,6 @@ object IncrementalAgg {
         when(col(s"n_$m") > 0, col(s"sum_$m") / col(s"n_$m"))
           .as(s"avg_$m"))
     }
-    state.select(keys.map(col) ++ derived: _*)
+    withMeasureCounts(state, measures).select(keys.map(col) ++ derived: _*)
   }
 }

@@ -90,6 +90,28 @@ object LoopCheckpoint {
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** One-shot mode-aware materialization for a derivation that a
+    * returned LAZY plan keeps referencing (band tables, vocab, shingle
+    * hashes) — the fire-and-forget sibling of [[forLoop]]. persist()
+    * would pin a CacheManager entry no caller can ever release; plain
+    * localCheckpoint is GC-reclaimed but its truncated lineage makes a
+    * lost executor fatal on a real cluster. So: local mode (default)
+    * uses the eager localCheckpoint — the single-JVM test/bench
+    * posture, where executor loss is process death anyway — and
+    * `spark.graft.iterative.checkpoint=reliable` writes a durable cut,
+    * so executor loss recomputes from storage. Reliable-mode files
+    * remain under the checkpoint dir for the deployment's retention
+    * policy (there is no owner left alive to delete them — the same
+    * contract as any long-lived checkpoint). */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!reliableMode(spark)) df.localCheckpoint(true)
+    else {
+      ensureCheckpointDir(spark)
+      df.checkpoint(eager = true)
+    }
+  }
+
   /** A per-loop truncator: call once per superseded GENERATION in place
     * of `localCheckpoint(true)`, and [[Truncator.pin]] once per
     * loop-INVARIANT frame (edge lists, degree-annotated fanouts — read

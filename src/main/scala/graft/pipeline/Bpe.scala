@@ -91,11 +91,12 @@ object Bpe {
   /** Learn `k` BPE merges over the corpus word dictionary. */
   def learnMerges(docs: DataFrame, textCol: String, k: Int): BpeModel = {
     require(k >= 1, "need at least one merge")
-    // eager localCheckpoint, not persist: the returned wordSymbols plan
-    // stays lazy over this frame, so a persist would pin a CacheManager
-    // entry FOREVER (strong ref until an explicit unpersist nobody can
-    // issue); checkpoint blocks are GC-reclaimed with the RDD instead
-    val v = vocab(docs, textCol).localCheckpoint(true)
+    // mode-aware cut, not persist: the returned wordSymbols plan stays
+    // lazy over this frame, so a persist would pin a CacheManager entry
+    // FOREVER (strong ref until an explicit unpersist nobody can
+    // issue); LoopCheckpoint.cut is GC-reclaimed locally and durable
+    // under the reliable-checkpoint session mode
+    val v = graft.operators.LoopCheckpoint.cut(vocab(docs, textCol))
     var w = v.select(col("word"), col("freq"), wrap(col("word")).as("w"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false

@@ -121,10 +121,11 @@ object Dedup {
     // both sides of the self-join consume the band table — materialize it
     // once instead of recomputing the signatures per side (at scale this
     // is the natural checkpoint of the dedup pipeline)
-    // eager localCheckpoint (GC-reclaimed), not persist: the returned
-    // pair plan stays lazy over this frame and no caller can unpersist it
-    val b = lshBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
-      .localCheckpoint(true)
+    // mode-aware cut (GC-reclaimed locally, durable under reliable
+    // mode), not persist: the returned pair plan stays lazy over this
+    // frame and no caller can unpersist it
+    val b = graft.operators.LoopCheckpoint.cut(
+        lshBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand))
       .toDF("docId", "band", "bandHash")
     val salted = b
       .withColumn("__kc", count(lit(1)).over(
@@ -201,9 +202,9 @@ object Dedup {
     val hs = fanOut(docs).select(col(idCol).as("docId"),
         array_distinct(transform(shingles(col(textCol), shingleSize),
           s => md5Long(s))).as("hs"))
-      // eager localCheckpoint (GC-reclaimed), not persist — see
-      // lshCandidatePairs; the result plan stays lazy over this frame
-      .localCheckpoint(true)
+      // mode-aware cut, not persist — see lshCandidatePairs; the
+      // result plan stays lazy over this frame
+      .transform(graft.operators.LoopCheckpoint.cut)
     val sizes = hs.select(col("docId"), size(col("hs")).cast("long").as("n"))
     val ex = hs.select(col("docId"), explode(col("hs")).as("h"))
     val kept = ex.join(

@@ -486,10 +486,10 @@ object Multimodal {
       }
     }
     walk(12, payload.length)
-    if (w <= 0 || h <= 0 || compression != MjpgFourcc ||
-      frames.result().isEmpty) None
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || compression != MjpgFourcc || fs.isEmpty) None
     else {
-      val decoded = frames.result().map(decodeImage)
+      val decoded = fs.map(decodeImage)
       // a frame decoded SMALLER than the strf header's dimensions would
       // blow up the stats loop (it scans the header's w x h) — the
       // container is inconsistent, quarantine it like a failed decode

@@ -62,9 +62,9 @@ object Sampling {
       .filter(length(col("__tok")) > 0)
       .select(col("__id"), col("__t"),
         pmod(Dedup.md5Long(col("__tok")), lit(buckets.toLong)).as("__b"))
-      // eager localCheckpoint (GC-reclaimed), not persist — the returned
-      // weight plan stays lazy over this frame (see Dedup.lshCandidatePairs)
-      .localCheckpoint(true)
+      // mode-aware cut, not persist — the returned weight plan stays
+      // lazy over this frame (see Dedup.lshCandidatePairs)
+      .transform(graft.operators.LoopCheckpoint.cut)
     // both bucket LMs in one aggregate over <= buckets rows
     val counts = toks.groupBy(col("__b"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),

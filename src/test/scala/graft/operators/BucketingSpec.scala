@@ -38,6 +38,17 @@ class BucketingSpec extends AnyFunSuite {
       assert(Bucketing.isShuffleFree(agg),
         "bucketed groupBy must contain no Exchange:\n" +
           agg.queryExecution.executedPlan.toString)
+
+      // NEGATIVE control: the detector must SEE a real shuffle (under
+      // AQE the top plan is an AdaptiveSparkPlanExec leaf — a walk that
+      // does not descend into it returns true for every DataFrame, and
+      // both assertions above pass vacuously)
+      val unbucketed = orders.join(items, "key")
+      assert(!Bucketing.isShuffleFree(unbucketed),
+        "plain shuffle join must NOT report shuffle-free")
+      assert(!Bucketing.isShuffleFree(
+        orders.repartition(4, col("key"))),
+        "explicit repartition must NOT report shuffle-free")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS b_orders")
