@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-thrashes in an 8g heap (measured ~10% total bench inflation); the
   // target box has 128 GiB. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // ad-hoc JVM instrumentation/overrides for perf work (GC logs,
+  // code-cache probes): space-separated flags, empty by default so the
+  // shipped configuration is exactly the list above
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
