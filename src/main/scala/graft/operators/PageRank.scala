@@ -79,32 +79,29 @@ object PageRank {
     val e = cp.pin(edges.select(eCols: _*)
       .repartition(shufflePartitions, col("src")))
 
-    // out-mass per source: Σ out-weight (weighted) or out-degree count;
-    // the weighted branch also carries the per-source min weight so the
-    // one stats pass below can validate positivity without an extra
-    // edge scan
-    val outMass =
-      if (weighted) e.groupBy(col("src"))
-        .agg(sum(col("w")).as("outm"), min(col("w")).as("__minw"))
-      else e.groupBy(col("src"))
-        .agg(count(lit(1)).as("outm"), lit(null).cast("double").as("__minw"))
-
     // ONE materialized node table carrying out-mass (0 = dangling)
-    // and the seed flag: the rank recurrence joins/aggregates against
-    // this every round, and carrying outm on the rank rows lets the
-    // dangling mass fall out of a plain conditional sum over ranks — no
-    // per-iteration anti or semi join. Pinned to the node hash layout
-    // the loop's left join and the contrib aggregation both use. The
-    // loop is driver-latency bound at small |V| (each materialization
-    // is a job), so everything that CAN be folded into an existing
-    // pass is.
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .join(outMass.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("outm"), if (weighted) lit(0.0) else lit(0L)).as("outm"),
-        col("__minw"))
+    // and the seed flag, derived in a SINGLE aggregation: every edge
+    // explodes to a (src, mass) and a (dst, 0) row and out-mass is the
+    // sum per node — node enumeration comes free from the grouping, so
+    // the old union+distinct / out-degree agg / left-join trio (three
+    // exchanges) collapses into one shuffle (r12, guide §2.4). Carrying
+    // outm on the rank rows lets the dangling mass fall out of a plain
+    // conditional sum over ranks — no per-iteration anti or semi join.
+    // Pinned to the node hash layout the loop's left join and the
+    // contrib aggregation both use. The loop is driver-latency bound at
+    // small |V| (each materialization is a job), so everything that CAN
+    // be folded into an existing pass is. The weighted branch also
+    // carries the per-source min weight so the stats pass can validate
+    // positivity without an extra edge scan.
+    val massExpr = if (weighted) col("w") else lit(1L)
+    val zeroMass = if (weighted) lit(0.0) else lit(0L)
+    val nodes = e.select(explode(array(
+        struct(col("src").as("node"), massExpr.as("m"),
+          (if (weighted) col("w") else lit(null).cast("double")).as("mw")),
+        struct(col("dst").as("node"), zeroMass.as("m"),
+          lit(null).cast("double").as("mw")))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg(sum(col("x.m")).as("outm"), min(col("x.mw")).as("__minw"))
     val meta0 = (seeds match {
       case Some(s) => nodes
         .join(broadcast(s.select(col("node")).distinct()
@@ -165,6 +162,7 @@ object PageRank {
     var ranks = meta.select(col("node"), teleport.as("rank"),
       col("outm"), col("isSeed"))
 
+    var roundsSinceCut = 0
     for (_ <- 0 until iterations) {
       // rank mass arriving at each dst: shuffle 1 (ranks to src
       // partitioning) + shuffle 2 (contributions to dst)
@@ -192,7 +190,19 @@ object PageRank {
                 col("danglingMass") * teleport)).as("rank"),
             col("outm"), col("isSeed"))
       })
-      ranks = cp(ranks)
+      // materialize every SECOND round, and always under dangling (the
+      // 1-row dangling sum is a second consumer of the previous
+      // generation, so lazy chaining would duplicate its work): without
+      // dangling each round consumes the previous exactly once, and two
+      // rounds chain lazily into one materialization job — halving the
+      // loop's driver-paced round-trips (the ConnectedComponents
+      // pattern, guide §1.2/§2.4). The final round stays lazy: the
+      // caller's action (or reliable-mode finish()) materializes it.
+      roundsSinceCut += 1
+      if (hasDangling || roundsSinceCut == 2) {
+        ranks = cp(ranks)
+        roundsSinceCut = 0
+      }
     }
     cp.finish(ranks.select(col("node"), col("rank")))
   }

@@ -589,11 +589,20 @@ object Analytics {
     // same boundaries.
     "q_range_partition_plan" -> ((s, dir) => {
       val k = 8
+      // ONE exact-percentile aggregate over the quantile array, not k-1
+      // independent percentile_cont aggregates: each percentile_cont is
+      // its own TypedImperative buffer of every value (k-1 copies of the
+      // column, k-1 sorts in the final task). percentile(col, array(..))
+      // shares one buffer and one sort; Spark resolves percentile_cont
+      // THROUGH Percentile, so the interpolated values are bit-identical
+      // (r12, guide §1.2 "per-task work"; oracle hash unchanged).
+      val fracs = (1 until k).map(i => i.toDouble / k)
       val cuts = (1 until k).map(i =>
-        round(expr(s"percentile_cont(${i.toDouble / k}) WITHIN GROUP " +
-          "(ORDER BY CAST(o_totalprice AS DOUBLE))") + 1e-9, 4)
-          .as(s"c$i"))
-      val bounds = t(s, dir, "orders").agg(cuts.head, cuts.tail: _*)
+        round(element_at(col("__cs"), i) + 1e-9, 4).as(s"c$i"))
+      val bounds = t(s, dir, "orders")
+        .agg(expr(s"percentile(CAST(o_totalprice AS DOUBLE), " +
+          s"array(${fracs.mkString(", ")}))").as("__cs"))
+        .select(cuts: _*)
       val bucket = (1 until k).foldLeft(lit(0)) { (acc, i) =>
         acc + (col("o_totalprice") > col(s"c$i")).cast("int")
       }
