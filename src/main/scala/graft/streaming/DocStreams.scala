@@ -74,6 +74,11 @@ object DocStreams {
           val seen = state.getOption.getOrElse(Nil)
           val incoming = rows.map(r => (r.docId, r.sig)).toList
             .distinct.sortBy(_._1)
+          // O(1)-indexed view for the pairwise loop: indexing the List
+          // itself is O(n) per access, which turned a hot bucket's n²
+          // pair scan into n³ list traversals (measured as the matcher
+          // stage's CPU hot spot, r12)
+          val inc = incoming.toArray
           def hits(x: (Long, Long), y: (Long, Long)): Option[SimHashHit] = {
             val h = java.lang.Long.bitCount(x._2 ^ y._2)
             if (x._1 != y._1 && h <= maxHamming)
@@ -81,9 +86,9 @@ object DocStreams {
             else None
           }
           val withinBatch = for {
-            i <- incoming.indices.iterator
-            j <- (i + 1) until incoming.size
-            hit <- hits(incoming(i), incoming(j))
+            i <- inc.indices.iterator
+            j <- (i + 1) until inc.length
+            hit <- hits(inc(i), inc(j))
           } yield hit
           val againstState = for {
             n <- incoming.iterator
@@ -157,10 +162,12 @@ object DocStreams {
               Some(EmbeddingHit(math.min(x._1, y._1), math.max(x._1, y._1), c))
             else None
           }
+          // O(1)-indexed view for the pairwise loop (see simHashMatcher)
+          val inc = incoming.toArray
           val withinBatch = for {
-            i <- incoming.indices.iterator
-            j <- (i + 1) until incoming.size
-            h <- hit(incoming(i), incoming(j))
+            i <- inc.indices.iterator
+            j <- (i + 1) until inc.length
+            h <- hit(inc(i), inc(j))
           } yield h
           val againstState = for {
             n <- incoming.iterator
@@ -189,6 +196,9 @@ object DocStreams {
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(sfDir)
       .select(col("vec_id"), col("embedding"))
+      // stream-side fanOut: the per-vector sketch projection is
+      // task-serial on the single-file source's 1-2 partitions
+      .repartition(parent.sparkContext.defaultParallelism)
     val planted = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"),
@@ -226,6 +236,9 @@ object DocStreams {
       .parquet(sfDir)
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 2 === 1)
+      // stream-side fanOut: the char-trigram explosion is task-serial
+      // on the single-file source's 1-2 partitions
+      .repartition(parent.sparkContext.defaultParallelism)
     StreamConf.publish(parent, spark, queryName, {
       graft.pipeline.TextAnalysis.perplexityScores(
           stream, lm, "doc_id", "text")
@@ -301,6 +314,12 @@ object DocStreams {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
       .select(col("doc_id"), col("text"))
+      // repartition within the micro-batch: the single-file source
+      // plans 1-2 input partitions and the 64-bit SimHash projection
+      // (tokenize + hash every token) is task-serial without it — the
+      // batch gate's fanOut, expressed stream-side (r12; the image
+      // runner set the pattern)
+      .repartition(parent.sparkContext.defaultParallelism)
     val mutated = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         col("text").substr(lit(1),
@@ -385,6 +404,9 @@ object DocStreams {
     stream
       .select(col("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) > 0) // batch inner-join semantics
+      // stream-side fanOut: the per-token merge-fold (k nested replaces
+      // per token) is task-serial on the single-file source otherwise
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_words"),
         aggregate(transform(col("__toks"), t => nSyms(t)), lit(0L),

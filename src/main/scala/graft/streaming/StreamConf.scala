@@ -119,8 +119,13 @@ object StreamConf {
         s"streaming query '${q.name}' did not drain within ${timeoutMs} ms; " +
           "refusing to read its sink table")
     }
+    // re-bind the sink's (driver-resident) plan to the parent session
+    // instead of collectAsList + createDataFrame: same rows, same
+    // driver residency, but no O(rows) Row copy + re-encode on the
+    // gate's clock (q_stream_merge drains 142k rows at sf0.1)
     val out = child.table(queryName)
-    parent.createDataFrame(out.collectAsList(), out.schema)
+    org.apache.spark.sql.GraftExpressionBridge
+      .ofLogical(parent, out.queryExecution.analyzed)
       .createOrReplaceTempView(queryName)
     q
   }

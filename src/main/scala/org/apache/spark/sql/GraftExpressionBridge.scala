@@ -22,4 +22,15 @@ object GraftExpressionBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Re-bind an (already analyzed) logical plan to another session —
+    * e.g. registering a drained memory-sink table in the parent session
+    * without collecting its rows to external `Row`s and re-encoding
+    * them (the sink's rows are driver-resident either way; this skips
+    * the O(rows) copy + re-encode that `collectAsList` +
+    * `createDataFrame` would pay). */
+  def ofLogical(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

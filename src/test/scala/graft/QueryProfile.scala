@@ -36,6 +36,20 @@ object QueryProfile {
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    val stageTrace = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
+    if (stageTrace) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dt = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield (a - b) / 1e3).getOrElse(-1.0)
+          val m = si.taskMetrics
+          println(f"[stage] ${si.stageId}%4d $dt%6.2f s tasks=${si.numTasks}%3d " +
+            f"exec=${m.executorRunTime / 1e3}%7.2f cpu=${m.executorCpuTime / 1e9}%7.2f " +
+            f"gc=${m.jvmGCTime / 1e3}%5.2f  ${si.name.take(60)}")
+        }
+      })
     val jobTrace = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
     val jobTimes = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     if (jobTrace) spark.sparkContext.addSparkListener(
