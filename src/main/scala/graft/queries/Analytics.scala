@@ -456,18 +456,24 @@ object Analytics {
     // classic collaborative-filtering neighborhood, bounded by order
     // size (no unblocked self-join).
     "q_item_similarity" -> ((s, dir) => {
+      // part frequency rides ON the edge rows as a window count and is
+      // carried through the pair aggregation via min() (constant per
+      // part): the old separate counts aggregate + two post-agg joins
+      // re-derived the distinct edge set and shuffled three more times
+      // (r12, guide §2.4; same shape as q_link_prediction). Identical
+      // integers, identical cosine grid.
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val counts = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("p"))))
       val cooc = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
-        .agg(count(lit(1)).as("cooc"))
+        .agg(count(lit(1)).as("cooc"),
+          min(col("x.c")).as("c1"), min(col("y.c")).as("c2"))
         .filter(col("cooc") >= 2)
       cooc
-        .join(counts.select(col("p").as("p1"), col("c").as("c1")), "p1")
-        .join(counts.select(col("p").as("p2"), col("c").as("c2")), "p2")
         .select(col("p1"), col("p2"), col("cooc"),
           round(col("cooc") / sqrt(col("c1") * col("c2")) + 1e-9, 6)
             .as("cosine"))

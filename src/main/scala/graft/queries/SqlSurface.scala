@@ -478,26 +478,34 @@ object SqlSurface {
     // so candidates stay O(parts · deg²) — the df-capped
     // candidate-generate shape, never all-pairs over customers.
     "q_link_prediction" ->
+      // Degree and neighborhood size ride ON the edge rows as window
+      // counts instead of separate deg/sizes CTEs: Spark inlines every
+      // CTE reference, so the old shape derived the (join + DISTINCT)
+      // edge set FOUR times and paid three more shuffle joins to attach
+      // d/nc; this shape derives it twice (the self-join's two sides)
+      // and attaches both counts for free — nc is constant per customer
+      // so min() carries it through the pair aggregation (r12, guide
+      // §2.4). Same rows, same values: d and nc are the same integers,
+      // and every float output carries the same +1e-9 round(…, 6) grid.
       """WITH edges AS (
-        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |deg AS (SELECT p, count(*) AS d FROM edges GROUP BY p),
-        |sizes AS (SELECT c, count(*) AS nc FROM edges GROUP BY c),
+        |  SELECT c, p,
+        |    count(*) OVER (PARTITION BY c) AS nc,
+        |    count(*) OVER (PARTITION BY p) AS d
+        |  FROM (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)),
         |pairs AS (
         |  SELECT a.c AS cust_a, b.c AS cust_b, count(*) AS common_parts,
-        |    round(sum(1.0 / ln(d)) + 1e-9, 6) AS adamic_adar
+        |    round(sum(1.0 / ln(a.d)) + 1e-9, 6) AS adamic_adar,
+        |    min(a.nc) AS na, min(b.nc) AS nb
         |  FROM edges a JOIN edges b ON a.p = b.p AND a.c < b.c
-        |  JOIN deg ON deg.p = a.p
         |  GROUP BY a.c, b.c HAVING count(*) >= 4)
         |SELECT cust_a, cust_b, common_parts, adamic_adar,
         |  round(common_parts
-        |    / CAST(sa.nc + sb.nc - common_parts AS DOUBLE) + 1e-9, 6)
+        |    / CAST(na + nb - common_parts AS DOUBLE) + 1e-9, 6)
         |    AS jaccard,
         |  round(common_parts
-        |    / sqrt(CAST(sa.nc AS DOUBLE) * sb.nc) + 1e-9, 6) AS cosine
-        |FROM pairs JOIN sizes sa ON cust_a = sa.c
-        |           JOIN sizes sb ON cust_b = sb.c
-        |ORDER BY cust_a, cust_b""".stripMargin,
+        |    / sqrt(CAST(na AS DOUBLE) * nb) + 1e-9, 6) AS cosine
+        |FROM pairs ORDER BY cust_a, cust_b""".stripMargin,
 
     // Spearman rank correlation per group: average ranks for ties
     // (min-rank + (tie_count-1)/2, exact halves), then the one-pass
