@@ -141,6 +141,18 @@ object Bench {
         graft.operators.PageRank.runPersonalized(toy, seeds, 1).count()
         graft.operators.Triangles.globalCount(toy).count()
         graft.operators.ShortestPaths.hopDistances(toy, seeds, 2).count()
+        // the weighted-share, Bellman-Ford and peel loop shapes are
+        // distinct codegen/JIT territory from the three above — warm
+        // them too (r12: q_graph_kcore ran ~1 s over its quiet median
+        // in-bench, first-execution JIT of the peel machinery)
+        val toyW = toy.withColumn("w",
+          ((org.apache.spark.sql.functions.col("src") +
+            org.apache.spark.sql.functions.col("dst")) % 7 + 1)
+            .cast("double"))
+        graft.operators.PageRank.runWeighted(toyW, iterations = 1).count()
+        graft.operators.ShortestPaths.boundedDistances(toyW, seeds, 1).count()
+        graft.operators.KCore.kCore(
+          toy.selectExpr("src AS a", "dst AS b"), k = 2, maxIter = 8).count()
         // the Lloyd loop too: q_cluster_balanced_sample sorts BEFORE
         // q_kmeans_assign, so without this it pays the k-means loop's
         // first-execution JIT on the clock (6.2 s vs sub-second spread

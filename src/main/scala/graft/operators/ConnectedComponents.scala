@@ -75,6 +75,14 @@ object ConnectedComponents {
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbMin"), col("comp"))).as("comp"))
     }
+    // Single-action generations (local mode, the KCore pattern): the
+    // fixpoint flag rides on the materialized rows as a 0/1 column and
+    // the internal RDD's localCheckpoint+count job doubles as the probe
+    // via an accumulator — one job per generation instead of a cut plus
+    // a separate changed-count scan. Reliable mode keeps the Truncator
+    // path (durable-cut cadence and lifecycle are the point there).
+    val spark = edges.sparkSession
+    val singleAction = !LoopCheckpoint.reliableMode(spark)
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -85,9 +93,32 @@ object ConnectedComponents {
       // near-dup graph sizes is job latency, not executor work. The
       // fixpoint test compares round 2 against round 1: a round that
       // changes nothing proves convergence regardless of round 1.
-      val next = cp(propagate(propagate(labels)))
-      changed = next.filter(col("comp") =!= col("prev")).count()
-      labels = next
+      val gen = propagate(propagate(labels))
+      val longIds =
+        gen.schema("comp").dataType == org.apache.spark.sql.types.LongType &&
+        gen.schema("prev").dataType == org.apache.spark.sql.types.LongType
+      if (singleAction && longIds) {
+        // accumulator fixpoint probe is retry-safe here: a retried task
+        // can only over-count rows that genuinely changed (prev == comp
+        // rows add 0 on every attempt), so `changed == 0` is exact
+        val acc = spark.sparkContext.longAccumulator("ccChanged")
+        val base = gen.queryExecution.toRdd
+        val iPrev = gen.schema.fieldIndex("prev")
+        val iComp = gen.schema.fieldIndex("comp")
+        val rdd = base.map { r =>
+          if (r.getLong(iPrev) != r.getLong(iComp)) acc.add(1L)
+          r.copy()
+        }
+        rdd.localCheckpoint()
+        rdd.count()
+        changed = acc.value
+        labels = org.apache.spark.sql.GraftExpressionBridge.ofInternalRows(
+          spark, rdd, gen.schema)
+      } else {
+        val next = cp(gen)
+        changed = next.filter(col("comp") =!= col("prev")).count()
+        labels = next
+      }
       it += 1
     }
     require(changed == 0,

@@ -83,6 +83,25 @@ object StreamConf {
     * `StateStoreKey` conf opt-in still applies (the library-level
     * switch). Runners set any source-reading conf they need (e.g.
     * nanos-as-long) on the returned session themselves. */
+  /** Ephemeral checkpoint root for the drain-once runners. Micro-batch
+    * offset/commit logs and state-store delta files are written and
+    * fsync'd per batch per store; for a drain-once gate they are
+    * throwaway by contract, yet on a disk-backed temp dir those fsyncs
+    * dominate the stateful gates' wall time (stage traces: exec >> cpu,
+    * tasks blocked in commit). Place them on tmpfs when the platform
+    * has one. Durability posture is unchanged where it matters: a
+    * production stream passes its own durable `checkpointLocation`
+    * (the runners that take a checkpointDir parameter still honor it,
+    * and an explicit caller conf would override this session default). */
+  private[streaming] def ephemeralCheckpointRoot(): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft-stream-ckpt")
+      .toString
+  }
+
   def isolated(parent: SparkSession, n: Int = 8,
       stateStore: Option[String] = None): SparkSession = {
     val s = parent.newSession()
@@ -92,6 +111,11 @@ object StreamConf {
       }
     }
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // drain-once checkpoints are ephemeral: default them to tmpfs (per
+    // isolated session; each query checkpoints under <root>/<queryName>)
+    if (s.conf.getOption("spark.sql.streaming.checkpointLocation").isEmpty)
+      s.conf.set("spark.sql.streaming.checkpointLocation",
+        ephemeralCheckpointRoot())
     val backend =
       stateStore.orElse(parent.conf.getOption(StateStoreKey))
     if (backend.contains("rocksdb"))

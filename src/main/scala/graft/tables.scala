@@ -15,7 +15,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Plan cache: `spark.read.parquet` re-lists the path and re-reads the
+  // footer schema on EVERY call, and the SQL-surface gates load all ten
+  // tables per query — ~1,300 relation creations across one bench run,
+  // each a driver-side metadata round-trip. A DataFrame is an immutable
+  // LOGICAL PLAN (no data, no results — every action still scans the
+  // parquet), so the loader memoizes it per (session, dir, table).
+  // Sessions are weakly keyed so test sessions don't leak.
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        planCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), { _ => loadUncached(spark, dir, name) })
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     // events.ts has shipped in THREE parquet flavors across testdata
     // generations: TIMESTAMP(NANOS) (vanilla Spark rejects it — read
     // nanos as long and truncate to micros, the same truncation DuckDB

@@ -47,7 +47,9 @@ object QueryProfile {
           val m = si.taskMetrics
           println(f"[stage] ${si.stageId}%4d $dt%6.2f s tasks=${si.numTasks}%3d " +
             f"exec=${m.executorRunTime / 1e3}%7.2f cpu=${m.executorCpuTime / 1e9}%7.2f " +
-            f"gc=${m.jvmGCTime / 1e3}%5.2f  ${si.name.take(60)}")
+            f"gc=${m.jvmGCTime / 1e3}%5.2f deser=${m.executorDeserializeTime / 1e3}%5.2f " +
+            f"fetch=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.2f " +
+            f"swrite=${m.shuffleWriteMetrics.writeTime / 1e9}%5.2f  ${si.name.take(60)}")
         }
       })
     val jobTrace = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
