@@ -98,8 +98,15 @@ object StreamConf {
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, "graft-stream-ckpt")
-      .toString
+    val dir = java.nio.file.Files.createTempDirectory(base, "graft-stream-ckpt")
+    // throwaway by contract — reclaim the tmpfs on JVM exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }))
+    dir.toString
   }
 
   def isolated(parent: SparkSession, n: Int = 8,

@@ -53,6 +53,22 @@ class LoopCheckpointSpec extends AnyFunSuite {
     }.toDF("a", "b")
   }
 
+  test("single-action CC: deep path converges exactly; int ids take the fallback") {
+    // a 33-node path needs several doubled propagation generations —
+    // the accumulator-probed single-action rounds (r12) must stop on
+    // the exact fixpoint, not early, and label everything with node 0
+    val path = (0L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.components(path)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 33 && got.values.forall(_ == 0L))
+    // INT-typed ids route through the two-job fallback (the internal-row
+    // probe reads Long fields) — result must be identical modulo type
+    val gotInt = ConnectedComponents
+      .components((0 until 32).map(i => (i, i + 1)).toDF("a", "b"))
+      .as[(Int, Int)].collect().toMap
+    assert(gotInt.size == 33 && gotInt.values.forall(_ == 0))
+  }
+
   test("connected components: reliable == local") {
     val base = ConnectedComponents.components(edges)
       .as[(Long, Long)].collect().toSet
