@@ -177,45 +177,59 @@ object Bench {
     // iteration on a perf-watch subset; the driver sets no filter)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_REPS=N: per-gate min-of-N (default 1 — the driver
+    // contract is unchanged). This box carries roaming multi-second
+    // spikes at ~0% steal (OPTIMIZATION_r12.md instruments them), so a
+    // single cold reading per gate cannot adjudicate perf; the min of N
+    // back-to-back runs is the comparable statistic. A failure on ANY
+    // rep marks the gate failed (a crash must never read as fast).
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .map(math.max(_, 1)).getOrElse(1)
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
-      val (st0, tot0) = stealSample()
-      val t0 = System.nanoTime()
-      // a crashed query must NOT read as a fast success: its name goes to
-      // the `failed` list and it is EXCLUDED from the total and the
-      // per-query map — otherwise a regression that crashes queries would
-      // *improve* the bench (r6: five NTZ crashes recorded as 0.06 s wins)
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      val rep = (1 to reps).map { _ =>
+        val (st0, tot0) = stealSample()
+        val t0 = System.nanoTime()
+        // a crashed query must NOT read as a fast success: its name goes to
+        // the `failed` list and it is EXCLUDED from the total and the
+        // per-query map — otherwise a regression that crashes queries would
+        // *improve* the bench (r6: five NTZ crashes recorded as 0.06 s wins)
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (st1, tot1) = stealSample()
+        val stealPct =
+          if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
+        // release caches a query persisted (shingle/sketch/state tables) so
+        // later queries aren't timed under accumulated memory pressure —
+        // including raw RDD blocks (localCheckpoint lineage truncations in
+        // the graph/CC loops), which catalog.clearCache does NOT touch and
+        // which otherwise pile up across 261 gates (measured: +2.9 s on
+        // q_image_ahash alone after one big checkpointing build)
+        spark.catalog.clearCache()
+        // this cleanup runs AFTER dt is recorded, so the release + heap
+        // compaction is off every gate's clock
+        val pinned = spark.sparkContext.getPersistentRDDs.values
+        if (pinned.nonEmpty) {
+          pinned.foreach(_.unpersist(true))
+          System.gc()
+        }
+        // a gate query may install session-wide optimizer state (e.g.
+        // q_join_range_rule's BandedRangeJoinRule + band conf) — reset it so
+        // every later query's plan is independent of execution order
+        spark.experimental.extraOptimizations = Nil
+        try spark.conf.unset(graft.plans.BandedRangeJoinRule.ConfKey)
+        catch { case _: Throwable => () }
+        (dt, stealPct, ok)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val (st1, tot1) = stealSample()
-      val stealPct =
-        if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
-      // release caches a query persisted (shingle/sketch/state tables) so
-      // later queries aren't timed under accumulated memory pressure —
-      // including raw RDD blocks (localCheckpoint lineage truncations in
-      // the graph/CC loops), which catalog.clearCache does NOT touch and
-      // which otherwise pile up across 261 gates (measured: +2.9 s on
-      // q_image_ahash alone after one big checkpointing build)
-      spark.catalog.clearCache()
-      // this cleanup runs AFTER dt is recorded, so the release + heap
-      // compaction is off every gate's clock
-      val pinned = spark.sparkContext.getPersistentRDDs.values
-      if (pinned.nonEmpty) {
-        pinned.foreach(_.unpersist(true))
-        System.gc()
-      }
-      // a gate query may install session-wide optimizer state (e.g.
-      // q_join_range_rule's BandedRangeJoinRule + band conf) — reset it so
-      // every later query's plan is independent of execution order
-      spark.experimental.extraOptimizations = Nil
-      try spark.conf.unset(graft.plans.BandedRangeJoinRule.ConfKey)
-      catch { case _: Throwable => () }
-      (name, dt, stealPct, ok)
+      val okAll = rep.forall(_._3)
+      val best = rep.filter(_._3).sortBy(_._1).headOption.getOrElse(rep.head)
+      (name, best._1, best._2, okAll)
     }
     val failed = timed.collect { case (n, _, _, false) => n }.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -255,6 +269,31 @@ object Bench {
     val compact = (10 to 0 by -1).map(compactLine).find(_.length < 1500)
       .getOrElse(compactLine(0))
     println(compact)
+    // The driver's stdout tail (2000 chars) keeps only the compact line,
+    // so cross-round comparisons were limited to each round's
+    // top-10-slowest — gates that IMPROVED out of the top 10 read as
+    // "dropped_from_bench" in r12's PERF diff. Write the complete
+    // per-gate record (times + steal + run metadata) to a file beside
+    // the stdout contract so all gates are diffable across rounds.
+    // Additions only: stdout is unchanged.
+    locally {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+      val smapAll = steals.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"\"" + n + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val qsAll = results.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"\"" + n + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"cpus":$cpus,"reps":$reps,"n":${results.size},"failed":$failedJson,"queries":$qsAll,"steal_pct":$smapAll}"""
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(path))
+        try w.println(line) finally w.close()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] bench_full write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -76,11 +76,12 @@ object ConnectedComponents {
           least(col("comp"), coalesce(col("nbMin"), col("comp"))).as("comp"))
     }
     // Single-action generations (local mode, the KCore pattern): the
-    // fixpoint flag rides on the materialized rows as a 0/1 column and
-    // the internal RDD's localCheckpoint+count job doubles as the probe
-    // via an accumulator — one job per generation instead of a cut plus
-    // a separate changed-count scan. Reliable mode keeps the Truncator
-    // path (durable-cut cadence and lifecycle are the point there).
+    // fixpoint probe rides a long accumulator inside the internal RDD's
+    // localCheckpoint+count job (each task bumps it for rows whose prev
+    // != comp while copying the row) — one job per generation instead
+    // of a cut plus a separate changed-count scan. Reliable mode keeps
+    // the Truncator path (durable-cut cadence and lifecycle are the
+    // point there).
     val spark = edges.sparkSession
     val singleAction = !LoopCheckpoint.reliableMode(spark)
     var it = 0

@@ -198,6 +198,12 @@ object PageRank {
       // loop's driver-paced round-trips (the ConnectedComponents
       // pattern, guide §1.2/§2.4). The final round stays lazy: the
       // caller's action (or reliable-mode finish()) materializes it.
+      // SINGLE-ACTION CONTRACT (local mode): because the last round can
+      // be lazy, a caller that acts on the result MORE than once
+      // recomputes it, and the double-sum shuffle order may then yield
+      // bit-different last-ulp ranks across actions. Callers needing a
+      // stable multi-action frame should cut it themselves
+      // (LoopCheckpoint.cut); the gates act exactly once.
       roundsSinceCut += 1
       if (hasDangling || roundsSinceCut == 2) {
         ranks = cp(ranks)

@@ -93,7 +93,13 @@ object StreamConf {
     * production stream passes its own durable `checkpointLocation`
     * (the runners that take a checkpointDir parameter still honor it,
     * and an explicit caller conf would override this session default). */
-  private[streaming] def ephemeralCheckpointRoot(): String = {
+  // ONE process-wide ephemeral root with ONE shutdown hook; each
+  // isolated() call gets a private subdirectory under it. A long-lived
+  // process running many drain-once gates previously registered a new
+  // JVM shutdown hook (and kept a live tmpfs dir) per call — unbounded
+  // hook accumulation for no isolation benefit, since the per-call
+  // subdirectory is already private.
+  private lazy val processCheckpointRoot: java.nio.file.Path = {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath
@@ -106,8 +112,12 @@ object StreamConf {
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case scala.util.control.NonFatal(_) => () }))
-    dir.toString
+    dir
   }
+
+  private[streaming] def ephemeralCheckpointRoot(): String =
+    java.nio.file.Files
+      .createTempDirectory(processCheckpointRoot, "session").toString
 
   def isolated(parent: SparkSession, n: Int = 8,
       stateStore: Option[String] = None): SparkSession = {

@@ -22,9 +22,30 @@ object Tables {
   // LOGICAL PLAN (no data, no results — every action still scans the
   // parquet), so the loader memoizes it per (session, dir, table).
   // Sessions are weakly keyed so test sessions don't leak.
+  //
+  // SNAPSHOT SEMANTICS: the cached plan freezes the directory's file
+  // listing at first load for that session — files appended to (or
+  // regenerated under) the path later are invisible (or dangle) until
+  // [[invalidate]] is called or the session ends. That matches
+  // Spark's own per-session FileStatusCache posture; callers that
+  // mutate a table directory mid-session must invalidate first.
   private val planCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  /** Drop this session's cached plans (all tables, or one table under
+    * `dir`) so the next [[load]] re-lists the directory — required after
+    * appending to or regenerating a table directory mid-session. */
+  def invalidate(spark: SparkSession, dir: String = null,
+      name: String = null): Unit = planCache.synchronized {
+    val m = planCache.get(spark)
+    if (m != null) {
+      if (dir == null && name == null) m.clear()
+      else m.keySet.removeIf { case (d, n) =>
+        (dir == null || d == dir) && (name == null || n == name)
+      }
+    }
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = planCache.synchronized {
